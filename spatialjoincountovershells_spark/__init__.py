@@ -1,0 +1,54 @@
+"""sjcs_spark — a from-scratch PySpark-native spatial analytics engine.
+
+Re-implements the query semantics of ryumt/SpatialJoinCountOverShells
+(reference at /root/reference, C + SSE4.2 + pthreads) as an idiomatic
+Spark DataFrame library:
+
+* count-over-shells distance-band spatial join (J1) with periodic
+  boundary conditions (J2) on the cube [0, box)^3,
+* pair-emitting range join (J3), halo semi-join filter (J4),
+* grid-cell (H3/S2-style) indexing replacing the reference's
+  ArraySTR / Guttman R-tree (X1/X2),
+* kNN via iterative cell-ring widening, point-in-polygon tile
+  assignment, raster<->vector tiling (graft scope),
+* dedup / similarity / text-analysis operators for training-data
+  pipelines.
+
+Design notes: SURVEY.md §7.  All hot kernels are either pure Spark SQL
+expressions (whole-stage codegen) or Arrow-batched pandas UDFs — no
+per-row Python anywhere.
+"""
+
+from .session import get_spark
+from .functions.shells import logspace_edges, squared_edges
+from .functions.phash import decode_phash, encode_phash_np, decode_phash_np
+from .operators.cells import grid_ncells, with_cell, explode_ring, ring_offsets
+from .operators.shell_count import shell_count, range_join_pairs, shell_totals
+from .operators.semi_join import filter_halos
+from .operators.knn import knn
+from .operators.pip import point_in_polygon, polygon_edges
+from .operators.tiling import rasterize_points, image_tile_stats
+
+__all__ = [
+    "get_spark",
+    "logspace_edges",
+    "squared_edges",
+    "decode_phash",
+    "encode_phash_np",
+    "decode_phash_np",
+    "grid_ncells",
+    "with_cell",
+    "explode_ring",
+    "ring_offsets",
+    "shell_count",
+    "range_join_pairs",
+    "shell_totals",
+    "filter_halos",
+    "knn",
+    "point_in_polygon",
+    "polygon_edges",
+    "rasterize_points",
+    "image_tile_stats",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,107 @@
+"""Uniform periodic cell grid — the engine's spatial index.
+
+Replaces the reference's ArraySTR bulk-load / Guttman R-tree
+(``src/objects/ArraySTR/Build.c:716-840``, ``src/objects/RTree/Build.c``)
+with an H3/S2-style space-partitioning key: ``cell = floor(coord/cs)``
+per axis, composed into one int64 join key.  With ``cs >= r_max`` the
+candidate set for a radius-r_max probe is the 27-cell ring-1
+neighborhood — the shuffle-native analog of the reference's MBR-overlap
+descent (``checkOverlapMbr``, ``src/objects/RTree/Mbr.c:167-205``).
+
+"Build" is O(1) per row (two column expressions), the grid needs no
+global structure, and the join key co-partitions both sides — this is
+the architecture change that makes the workload scale on a cluster.
+Periodic wrap is handled by taking ring offsets mod ncells, dedup'd at
+offset level in the driver (no shuffle needed for the dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grid_ncells(rmax: float, box: float = 1000.0, max_per_axis: int = 4096) -> int:
+    """Cells per axis: the finest grid with cell_size >= rmax (ring-1 safe)."""
+    if rmax <= 0:
+        raise ValueError("rmax must be positive")
+    nc = int(box / rmax)
+    while nc * (box / nc) < box:  # paranoia vs float division
+        nc -= 1
+    return max(1, min(nc, max_per_axis))
+
+
+def _axis_idx(col: str, cs: float, ncells: int):
+    i = F.floor(F.col(col).cast("double") / F.lit(cs))
+    # clamp: coords are in [0, box) but f32 edge rounding could hit ncells
+    return F.least(F.greatest(i, F.lit(0)), F.lit(ncells - 1)).cast("long")
+
+
+def with_cell(
+    df: DataFrame,
+    ncells: int,
+    box: float = 1000.0,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    out: str = "cell_id",
+) -> DataFrame:
+    """Add the composite int64 cell key (cx*nc + cy)*nc + cz."""
+    cs = box / ncells
+    cx, cy, cz = (_axis_idx(c, cs, ncells) for c in cols)
+    nc = F.lit(ncells)
+    return df.withColumn(out, (cx * nc + cy) * nc + cz)
+
+
+def ring_offsets(ncells: int, k: int = 1, shell_only: bool = False) -> list[tuple[int, int, int]]:
+    """Chebyshev ring-<=k (or ==k) offsets, dedup'd modulo the grid size.
+
+    Dedup-at-offset-level is valid because wrap is uniform:
+    pmod(c + d1, nc) == pmod(c + d2, nc) for every c iff d1 ≡ d2 (mod nc).
+    """
+    seen: set[tuple[int, int, int]] = set()
+    out: list[tuple[int, int, int]] = []
+    r = range(-k, k + 1)
+    for dx in r:
+        for dy in r:
+            for dz in r:
+                if shell_only and max(abs(dx), abs(dy), abs(dz)) < k:
+                    continue
+                key = (dx % ncells, dy % ncells, dz % ncells)
+                if key not in seen:
+                    seen.add(key)
+                    out.append(key)
+    return sorted(out)
+
+
+def explode_ring(
+    df: DataFrame,
+    ncells: int,
+    box: float = 1000.0,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    k: int = 1,
+    shell_only: bool = False,
+    out: str = "cell_id",
+) -> DataFrame:
+    """Explode each row into its ring-k candidate cells (periodic wrap).
+
+    The analog of the reference's query-box construction + periodic
+    subset enumeration (``setQueryMbr`` + ``MultiRangeCount.c:31-71``):
+    instead of probing a tree with up to 8 shifted boxes, each probe row
+    fans out to its (dedup'd) neighbor cells and the join is a plain
+    equi-join on cell_id.
+    """
+    cs = box / ncells
+    cx, cy, cz = (_axis_idx(c, cs, ncells) for c in cols)
+    offs = ring_offsets(ncells, k=k, shell_only=shell_only)
+    arr = F.array(
+        [
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"), F.lit(c).alias("c"))
+            for a, b, c in offs
+        ]
+    )
+    nc = F.lit(ncells)
+    o = F.explode(arr).alias("_o")
+    df = df.select("*", o)
+    cell = (
+        F.pmod(cx + F.col("_o.a"), nc) * nc + F.pmod(cy + F.col("_o.b"), nc)
+    ) * nc + F.pmod(cz + F.col("_o.c"), nc)
+    return df.withColumn(out, cell).drop("_o")

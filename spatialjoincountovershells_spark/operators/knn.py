@@ -1,0 +1,109 @@
+"""kNN via iterative cell-ring widening (graft scope, SURVEY §7.2 M3).
+
+Not in the reference (which has no top-k); semantics defined here:
+for every halo return its k nearest particles under the periodic
+min-image metric, ties broken by particle id (deterministic).
+
+Algorithm (the H3 k_ring-widening pattern):
+  ring = 1: join halos to particles in ring<=1 cells, keep per-halo
+  top-k by (d2, pid).  A halo is FINAL when it has k candidates with
+  d2 <= (ring*cs)^2 — any particle outside ring r is at axis distance
+  > ring*cs, so nothing unseen can beat them.  Unfinished halos widen
+  to the ring==(r+1) shell only (incremental), union with their kept
+  top-k, re-rank.  Terminates when 2*ring+1 >= ncells (full coverage).
+
+Each iteration is one DataFrame job; the loop is driver-side but the
+work is fully distributed.  Ring residency grows as O(ring^2) cells
+per step, so sparse regions converge in a few steps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geometry import squared_distance_expr
+from .cells import explode_ring, grid_ncells, with_cell
+
+_H = ("_hx", "_hy", "_hz")
+_P = ("_px", "_py", "_pz")
+
+
+def knn(
+    halos: DataFrame,
+    particles: DataFrame,
+    k: int,
+    box: float = 1000.0,
+    dtype: str = "float64",
+    id_col: str = "halo_id",
+    particle_id_col: str = "particle_id",
+    h_coords: tuple[str, str, str] = ("x", "y", "z"),
+    p_coords: tuple[str, str, str] = ("x", "y", "z"),
+    ncells: int = 16,
+    max_ring: int | None = None,
+) -> DataFrame:
+    """-> (halo_id, particle_id, rank 1..k, d2) — exact periodic kNN."""
+    spark = halos.sparkSession
+    nc = ncells or grid_ncells(box / 16, box)
+    cs = box / nc
+    h = halos.select(
+        F.col(id_col), *[F.col(c).alias(a) for c, a in zip(h_coords, _H)]
+    )
+    p = particles.select(
+        F.col(particle_id_col),
+        *[F.col(c).alias(a) for c, a in zip(p_coords, _P)],
+    )
+    p = with_cell(p, nc, box, cols=_P).persist()
+    p.count()
+
+    d2 = squared_distance_expr(_H, _P, box, dtype)
+    w = Window.partitionBy(id_col).orderBy("d2", particle_id_col)
+    limit = max_ring or (nc // 2 + 1)
+
+    pending = h
+    topk: DataFrame | None = None
+    done_parts: list[DataFrame] = []
+    ring = 1
+    while True:
+        shell_only = ring > 1
+        hc = explode_ring(pending, nc, box, cols=_H, k=ring, shell_only=shell_only)
+        cand = hc.join(p, "cell_id").select(
+            F.col(id_col), F.col(particle_id_col), *_H, d2.alias("d2")
+        )
+        pool = cand if topk is None else topk.unionByName(cand)
+        ranked = (
+            pool.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .drop("rank")
+            .persist()
+        )
+        full_cover = 2 * ring + 1 >= nc or ring >= limit
+        if full_cover:
+            done_parts.append(ranked)
+            break
+        # a halo is final when its kth candidate is within the ring guarantee
+        guard = float(ring) * cs
+        stats = ranked.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("_n"), F.max("d2").alias("_dmax")
+        )
+        finished_ids = stats.where(
+            (F.col("_n") >= k) & (F.col("_dmax") <= F.lit(guard * guard))
+        ).select(id_col)
+        done_parts.append(
+            ranked.join(F.broadcast(finished_ids), id_col, "left_semi")
+        )
+        pending = pending.join(F.broadcast(finished_ids), id_col, "left_anti").persist()
+        if pending.isEmpty():
+            break
+        topk = ranked.join(F.broadcast(finished_ids), id_col, "left_anti")
+        ring += 1
+
+    out = done_parts[0]
+    for d in done_parts[1:]:
+        out = out.unionByName(d)
+    p.unpersist()
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, particle_id_col, "rank", "d2")
+    )

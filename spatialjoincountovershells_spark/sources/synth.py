@@ -1,0 +1,126 @@
+"""Deterministic synthetic images/halos tables (FIXTURES.md §1-2).
+
+The analog of the reference's MT19937 uniform generators
+(``src/uniform_decoded_particle_generator/main.c``,
+``src/uniform_halo_generator/main.c``) with one crucial change for
+distributed determinism: positions derive from splitmix64 of the row
+id (partition-independent), never from ``F.rand`` (SURVEY §2.1 S8).
+
+The position is quantized to uint16 per axis and packed into
+``phash:int64`` — the images table IS the particle table; the decode
+path is functions/phash.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+_M = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Standard public-domain splitmix64 mixer, vectorized on uint64."""
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)) & _M
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _M
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _M
+        return z ^ (z >> np.uint64(31))
+
+
+def _u16(seed: int, ids: np.ndarray, stream: int) -> np.ndarray:
+    """uint16 uniform per (seed, row, stream) — stable across partitioning."""
+    h = splitmix64(
+        ids.astype(np.uint64)
+        ^ splitmix64(np.uint64(seed) + np.uint64(stream) * np.uint64(0x9E37))
+    )
+    return (h >> np.uint64(48)).astype(np.uint64)  # top 16 bits
+
+
+def _phash(seed: int, ids: np.ndarray) -> np.ndarray:
+    qx, qy, qz = (_u16(seed, ids, s) for s in (1, 2, 3))
+    return ((qx << np.uint64(32)) | (qy << np.uint64(16)) | qz).astype(np.int64)
+
+
+def _payload(seed: int, i: int, w: int, h: int) -> bytes:
+    """Deterministic raw RGB8 payload: w*h*3 bytes from splitmix64."""
+    n = w * h * 3
+    words = splitmix64(
+        np.arange((n + 7) // 8, dtype=np.uint64)
+        + splitmix64(np.uint64(seed) ^ np.uint64(i) ^ np.uint64(0xB10C))
+    )
+    return words.view(np.uint8)[:n].tobytes()
+
+
+def synth_images(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    with_payload: bool = True,
+    w: int = 8,
+    h: int = 8,
+    id_prefix: str = "img",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Images table per FIXTURES.md §1; positions packed in phash."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            out = pd.DataFrame(
+                {
+                    "image_id": [f"{id_prefix}{i:012d}" for i in ids],
+                    "bytes": [
+                        _payload(seed, int(i), w, h) if with_payload else b""
+                        for i in ids
+                    ],
+                    "w": np.int32(w),
+                    "h": np.int32(h),
+                    "fmt": "raw",
+                    "caption": [
+                        f"synthetic caption {i} {splitmix64(np.uint64(seed) ^ np.uint64(i)):x}"
+                        for i in ids
+                    ],
+                    "phash": _phash(seed, ids),
+                }
+            )
+            yield out
+
+    rng = spark.range(n, numPartitions=partitions)
+    return rng.mapInPandas(gen, schema=IMAGES_SCHEMA)
+
+
+def synth_points(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    id_col: str = "halo_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Bare (id, phash) point table — halos or particles without payload.
+
+    Positions are identical to synth_images(seed) rows: halos as a
+    standalone table of the same shape (FIXTURES.md §2).
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            yield pd.DataFrame({id_col: ids, "phash": _phash(seed, ids)})
+
+    rng = spark.range(n, numPartitions=partitions)
+    return rng.mapInPandas(gen, schema=f"{id_col} long, phash long")
+
+
+def synth_points_np(n: int, seed: int) -> np.ndarray:
+    """(n,3) float32 positions — numpy oracle mirror of synth_points."""
+    from ..functions.phash import decode_phash_np
+
+    ids = np.arange(n, dtype=np.int64)
+    return decode_phash_np(_phash(seed, ids))

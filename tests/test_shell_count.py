@@ -1,0 +1,90 @@
+"""Core shell-count join: TestData4PB golden fixture + randomized oracle."""
+
+import numpy as np
+import pytest
+
+from spatialjoincountovershells_spark import (
+    logspace_edges,
+    shell_count,
+    shell_totals,
+    squared_edges,
+)
+from spatialjoincountovershells_spark.sources.synth import synth_points_np
+
+from fixtures import PB_HALOS, PB_PARTICLES, dense_from_long, oracle_shell_counts
+
+
+def _df_points(spark, arr, id_col=None):
+    import pandas as pd
+
+    cols = {}
+    if id_col:
+        cols[id_col] = np.arange(len(arr), dtype=np.int64)
+    cols.update({c: arr[:, i].astype(np.float32) for i, c in enumerate("xyz")})
+    pdf = pd.DataFrame(cols)
+    schema = (f"{id_col} long, " if id_col else "") + "x float, y float, z float"
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def _run(spark, H, P, edges, plan, ncells=None, dtype="float32"):
+    halos = _df_points(spark, H, id_col="halo_id")
+    parts = _df_points(spark, P)
+    res = shell_count(halos, parts, edges, plan=plan, ncells=ncells, dtype=dtype)
+    rows = [(r.halo_id, r.shell_idx, r.cnt) for r in res.collect()]
+    return dense_from_long(rows, len(H), len(edges))
+
+
+@pytest.mark.parametrize("plan", ["sql", "fused"])
+@pytest.mark.parametrize(
+    "spec,expected",
+    [
+        # strict-< edge case: d=1 fails `1.0 < 1.0`, lands in shell [1,2)
+        ((0.5, 2.0, 3), [1, 0, 7]),
+        ((0.9, 1.8, 2), [1, 7]),  # 1, sqrt2, sqrt3 all in [0.9, 1.8)
+        ((1.9, 1.99, 1), [8]),
+        ((0.5, 0.9, 2), [1, 0]),  # r_max < 1: only the coincident corner
+    ],
+)
+def test_periodic_golden(spark, plan, spec, expected):
+    edges = logspace_edges(*spec)
+    got = _run(spark, PB_HALOS, PB_PARTICLES, edges, plan)
+    want = np.array([expected, expected])  # both halos are symmetric corners
+    assert got.tolist() == want.tolist()
+    # and the numpy oracle agrees with the hand-derived counts
+    assert oracle_shell_counts(PB_HALOS, PB_PARTICLES, squared_edges(edges)).tolist() == want.tolist()
+
+
+@pytest.mark.parametrize("plan", ["sql", "fused"])
+@pytest.mark.parametrize(
+    "seed,n_part,n_halo,spec",
+    [
+        (0, 1000, 50, (0.001, 5.0, 40)),  # the README's radius spec
+        (1, 1000, 30, (10.0, 300.0, 8)),
+        (2, 500, 20, (400.0, 499.0, 4)),  # stresses multi-dim periodic wrap
+    ],
+)
+def test_random_vs_oracle(spark, plan, seed, n_part, n_halo, spec):
+    P = synth_points_np(n_part, seed=seed)
+    H = synth_points_np(n_halo, seed=seed + 1000)
+    edges = logspace_edges(*spec)
+    got = _run(spark, H, P, edges, plan)
+    want = oracle_shell_counts(H, P, squared_edges(edges))
+    assert got.tolist() == want.tolist()
+
+
+def test_shell_totals(spark):
+    edges = logspace_edges(0.5, 2.0, 3)
+    halos = _df_points(spark, PB_HALOS, id_col="halo_id")
+    parts = _df_points(spark, PB_PARTICLES)
+    counts = shell_count(halos, parts, edges)
+    tot = {r.shell_idx: r.total for r in shell_totals(counts).collect()}
+    # true grand total = 2x per-halo (the reference's printed Total is
+    # wrong via the counts[0] aliasing bug - we assert the corrected one)
+    assert tot == {0: 2, 2: 14}
+
+
+def test_rmax_guard(spark):
+    halos = _df_points(spark, PB_HALOS, id_col="halo_id")
+    parts = _df_points(spark, PB_PARTICLES)
+    with pytest.raises(ValueError, match="box/2"):
+        shell_count(halos, parts, np.array([600.0], dtype=np.float32))
