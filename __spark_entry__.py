@@ -1,38 +1,408 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs an engine operator from SURVEY.md §2 over
+the driver's parquet tables; ``oracle_sql()`` holds the DuckDB-runnable
+ANSI-SQL equivalent.  Cross-engine determinism strategy: spatial
+coordinates are derived from integer keys as exact multiples of 1/64
+(functions/keycoords.py), so every float64 comparison is exact and the
+two engines agree bit-for-bit; non-spatial queries output only
+integers/strings.  Operators whose hashes are Spark-native (xxhash64)
+or whose kernels are numpy-only have no SQL oracle -> rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spatialjoincountovershells_spark.functions.keycoords import (  # noqa: E402
+    sql_coord,
+    with_key_coords,
+)
+from spatialjoincountovershells_spark.functions.phash import decode_phash  # noqa: E402
+from spatialjoincountovershells_spark.operators.cells import with_cell  # noqa: E402
+from spatialjoincountovershells_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
+from spatialjoincountovershells_spark.operators.pip import point_in_polygon  # noqa: E402
+from spatialjoincountovershells_spark.operators.semi_join import filter_halos  # noqa: E402
+from spatialjoincountovershells_spark.operators.shell_count import (  # noqa: E402
+    range_join_pairs,
+    shell_count,
+    shell_totals,
+)
+from spatialjoincountovershells_spark.operators.similarity import (  # noqa: E402
+    ann_cosine_topk,
+    ann_l2_topk,
+)
+from spatialjoincountovershells_spark.operators.text import (  # noqa: E402
+    doc_fingerprint,
+    lang_guess,
+    quality_score,
+    text_stats,
+)
+from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
+    image_tile_stats,
+    rasterize_points,
+)
+from spatialjoincountovershells_spark.sources.synth import (  # noqa: E402
+    synth_images,
+    synth_points,
+)
+
+BOX = 1000.0
+EDGES = np.array([25.0, 50.0, 100.0, 200.0])  # exact f64; squared: 625..40000
+R2 = [625.0, 2500.0, 10000.0, 40000.0]
+
+POLYGONS = {
+    1: [(100.5, 100.25), (800.25, 150.75), (700.125, 850.5), (150.0, 700.0)],
+    2: [
+        (200.5, 200.5), (600.25, 200.5), (600.25, 400.75),
+        (400.125, 400.75), (400.125, 600.5), (200.5, 600.5),
+    ],
+}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _halos(spark, sf_dir, table="customer", key="c_custkey") -> DataFrame:
+    df = _read(spark, sf_dir, table).select(F.col(key).alias("halo_id"))
+    return with_key_coords(df, "halo_id")
+
+
+def _parts(spark, sf_dir, table="orders", key="o_orderkey") -> DataFrame:
+    df = _read(spark, sf_dir, table).select(F.col(key).alias("particle_id"))
+    return with_key_coords(df, "particle_id")
+
+
+def _halos_cte(table="customer", key="c_custkey", alias="halo_id") -> str:
+    return (
+        f"SELECT {key} AS {alias}, {sql_coord(key, 0)} AS x, "
+        f"{sql_coord(key, 1)} AS y, {sql_coord(key, 2)} AS z FROM {table}"
+    )
+
+
+_D2 = (
+    "(least(abs(h.x - p.x), 1000.0 - abs(h.x - p.x)) * least(abs(h.x - p.x), 1000.0 - abs(h.x - p.x))"
+    " + least(abs(h.y - p.y), 1000.0 - abs(h.y - p.y)) * least(abs(h.y - p.y), 1000.0 - abs(h.y - p.y)))"
+    " + least(abs(h.z - p.z), 1000.0 - abs(h.z - p.z)) * least(abs(h.z - p.z), 1000.0 - abs(h.z - p.z))"
+)
+
+_SHELL_CASE = (
+    f"CASE WHEN d2 < {R2[0]} THEN 0 WHEN d2 < {R2[1]} THEN 1 "
+    f"WHEN d2 < {R2[2]} THEN 2 WHEN d2 < {R2[3]} THEN 3 END"
+)
+
+
+# ---------------------------------------------------------------- queries
+
+def q_shell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shell_count(
+        _halos(spark, sf_dir), _parts(spark, sf_dir), EDGES, dtype="float64"
+    )
+
+
+def q_shell_count_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shell_count(
+        _halos(spark, sf_dir), _parts(spark, sf_dir), EDGES,
+        dtype="float64", plan="fused",
+    )
+
+
+def q_shell_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shell_totals(q_shell_count(spark, sf_dir))
+
+
+def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _halos(spark, sf_dir, "supplier", "s_suppkey")
+    return range_join_pairs(
+        h, _parts(spark, sf_dir), radius=80.0, dtype="float64"
+    )
+
+
+def q_semi_filtered_shell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = _read(spark, sf_dir, "supplier").select("s_suppkey")
+    h = filter_halos(_halos(spark, sf_dir), ids)
+    return shell_count(h, _parts(spark, sf_dir), EDGES, dtype="float64")
+
+
+def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = with_cell(_parts(spark, sf_dir), ncells=8, box=BOX)
+    return p.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _halos(spark, sf_dir, "supplier", "s_suppkey")
+    res = knn(h, _parts(spark, sf_dir), k=3, dtype="float64", ncells=16)
+    return res.select("halo_id", "particle_id", "rank")
+
+
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _parts(spark, sf_dir).withColumnRenamed("particle_id", "point_id")
+    polys = spark.createDataFrame(
+        [(pid, [{"x": float(x), "y": float(y)} for x, y in verts])
+         for pid, verts in POLYGONS.items()],
+        "poly_id long, vertices array<struct<x: double, y: double>>",
+    )
+    return point_in_polygon(pts, polys, id_col="point_id")
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rasterize_points(_parts(spark, sf_dir), res=16, box=BOX)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_guess(_read(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_l2_topk(_read(spark, sf_dir, "embeddings"), k=3)
+
+
+def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / F.lit(3600)).alias("bucket")
+    return ev.groupBy(bucket, "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ------- rows-only entries (Spark-native hashing / numpy kernels; no SQL twin)
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_read(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.orderBy("vec_id").limit(8).select("vec_id", "embedding").toPandas()
+    return ann_cosine_topk(emb, qs, k=3)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_read(spark, sf_dir, "documents"))
+
+
+def q_sjcs_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship graft pipeline on the synthetic images table."""
+    parts = decode_phash(synth_images(spark, 20000, seed=7, with_payload=False))
+    halos = decode_phash(synth_points(spark, 500, seed=8))
+    edges = np.logspace(0, np.log2(80.0), 8, base=2.0).astype(np.float32)
+    return shell_count(halos, parts, edges)
+
+
+def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_tile_stats(synth_images(spark, 200, seed=11), tiles_per_axis=2)
+
+
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_shell_count(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "shell_count": q_shell_count,
+        "shell_count_fused": q_shell_count_fused,
+        "shell_totals": q_shell_totals,
+        "range_pairs": q_range_pairs,
+        "semi_filtered_shell_count": q_semi_filtered_shell_count,
+        "cell_assign": q_cell_assign,
+        "knn": q_knn,
+        "point_in_polygon": q_point_in_polygon,
+        "tile_assign": q_tile_assign,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
+        "lang_guess": q_lang_guess,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_l2": q_ann_l2,
+        "event_window": q_event_window,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_cosine": q_ann_cosine,
+        "doc_fingerprint": q_doc_fingerprint,
+        "sjcs_images": q_sjcs_images,
+        "image_tiles": q_image_tiles,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _shell_count_sql(halos_cte: str, extra_where: str = "") -> str:
+    return f"""
+WITH h AS ({halos_cte}),
+p AS (SELECT o_orderkey AS particle_id, {sql_coord("o_orderkey", 0)} AS x,
+      {sql_coord("o_orderkey", 1)} AS y, {sql_coord("o_orderkey", 2)} AS z FROM orders),
+d AS (SELECT h.halo_id, {_D2} AS d2 FROM h, p {extra_where})
+SELECT halo_id, {_SHELL_CASE} AS shell_idx, count(*) AS cnt
+FROM d WHERE d2 < {R2[-1]} GROUP BY halo_id, shell_idx
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shell_sql = _shell_count_sql(_halos_cte())
+    tokens = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END"
+    )
+    lang_case = (
+        "CASE WHEN instr(' ' || text || ' ', ' der ') > 0 THEN 'de' "
+        "WHEN instr(' ' || text || ' ', ' und ') > 0 THEN 'de' "
+        "WHEN instr(' ' || text || ' ', ' le ') > 0 THEN 'fr' "
+        "WHEN instr(' ' || text || ' ', ' et ') > 0 THEN 'fr' "
+        "WHEN instr(' ' || text || ' ', ' el ') > 0 THEN 'es' "
+        "WHEN instr(' ' || text || ' ', ' y ') > 0 THEN 'es' "
+        "WHEN instr(' ' || text || ' ', ' de ') > 0 THEN 'zh' "
+        "WHEN instr(' ' || text || ' ', ' the ') > 0 THEN 'en' "
+        "ELSE 'und' END"
+    )
+    crossing = []
+    for pid, verts in POLYGONS.items():
+        terms = []
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+            terms.append(
+                f"(CASE WHEN (({y1} > py) <> ({y2} > py)) AND "
+                f"px < {x1} + (py - {y1}) * ({x2} - {x1}) / ({y2} - {y1}) "
+                f"THEN 1 ELSE 0 END)"
+            )
+        crossing.append(
+            f"SELECT point_id, CAST({pid} AS BIGINT) AS poly_id "
+            f"FROM pts WHERE ({' + '.join(terms)}) % 2 = 1"
+        )
+    pip_sql = f"""
+WITH pts AS (SELECT o_orderkey AS point_id, {sql_coord("o_orderkey", 0)} AS px,
+             {sql_coord("o_orderkey", 1)} AS py FROM orders)
+{" UNION ALL ".join(crossing)}
+"""
+    return {
+        "shell_count": shell_sql,
+        "shell_count_fused": shell_sql,
+        "shell_totals": f"""
+WITH base AS ({shell_sql})
+SELECT shell_idx, CAST(sum(cnt) AS BIGINT) AS total FROM base GROUP BY shell_idx
+""",
+        "range_pairs": f"""
+WITH h AS ({_halos_cte("supplier", "s_suppkey")}),
+p AS (SELECT o_orderkey AS particle_id, {sql_coord("o_orderkey", 0)} AS x,
+      {sql_coord("o_orderkey", 1)} AS y, {sql_coord("o_orderkey", 2)} AS z FROM orders)
+SELECT h.halo_id, p.particle_id FROM h, p WHERE {_D2} < 6400.0
+""",
+        "semi_filtered_shell_count": _shell_count_sql(
+            _halos_cte()
+            + " WHERE c_custkey IN (SELECT s_suppkey FROM supplier)"
+        ),
+        "cell_assign": f"""
+WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y,
+           {sql_coord("o_orderkey", 2)} AS z FROM orders)
+SELECT (least(greatest(CAST(floor(x / 125.0) AS BIGINT), 0), 7) * 8
+      + least(greatest(CAST(floor(y / 125.0) AS BIGINT), 0), 7)) * 8
+      + least(greatest(CAST(floor(z / 125.0) AS BIGINT), 0), 7) AS cell_id,
+      count(*) AS n_points
+FROM p GROUP BY cell_id
+""",
+        "knn": f"""
+WITH h AS ({_halos_cte("supplier", "s_suppkey")}),
+p AS (SELECT o_orderkey AS particle_id, {sql_coord("o_orderkey", 0)} AS x,
+      {sql_coord("o_orderkey", 1)} AS y, {sql_coord("o_orderkey", 2)} AS z FROM orders),
+d AS (SELECT h.halo_id, p.particle_id, {_D2} AS d2 FROM h, p)
+SELECT halo_id, particle_id,
+       CAST(row_number() OVER (PARTITION BY halo_id ORDER BY d2, particle_id) AS INTEGER) AS rank
+FROM d QUALIFY rank <= 3
+""",
+        "point_in_polygon": pip_sql,
+        "tile_assign": f"""
+WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders)
+SELECT least(greatest(CAST(floor(x / 62.5) AS BIGINT), 0), 15) * 16
+     + least(greatest(CAST(floor(y / 62.5) AS BIGINT), 0), 15) AS tile_id,
+     count(*) AS n_points
+FROM p GROUP BY tile_id
+""",
+        "dedup_exact": """
+SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+        "text_stats": f"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST({tokens} AS BIGINT) AS n_tokens,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(length(text) - length(replace(text, ',', '')) AS BIGINT) AS n_commas
+FROM documents
+""",
+        "quality_score": f"""
+SELECT doc_id, CAST(floor(least((1000 * CAST({tokens} AS BIGINT)) / (CAST(length(text) AS BIGINT) + 1), 1000.0)) AS BIGINT) AS quality_1000
+FROM documents
+""",
+        "lang_guess": f"SELECT doc_id, {lang_case} AS lang_pred FROM documents",
+        "ngram_jaccard": """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, u, 8) AS shingle
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, greatest(length(text) - 7, 1))) AS u
+        FROM documents)
+), sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor((1000 * n_inter) / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jac_1000
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(floor((1000 * n_inter) / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) >= 200
+""",
+        "ann_l2": """
+WITH pr AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         unnest(a.embedding) AS ea, unnest(b.embedding) AS eb
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+d AS (
+  SELECT query_id, neighbor_id,
+         CAST(sum(CAST((floor(ea * 1024.0) - floor(eb * 1024.0))
+                     * (floor(ea * 1024.0) - floor(eb * 1024.0)) AS BIGINT)) AS BIGINT) AS qd2
+  FROM pr GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY qd2, neighbor_id) AS INTEGER) AS rank,
+       qd2
+FROM d QUALIFY rank <= 3
+""",
+        "event_window": """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, event_type, count(*) AS n
+FROM events GROUP BY bucket, event_type
+""",
+    }

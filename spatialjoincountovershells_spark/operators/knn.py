@@ -86,8 +86,11 @@ def knn(
         stats = ranked.groupBy(id_col).agg(
             F.count(F.lit(1)).alias("_n"), F.max("d2").alias("_dmax")
         )
+        # strict <: an unseen particle outside ring r sits at d >= guard,
+        # so only candidates strictly inside the guarantee are immune to
+        # (d2, particle_id) tie-breaks against unseen points
         finished_ids = stats.where(
-            (F.col("_n") >= k) & (F.col("_dmax") <= F.lit(guard * guard))
+            (F.col("_n") >= k) & (F.col("_dmax") < F.lit(guard * guard))
         ).select(id_col)
         done_parts.append(
             ranked.join(F.broadcast(finished_ids), id_col, "left_semi")

@@ -1,0 +1,110 @@
+"""End-to-end SJCS pipeline + cluster-scale plumbing.
+
+* sjcs_pipeline      — images table -> decode phash -> shell counts
+  (the reference's astr_rcount main, SURVEY §3.1, as one declarative plan)
+* prepartition_particles — one-time shuffle of the big table by cell_id
+  so every later probe job joins shuffle-free on the big side (the
+  analog of the reference's reusable per-file index; at 100 TB this is
+  the difference between one shuffle ever and one per query)
+* checkpoint / resume — idempotent parquet writes keyed by a token;
+  restarts skip completed work (BASELINE north_rule: resumable with
+  per-partition lineage + metrics)
+* partition_metrics — per-partition row counts / bytes for lineage
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.phash import decode_phash
+from ..operators.cells import grid_ncells, with_cell
+from ..operators.shell_count import shell_count
+from ..operators.semi_join import filter_halos
+
+
+def sjcs_pipeline(
+    images: DataFrame,
+    halos: DataFrame,
+    edges: np.ndarray,
+    filter_ids: DataFrame | None = None,
+    box: float = 1000.0,
+    plan: str = "sql",
+    id_col: str = "halo_id",
+) -> DataFrame:
+    """The flagship query: decode positions from phash on both sides,
+    optional halo semi-join filter (J4), then count-over-shells."""
+    parts = decode_phash(images)
+    h = decode_phash(halos)
+    if filter_ids is not None:
+        h = filter_halos(h, filter_ids, id_col=id_col)
+    return shell_count(h, parts, edges, box=box, plan=plan, id_col=id_col)
+
+
+def prepartition_particles(
+    images: DataFrame,
+    path: str,
+    rmax: float,
+    box: float = 1000.0,
+    n_buckets: int | None = None,
+) -> str:
+    """Materialize the particle table hash-partitioned by cell_id.
+
+    Probe jobs reading this back join on cell_id with the small
+    (halo-ring) side shuffled only — the persistent-index pattern for
+    the 100 TB table."""
+    nc = grid_ncells(rmax, box)
+    df = with_cell(decode_phash(images), nc, box)
+    w = df.repartition(n_buckets or df.sparkSession.sparkContext.defaultParallelism, "cell_id")
+    w.write.mode("overwrite").parquet(path)
+    return path
+
+
+def partition_metrics(df: DataFrame) -> DataFrame:
+    """Per-partition lineage: (partition_id, n_rows) — cheap extra job."""
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def _marker(path: str) -> str:
+    return os.path.join(path, "_SJCS_DONE.json")
+
+
+def checkpoint(df: DataFrame, path: str, token: str) -> dict:
+    """Idempotent overwrite write + lineage marker.
+
+    The marker records the completion token and per-partition counts;
+    `resume` treats a matching marker as proof of completion."""
+    df.write.mode("overwrite").parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    metrics = [r.asDict() for r in partition_metrics(back).collect()]
+    meta = {"token": token, "n_rows": int(sum(m["n_rows"] for m in metrics)),
+            "partitions": metrics}
+    with open(_marker(path), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def resume(spark: SparkSession, path: str, token: str) -> DataFrame | None:
+    """Return the checkpointed DataFrame if `token` completed, else None."""
+    m = _marker(path)
+    if not os.path.exists(m):
+        return None
+    with open(m) as f:
+        meta = json.load(f)
+    if meta.get("token") != token:
+        return None
+    return spark.read.parquet(path)
+
+
+def resume_or_compute(spark: SparkSession, path: str, token: str, fn) -> DataFrame:
+    df = resume(spark, path, token)
+    if df is not None:
+        return df
+    checkpoint(fn(), path, token)
+    return spark.read.parquet(path)
