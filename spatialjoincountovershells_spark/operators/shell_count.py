@@ -90,6 +90,12 @@ def shell_count(
     plan: str = "sql",
 ) -> DataFrame:
     """J1+J2+A1: -> (id_col, shell_idx int, cnt long), nonzero rows only."""
+    if plan == "fused" and ncells is None:
+        # the Arrow kernel amortizes per-group overhead over dense cells:
+        # target >= ~512 particles/cell instead of the finest ring-1 grid
+        n_est = particles.count()
+        cap = max(4, int(round((n_est / 512) ** (1.0 / 3.0))))
+        ncells = max(1, min(grid_ncells(float(np.asarray(edges)[-1]), box), cap))
     h, p, nc, edges = _prep(
         halos, particles, edges, box, id_col, h_coords, p_coords, ncells
     )
@@ -98,10 +104,15 @@ def shell_count(
         return _fused_plan(h, p, r2, box, dtype, id_col)
     j = h.join(p, "cell_id")
     d2 = squared_distance_expr(_H, _P, box, dtype)
-    sh = shell_index_expr(d2, r2).alias("shell_idx")
+    # project d2 ONCE, then bin on the column reference — embedding the
+    # distance expression inside every WHEN branch would re-evaluate it
+    # per branch (and blow codegen limits at 40 shells)
+    proj = j.select(F.col(id_col), d2.alias("_d2")).where(
+        F.col("_d2") < F.lit(float(r2[-1]))
+    )
+    sh = shell_index_expr(F.col("_d2"), r2).alias("shell_idx")
     return (
-        j.select(F.col(id_col), sh)
-        .where(F.col("shell_idx").isNotNull())
+        proj.select(F.col(id_col), sh)
         .groupBy(id_col, "shell_idx")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
