@@ -42,9 +42,14 @@ from spatialjoincountovershells_spark.operators.shell_count import (  # noqa: E4
     shell_count,
     shell_totals,
 )
+from spatialjoincountovershells_spark.operators.images import (  # noqa: E402
+    image_features,
+    image_roundtrip_metrics,
+)
 from spatialjoincountovershells_spark.operators.similarity import (  # noqa: E402
     ann_cosine_topk,
     ann_l2_topk,
+    lsh_cosine_pairs,
 )
 from spatialjoincountovershells_spark.operators.text import (  # noqa: E402
     doc_fingerprint,
@@ -226,6 +231,21 @@ def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_tile_stats(synth_images(spark, 200, seed=11), tiles_per_axis=2)
 
 
+def q_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row payload invariant: PSNR>=40dB (raw: bit-exact) + caption."""
+    return image_roundtrip_metrics(synth_images(spark, 256, seed=13))
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_features(synth_images(spark, 256, seed=14))
+
+
+def q_embed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates via random-hyperplane LSH."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(emb, n_planes=8)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -257,6 +277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "sjcs_images": q_sjcs_images,
         "image_tiles": q_image_tiles,
+        "image_roundtrip": q_image_roundtrip,
+        "image_features": q_image_features,
+        "embed_lsh_pairs": q_embed_lsh_pairs,
     }
 
 

@@ -28,6 +28,7 @@ from .operators.semi_join import filter_halos
 from .operators.knn import knn
 from .operators.pip import point_in_polygon, polygon_edges
 from .operators.tiling import rasterize_points, image_tile_stats
+from .operators.images import image_roundtrip_metrics, image_features, resize_nearest
 
 __all__ = [
     "get_spark",
@@ -49,6 +50,9 @@ __all__ = [
     "polygon_edges",
     "rasterize_points",
     "image_tile_stats",
+    "image_roundtrip_metrics",
+    "image_features",
+    "resize_nearest",
 ]
 
 __version__ = "0.1.0"

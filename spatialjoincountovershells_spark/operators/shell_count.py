@@ -48,6 +48,60 @@ _H = ("_hx", "_hy", "_hz")
 _P = ("_px", "_py", "_pz")
 
 
+def apply_salting(
+    h: DataFrame,
+    p: DataFrame,
+    salt_threshold: int,
+    max_salt: int = 64,
+    key: str = "cell_id",
+) -> tuple[DataFrame, DataFrame, str]:
+    """Split dense cells across sub-keys so no single reducer owns a hot cell.
+
+    Explicit skew handling (BASELINE north_star) on top of AQE's runtime
+    skew-join:  a cheap pre-pass counts particles per cell; cells above
+    `salt_threshold` get factor = ceil(n/threshold) (capped) sub-keys.
+    Particles pick a deterministic sub-key by xxhash64 of their coords;
+    halo-ring rows fan out to ALL sub-keys of a hot cell (sequence +
+    explode), so the join result is unchanged while the hot cell's work
+    spreads over `factor` tasks.  Cold cells pay nothing (factor 1, no
+    fanout).  Returns (salted_h, salted_p, new_key).
+
+    Sizing: the broadcast hot-cell list is tiny (cells above threshold
+    only); the halo fanout multiplies only ring rows that touch hot
+    cells — bounded by 27 * max_salt per halo in the worst case.
+    """
+    hot = (
+        p.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > salt_threshold)
+        .select(
+            key,
+            F.least(
+                F.ceil(F.col("_n") / F.lit(salt_threshold)), F.lit(max_salt)
+            ).cast("int").alias("_factor"),
+        )
+    )
+    skey = "_salted_cell_id"
+    p2 = (
+        p.join(F.broadcast(hot), key, "left")
+        .withColumn("_factor", F.coalesce(F.col("_factor"), F.lit(1)))
+        .withColumn(
+            skey,
+            F.col(key) * F.lit(max_salt)
+            + F.pmod(F.xxhash64(*[F.col(c) for c in _P]), F.col("_factor")),
+        )
+        .drop("_factor")
+    )
+    h2 = (
+        h.join(F.broadcast(hot), key, "left")
+        .withColumn("_factor", F.coalesce(F.col("_factor"), F.lit(1)))
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_factor") - 1)))
+        .withColumn(skey, F.col(key) * F.lit(max_salt) + F.col("_salt"))
+        .drop("_factor", "_salt")
+    )
+    return h2, p2, skey
+
+
 def _prep(
     halos: DataFrame,
     particles: DataFrame,
@@ -88,8 +142,14 @@ def shell_count(
     p_coords: tuple[str, str, str] = ("x", "y", "z"),
     ncells: int | None = None,
     plan: str = "sql",
+    salt_threshold: int | None = None,
+    max_salt: int = 64,
 ) -> DataFrame:
-    """J1+J2+A1: -> (id_col, shell_idx int, cnt long), nonzero rows only."""
+    """J1+J2+A1: -> (id_col, shell_idx int, cnt long), nonzero rows only.
+
+    salt_threshold: if set, run the dense-cell salting pre-pass
+    (apply_salting) so no hot cell serializes one reducer/task.
+    """
     if plan == "fused" and ncells is None:
         # the Arrow kernel amortizes per-group overhead over dense cells:
         # target >= ~512 particles/cell instead of the finest ring-1 grid
@@ -99,10 +159,13 @@ def shell_count(
     h, p, nc, edges = _prep(
         halos, particles, edges, box, id_col, h_coords, p_coords, ncells
     )
+    join_key = "cell_id"
+    if salt_threshold is not None:
+        h, p, join_key = apply_salting(h, p, salt_threshold, max_salt)
     r2 = squared_edges(edges)
     if plan == "fused":
-        return _fused_plan(h, p, r2, box, dtype, id_col)
-    j = h.join(p, "cell_id")
+        return _fused_plan(h, p, r2, box, dtype, id_col, join_key)
+    j = h.join(p, join_key)
     d2 = squared_distance_expr(_H, _P, box, dtype)
     # project d2 ONCE, then bin on the column reference — embedding the
     # distance expression inside every WHEN branch would re-evaluate it
@@ -118,7 +181,7 @@ def shell_count(
     )
 
 
-def _fused_plan(h, p, r2, box, dtype, id_col) -> DataFrame:
+def _fused_plan(h, p, r2, box, dtype, id_col, join_key: str = "cell_id") -> DataFrame:
     np_dtype = np.float32 if dtype == "float32" else np.float64
     r2k = np.asarray(r2, dtype=np_dtype)
     nr = len(r2k)
@@ -155,8 +218,8 @@ def _fused_plan(h, p, r2, box, dtype, id_col) -> DataFrame:
         )
 
     out = (
-        h.groupBy("cell_id")
-        .cogroup(p.groupBy("cell_id"))
+        h.groupBy(join_key)
+        .cogroup(p.groupBy(join_key))
         .applyInPandas(kern, schema=f"{id_col} long, shell_idx int, cnt long")
     )
     # per-cell partials -> final agg (the map-side-combine analog)

@@ -1,0 +1,167 @@
+"""Operator tests: image payload invariant, skew salting, kNN, PIP."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spatialjoincountovershells_spark import knn, logspace_edges, shell_count, squared_edges
+from spatialjoincountovershells_spark.functions.geometry import squared_distance_np
+from spatialjoincountovershells_spark.operators.images import (
+    image_features,
+    image_roundtrip_metrics,
+    psnr_db,
+    resize_nearest,
+)
+from spatialjoincountovershells_spark.operators.pip import (
+    point_in_polygon,
+    point_in_polygon_np,
+)
+from spatialjoincountovershells_spark.sources.synth import synth_images, synth_points_np
+
+from fixtures import PB_HALOS, PB_PARTICLES, dense_from_long, oracle_shell_counts
+
+
+def _df_points(spark, arr, id_col=None):
+    cols = {}
+    if id_col:
+        cols[id_col] = np.arange(len(arr), dtype=np.int64)
+    cols.update({c: arr[:, i].astype(np.float32) for i, c in enumerate("xyz")})
+    pdf = pd.DataFrame(cols)
+    schema = (f"{id_col} long, " if id_col else "") + "x float, y float, z float"
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+# ------------------------------------------------------------ images (M3)
+
+def test_image_roundtrip_invariant(spark):
+    """BASELINE per-row invariant: raw payload round-trips bit-exact
+    (PSNR = inf), caption passes through."""
+    imgs = synth_images(spark, 32, seed=3)
+    m = image_roundtrip_metrics(imgs).toPandas()
+    assert len(m) == 32
+    assert m["bit_exact"].all()
+    assert (m["psnr_x100"] == -1).all()  # -1 == inf == lossless
+    assert m["caption_ok"].all()
+
+
+def test_psnr_threshold_math():
+    a = np.zeros((8, 8, 3), dtype=np.uint8)
+    noisy = a.copy()
+    noisy[0, 0, 0] = 2  # tiny error -> very high PSNR
+    assert psnr_db(a, a) == float("inf")
+    assert psnr_db(a, noisy) > 40.0
+    bad = a.copy()
+    bad[:, :, :] = 64
+    assert psnr_db(a, bad) < 40.0
+
+
+def test_image_features_deterministic(spark):
+    f1 = image_features(synth_images(spark, 8, seed=5)).orderBy("image_id").toPandas()
+    f2 = image_features(synth_images(spark, 8, seed=5)).orderBy("image_id").toPandas()
+    pd.testing.assert_frame_equal(f1, f2)
+    assert (f1["hist"].apply(sum) == 64).all()  # 8x8 pixels
+
+
+def test_resize_nearest_identity_and_downscale(spark):
+    imgs = synth_images(spark, 4, seed=9, w=8, h=8)
+    same = resize_nearest(imgs, 8, 8).select("image_id", "bytes").toPandas()
+    orig = imgs.select("image_id", "bytes").toPandas()
+    merged = same.merge(orig, on="image_id")
+    assert all(bytes(a) == bytes(b) for a, b in zip(merged["bytes_x"], merged["bytes_y"]))
+    small = resize_nearest(imgs, 4, 4).toPandas()
+    assert (small["w"] == 4).all() and (small["h"] == 4).all()
+    assert all(len(bytes(b)) == 4 * 4 * 3 for b in small["bytes"])
+
+
+# ------------------------------------------------------------ salting
+
+@pytest.mark.parametrize("plan", ["sql", "fused"])
+def test_salting_preserves_counts(spark, plan):
+    """Dense-cell salting must not change any count (PB + random oracle)."""
+    P = synth_points_np(800, seed=4)
+    H = synth_points_np(30, seed=1004)
+    edges = logspace_edges(10.0, 300.0, 8)
+    halos = _df_points(spark, H, id_col="halo_id")
+    parts = _df_points(spark, P)
+    res = shell_count(
+        halos, parts, edges, plan=plan, salt_threshold=5, max_salt=8
+    )
+    got = dense_from_long(
+        [(r.halo_id, r.shell_idx, r.cnt) for r in res.collect()], len(H), len(edges)
+    )
+    want = oracle_shell_counts(H, P, squared_edges(edges))
+    assert got.tolist() == want.tolist()
+
+
+def test_salting_splits_hot_cells(spark):
+    """With threshold 1 every occupied cell gets salted; key space grows."""
+    from spatialjoincountovershells_spark.operators.cells import explode_ring, with_cell
+    from spatialjoincountovershells_spark.operators.shell_count import apply_salting
+
+    P = synth_points_np(500, seed=11)
+    parts = with_cell(_df_points(spark, P).selectExpr("x as _px", "y as _py", "z as _pz"),
+                      4, cols=("_px", "_py", "_pz"))
+    halos = explode_ring(
+        _df_points(spark, P[:10], id_col="halo_id").selectExpr(
+            "halo_id", "x as _hx", "y as _hy", "z as _hz"
+        ),
+        4, cols=("_hx", "_hy", "_hz"),
+    )
+    h2, p2, skey = apply_salting(halos, parts, salt_threshold=2, max_salt=8)
+    plain = parts.select("cell_id").distinct().count()
+    salted = p2.select(skey).distinct().count()
+    assert salted > plain  # hot cells actually split
+    # every particle still joins: per-key particle totals preserved
+    assert p2.count() == parts.count()
+
+
+# ------------------------------------------------------------ kNN oracle
+
+def test_knn_matches_numpy_oracle(spark):
+    P = synth_points_np(400, seed=21)
+    H = synth_points_np(12, seed=1021)
+    k = 5
+    halos = _df_points(spark, H, id_col="halo_id")
+    parts = _df_points(spark, P, id_col="particle_id")
+    got = (
+        knn(halos, parts, k=k, dtype="float64", ncells=8)
+        .orderBy("halo_id", "rank")
+        .toPandas()
+    )
+    d2 = squared_distance_np(H.astype(np.float64), P.astype(np.float64), box=1000.0)
+    for hi in range(len(H)):
+        order = np.lexsort((np.arange(len(P)), d2[hi]))[:k]
+        sub = got[got.halo_id == hi]
+        assert sub["particle_id"].tolist() == order.tolist(), f"halo {hi}"
+
+
+# ------------------------------------------------------------ PIP oracle
+
+def test_pip_matches_numpy_oracle(spark):
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0, 1000, size=(500, 2))
+    polys = {
+        1: [(100.0, 100.0), (800.0, 150.0), (700.0, 850.0), (150.0, 700.0)],
+        # concave L
+        2: [(200.0, 200.0), (600.0, 200.0), (600.0, 400.0),
+            (400.0, 400.0), (400.0, 600.0), (200.0, 600.0)],
+        # degenerate sliver
+        3: [(50.0, 50.0), (950.0, 51.0), (950.0, 52.0)],
+    }
+    pdf = pd.DataFrame(
+        {"point_id": np.arange(500), "x": pts[:, 0], "y": pts[:, 1]}
+    )
+    points = spark.createDataFrame(pdf, schema="point_id long, x double, y double")
+    polygons = spark.createDataFrame(
+        [(pid, [{"x": float(x), "y": float(y)} for x, y in v]) for pid, v in polys.items()],
+        "poly_id long, vertices array<struct<x: double, y: double>>",
+    )
+    got = {
+        (r.point_id, r.poly_id)
+        for r in point_in_polygon(points, polygons).collect()
+    }
+    want = set()
+    for pid, v in polys.items():
+        mask = point_in_polygon_np(pts[:, 0], pts[:, 1], v)
+        want |= {(int(i), pid) for i in np.nonzero(mask)[0]}
+    assert got == want
