@@ -27,7 +27,7 @@ from spatialjoincountovershells_spark.functions.keycoords import (  # noqa: E402
     with_key_coords,
 )
 from spatialjoincountovershells_spark.functions.phash import decode_phash  # noqa: E402
-from spatialjoincountovershells_spark.operators.cells import with_cell  # noqa: E402
+from spatialjoincountovershells_spark.operators.cells import cell_stats, with_cell  # noqa: E402
 from spatialjoincountovershells_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     minhash_lsh_pairs,
@@ -149,6 +149,11 @@ def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_points"))
 
 
+def q_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-cell occupancy + tight min/max bounding box."""
+    return cell_stats(_parts(spark, sf_dir).drop("particle_id"), ncells=8)
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _halos(spark, sf_dir, "supplier", "s_suppkey")
     res = knn(h, _parts(spark, sf_dir), k=3, dtype="float64", ncells=16)
@@ -261,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_pairs": q_range_pairs,
         "semi_filtered_shell_count": q_semi_filtered_shell_count,
         "cell_assign": q_cell_assign,
+        "cell_stats": q_cell_stats,
         "knn": q_knn,
         "point_in_polygon": q_point_in_polygon,
         "tile_assign": q_tile_assign,
@@ -353,6 +359,17 @@ SELECT (least(greatest(CAST(floor(x / 125.0) AS BIGINT), 0), 7) * 8
       + least(greatest(CAST(floor(y / 125.0) AS BIGINT), 0), 7)) * 8
       + least(greatest(CAST(floor(z / 125.0) AS BIGINT), 0), 7) AS cell_id,
       count(*) AS n_points
+FROM p GROUP BY cell_id
+""",
+        "cell_stats": f"""
+WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y,
+           {sql_coord("o_orderkey", 2)} AS z FROM orders)
+SELECT (least(greatest(CAST(floor(x / 125.0) AS BIGINT), 0), 7) * 8
+      + least(greatest(CAST(floor(y / 125.0) AS BIGINT), 0), 7)) * 8
+      + least(greatest(CAST(floor(z / 125.0) AS BIGINT), 0), 7) AS cell_id,
+      count(*) AS n_points,
+      min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+      min(z) AS min_z, max(z) AS max_z
 FROM p GROUP BY cell_id
 """,
         "knn": f"""

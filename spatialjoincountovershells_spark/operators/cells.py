@@ -51,6 +51,29 @@ def with_cell(
     return df.withColumn(out, (cx * nc + cy) * nc + cz)
 
 
+def cell_stats(
+    df: DataFrame,
+    ncells: int,
+    box: float = 1000.0,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+) -> DataFrame:
+    """Per-cell occupancy + tight bounding box (A3 analog).
+
+    The reference maintains per-node MBRs via element-wise min/max
+    union during index build (``adjustMbrArraySTRNode``,
+    ``src/objects/ArraySTR/Node.c:10-58``); here the same statistic is
+    one grouped min/max aggregation over the cell key — used for
+    pruning diagnostics and as the salting pre-pass input.
+    -> (cell_id, n_points, min_x..max_z)
+    """
+    g = with_cell(df, ncells, box, cols=cols).groupBy("cell_id")
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return g.agg(*aggs)
+
+
 def ring_offsets(ncells: int, k: int = 1, shell_only: bool = False) -> list[tuple[int, int, int]]:
     """Chebyshev ring-<=k (or ==k) offsets, dedup'd modulo the grid size.
 

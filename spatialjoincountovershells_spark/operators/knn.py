@@ -63,6 +63,7 @@ def knn(
     pending = h
     topk: DataFrame | None = None
     done_parts: list[DataFrame] = []
+    cached: list[DataFrame] = []  # released after the final plan is built
     ring = 1
     while True:
         shell_only = ring > 1
@@ -77,6 +78,7 @@ def knn(
             .drop("rank")
             .persist()
         )
+        cached.append(ranked)
         full_cover = 2 * ring + 1 >= nc or ring >= limit
         if full_cover:
             done_parts.append(ranked)
@@ -96,6 +98,7 @@ def knn(
             ranked.join(F.broadcast(finished_ids), id_col, "left_semi")
         )
         pending = pending.join(F.broadcast(finished_ids), id_col, "left_anti").persist()
+        cached.append(pending)
         if pending.isEmpty():
             break
         topk = ranked.join(F.broadcast(finished_ids), id_col, "left_anti")
@@ -104,9 +107,12 @@ def knn(
     out = done_parts[0]
     for d in done_parts[1:]:
         out = out.unionByName(d)
-    p.unpersist()
-    return (
+    res = (
         out.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(id_col, particle_id_col, "rank", "d2")
-    )
+    ).localCheckpoint(eager=True)  # cut lineage so caches can be freed
+    p.unpersist()
+    for df in cached:
+        df.unpersist()
+    return res

@@ -152,9 +152,12 @@ def shell_count(
     """
     if plan == "fused" and ncells is None:
         # the Arrow kernel amortizes per-group overhead over dense cells:
-        # target >= ~512 particles/cell instead of the finest ring-1 grid
+        # target ~128 particles/cell (measured sweet spot: the numpy
+        # distance-matrix kernel tolerates the larger candidate volume of
+        # a coarser grid far better than 10^5 tiny cogroups tolerate
+        # per-group overhead) instead of the finest ring-1 grid
         n_est = particles.count()
-        cap = max(4, int(round((n_est / 512) ** (1.0 / 3.0))))
+        cap = max(2, int(round((n_est / 128) ** (1.0 / 3.0))))
         ncells = max(1, min(grid_ncells(float(np.asarray(edges)[-1]), box), cap))
     h, p, nc, edges = _prep(
         halos, particles, edges, box, id_col, h_coords, p_coords, ncells
