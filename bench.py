@@ -175,8 +175,16 @@ def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4)) -> None:
                "--scale-mult", str(mult), "--headline-only"],
             capture_output=True, text=True, timeout=6000,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(
+                f"scaling child (cores={cores}) produced no result; "
+                f"rc={out.returncode}\nstderr tail:\n"
+                + "\n".join(out.stderr.splitlines()[-20:])
+                + "\n"
+            )
+            raise RuntimeError(f"scaling child failed at cores={cores}")
+        results[cores] = json.loads(lines[-1])
     npairs = results[lo]["n_candidate_pairs"]
     rows = []
     effs = {}
