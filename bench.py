@@ -115,8 +115,9 @@ def run_bench(cores: int, sf_dir: str, mult: float = 1.0, headline_only: bool = 
     )
     if not headline_only:
         queries["sjcs_range_pairs"] = timed(
-            lambda: noop_write(range_join_pairs(halos, parts, radius=5.0,
-                                                id_col="halo_id"))
+            lambda: noop_write(range_join_pairs(
+                halos, parts, radius=5.0, id_col="halo_id",
+                ncells=grid_ncells(5.0, n_hint=n_part)))
         )
         for name in ("tile_assign", "point_in_polygon", "knn", "minhash_lsh",
                      "ann_cosine", "dedup_exact"):

@@ -21,13 +21,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def grid_ncells(rmax: float, box: float = 1000.0, max_per_axis: int = 4096) -> int:
-    """Cells per axis: the finest grid with cell_size >= rmax (ring-1 safe)."""
+def grid_ncells(
+    rmax: float,
+    box: float = 1000.0,
+    max_per_axis: int = 4096,
+    n_hint: int | None = None,
+) -> int:
+    """Cells per axis: the finest grid with cell_size >= rmax (ring-1 safe).
+
+    n_hint (optional row count): additionally cap at cbrt(n) so average
+    occupancy stays >= ~1 — with a tiny radius on sparse data the finest
+    grid mostly fans probes into empty cells and the 27x ring fanout
+    overhead dominates the (near-zero) candidate work.  At production
+    density (the 100 TB table) the rmax cap binds, not this one.
+    """
     if rmax <= 0:
         raise ValueError("rmax must be positive")
     nc = int(box / rmax)
     while nc * (box / nc) < box:  # paranoia vs float division
         nc -= 1
+    if n_hint is not None and n_hint > 0:
+        nc = min(nc, max(1, int(round(n_hint ** (1.0 / 3.0)))))
     return max(1, min(nc, max_per_axis))
 
 
