@@ -1,0 +1,67 @@
+"""plans/pipeline.py: flagship pipeline, prepartition, checkpoint/resume."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from spatialjoincountovershells_spark.functions.shells import logspace_edges
+from spatialjoincountovershells_spark.plans.pipeline import (
+    checkpoint,
+    partition_metrics,
+    prepartition_particles,
+    resume,
+    resume_or_compute,
+    sjcs_pipeline,
+)
+from spatialjoincountovershells_spark.sources.synth import synth_images, synth_points
+
+
+def test_sjcs_pipeline_with_filter(spark):
+    """images + halos + filter-id list end-to-end; filtered counts are a
+    subset of the unfiltered ones."""
+    images = synth_images(spark, 3000, seed=1, with_payload=False)
+    halos = synth_points(spark, 100, seed=2)
+    edges = logspace_edges(5.0, 120.0, 6)
+    full = sjcs_pipeline(images, halos, edges).toPandas()
+    ids = spark.range(0, 100, 2).select(F.col("id"))
+    part = sjcs_pipeline(images, halos, edges, filter_ids=ids).toPandas()
+    assert set(part["halo_id"]) <= set(range(0, 100, 2))
+    merged = part.merge(full, on=["halo_id", "shell_idx"], suffixes=("_f", ""))
+    assert (merged["cnt_f"] == merged["cnt"]).all()
+    assert len(part) < len(full)
+
+
+def test_prepartition_and_metrics(spark, tmp_path):
+    images = synth_images(spark, 2000, seed=3, with_payload=False)
+    path = prepartition_particles(images, str(tmp_path / "pp"), rmax=100.0,
+                                  n_buckets=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert "cell_id" in back.columns and "x" in back.columns
+    m = partition_metrics(back).toPandas()
+    assert m["n_rows"].sum() == 2000
+
+
+def test_checkpoint_resume_skips_recompute(spark, tmp_path):
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return synth_points(spark, 50, seed=5)
+
+    p = str(tmp_path / "ckpt")
+    df1 = resume_or_compute(spark, p, token="t1", fn=compute)
+    assert df1.count() == 50 and len(calls) == 1
+    df2 = resume_or_compute(spark, p, token="t1", fn=compute)
+    assert df2.count() == 50 and len(calls) == 1  # marker hit, no recompute
+    # a different token invalidates the checkpoint
+    df3 = resume_or_compute(spark, p, token="t2", fn=compute)
+    assert df3.count() == 50 and len(calls) == 2
+
+
+def test_checkpoint_records_lineage(spark, tmp_path):
+    p = str(tmp_path / "ck2")
+    meta = checkpoint(synth_points(spark, 64, seed=6), p, token="tok")
+    assert meta["token"] == "tok" and meta["n_rows"] == 64
+    assert sum(m["n_rows"] for m in meta["partitions"]) == 64
+    assert resume(spark, p, "tok") is not None
+    assert resume(spark, p, "other") is None
