@@ -232,6 +232,89 @@ def q_sjcs_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shell_count(halos, parts, edges)
 
 
+_F64_EDGES = np.logspace(0, np.log2(80.0), 8, base=2.0)  # float64
+
+
+def q_sjcs_images_f64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline, float64 kernel — bit-exact DuckDB oracle twin.
+
+    Same tables as q_sjcs_images (positions dequantized from phash are
+    exact multiples of 125/8192, so every f64 distance/threshold op is
+    exact); the oracle re-derives phash in pure SQL (splitmix64 via
+    staged CTEs + 32-bit-split modular multiply).
+    """
+    parts = decode_phash(
+        synth_images(spark, 20000, seed=7, with_payload=False), dtype="float64"
+    )
+    halos = decode_phash(synth_points(spark, 500, seed=8), dtype="float64")
+    return shell_count(halos, parts, _F64_EDGES, dtype="float64")
+
+
+# --- pure-SQL splitmix64/phash derivation for the oracle ----------------
+
+_M64 = "18446744073709551616"  # 2^64
+_H32 = "4294967296"            # 2^32
+
+
+def _sql_mulmod(a: str, b: int) -> str:
+    """(a * b) mod 2^64 with 32-bit-split partial products (INT128-safe)."""
+    bh, bl = b >> 32, b & 0xFFFFFFFF
+    return (
+        f"(((({a}) % {_H32}) * {bl} + "
+        f"((((({a}) % {_H32}) * {bh} + (({a}) // {_H32}) * {bl}) % {_H32})"
+        f" * {_H32})) % {_M64})"
+    )
+
+
+def _phash_cte(name: str, n: int, seed: int) -> str:
+    """CTE chain: ids 0..n-1 -> (i, x, y, z) positions, exactly mirroring
+    sources/synth.py (_u16/_phash) + functions/phash.py (f64 decode)."""
+    from spatialjoincountovershells_spark.sources.synth import splitmix64
+
+    ks = {
+        ax: int(splitmix64(np.uint64(seed) + np.uint64(s) * np.uint64(0x9E37)))
+        for ax, s in (("ax", 1), ("ay", 2), ("az", 3))
+    }
+    cols = list(ks)
+
+    def allcols(expr_of):
+        return ", ".join(f"{expr_of(c)} AS {c}" for c in cols)
+
+    sc = "(1000.0/65536)"
+    return f"""
+{name}_ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, {n})),
+{name}_0 AS (SELECT i, {", ".join(f"xor(i, {k}) AS {c}" for c, k in ks.items())} FROM {name}_ids),
+{name}_1 AS (SELECT i, {allcols(lambda c: f"(({c} + 11400714819323198485) % {_M64})")} FROM {name}_0),
+{name}_2 AS (SELECT i, {allcols(lambda c: f"xor({c}, {c} // 1073741824)")} FROM {name}_1),
+{name}_3 AS (SELECT i, {allcols(lambda c: _sql_mulmod(c, 0xBF58476D1CE4E5B9))} FROM {name}_2),
+{name}_4 AS (SELECT i, {allcols(lambda c: f"xor({c}, {c} // 134217728)")} FROM {name}_3),
+{name}_5 AS (SELECT i, {allcols(lambda c: _sql_mulmod(c, 0x94D049BB133111EB))} FROM {name}_4),
+{name}_6 AS (SELECT i, {allcols(lambda c: f"xor({c}, {c} // 2147483648)")} FROM {name}_5),
+{name} AS (SELECT CAST(i AS BIGINT) AS id,
+        CAST(ax // 281474976710656 AS DOUBLE) * {sc} AS x,
+        CAST(ay // 281474976710656 AS DOUBLE) * {sc} AS y,
+        CAST(az // 281474976710656 AS DOUBLE) * {sc} AS z FROM {name}_6)"""
+
+
+def _sjcs_images_f64_sql() -> str:
+    r2 = [repr(float(v)) for v in _F64_EDGES * _F64_EDGES]
+    shell_case = "CASE " + " ".join(
+        f"WHEN d2 < {v} THEN {i}" for i, v in enumerate(r2)
+    ) + " END"
+    d2 = (
+        "(least(abs(h.x - p.x), 1000.0 - abs(h.x - p.x)) * least(abs(h.x - p.x), 1000.0 - abs(h.x - p.x))"
+        " + least(abs(h.y - p.y), 1000.0 - abs(h.y - p.y)) * least(abs(h.y - p.y), 1000.0 - abs(h.y - p.y)))"
+        " + least(abs(h.z - p.z), 1000.0 - abs(h.z - p.z)) * least(abs(h.z - p.z), 1000.0 - abs(h.z - p.z))"
+    )
+    return f"""
+WITH {_phash_cte("p", 20000, 7)},
+{_phash_cte("h", 500, 8)},
+d AS (SELECT h.id AS halo_id, {d2} AS d2 FROM h, p)
+SELECT halo_id, {shell_case} AS shell_idx, count(*) AS cnt
+FROM d WHERE d2 < {r2[-1]} GROUP BY halo_id, shell_idx
+"""
+
+
 def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_tile_stats(synth_images(spark, 200, seed=11), tiles_per_axis=2)
 
@@ -282,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "doc_fingerprint": q_doc_fingerprint,
         "sjcs_images": q_sjcs_images,
+        "sjcs_images_f64": q_sjcs_images_f64,
         "image_tiles": q_image_tiles,
         "image_roundtrip": q_image_roundtrip,
         "image_features": q_image_features,
@@ -445,4 +529,5 @@ FROM d QUALIFY rank <= 3
 SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, event_type, count(*) AS n
 FROM events GROUP BY bucket, event_type
 """,
+        "sjcs_images_f64": _sjcs_images_f64_sql(),
     }
