@@ -266,6 +266,87 @@ def _sql_mulmod(a: str, b: int) -> str:
     )
 
 
+def _sm64_cte(name: str, src: str, carry: list[str], col: str) -> str:
+    """CTE chain applying splitmix64 in place to HUGEINT column `col` of
+    CTE `src` (value already offset by the caller — this is the mixer
+    only, matching sources/synth.py splitmix64), carrying `carry`
+    columns through.  Final CTE is `name`."""
+    cy = "".join(f"{c}, " for c in carry)
+    s = col
+    return f"""
+{name}_1 AS (SELECT {cy}(({s} + 11400714819323198485) % {_M64}) AS {s} FROM {src}),
+{name}_2 AS (SELECT {cy}xor({s}, {s} // 1073741824) AS {s} FROM {name}_1),
+{name}_3 AS (SELECT {cy}{_sql_mulmod(s, 0xBF58476D1CE4E5B9)} AS {s} FROM {name}_2),
+{name}_4 AS (SELECT {cy}xor({s}, {s} // 134217728) AS {s} FROM {name}_3),
+{name}_5 AS (SELECT {cy}{_sql_mulmod(s, 0x94D049BB133111EB)} AS {s} FROM {name}_4),
+{name} AS (SELECT {cy}xor({s}, {s} // 2147483648) AS {s} FROM {name}_5)"""
+
+
+def _payload_cte(name: str, n: int, seed: int, w: int = 8, h: int = 8) -> str:
+    """CTE chain -> {name}(i HUGEINT, px_id BIGINT, r/g/b BIGINT): the
+    pure-SQL mirror of sources/synth.py _payload (splitmix64 word stream,
+    little-endian byte view) + the raw-RGB8 decode of tiling.py."""
+    nw = (w * h * 3 + 7) // 8
+    byte_div = ", ".join(f"({j}, {256 ** j})" for j in range(8))
+    return f"""
+{name}_ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, {n})),
+{name}_s0 AS (SELECT i, xor(xor(CAST({seed} AS HUGEINT), i), {0xB10C}) AS s FROM {name}_ids),{_sm64_cte(f"{name}_s", f"{name}_s0", ["i"], "s")},
+{name}_w0 AS (SELECT i, CAST(kr.range AS HUGEINT) AS k,
+              ((CAST(kr.range AS HUGEINT) + s) % {_M64}) AS v
+              FROM {name}_s, range(0, {nw}) kr),{_sm64_cte(f"{name}_w", f"{name}_w0", ["i", "k"], "v")},
+{name}_b AS (SELECT i, CAST(k * 8 AS BIGINT) + jd.j AS p,
+             CAST((v // jd.d) % 256 AS BIGINT) AS byte
+             FROM {name}_w, (VALUES {byte_div}) AS jd(j, d)),
+{name}_px AS (SELECT i, p // 3 AS px_id, p % 3 AS ch, byte
+              FROM {name}_b WHERE p < {w * h * 3}),
+{name} AS (SELECT i, px_id,
+           max(CASE WHEN ch = 0 THEN byte END) AS r,
+           max(CASE WHEN ch = 1 THEN byte END) AS g,
+           max(CASE WHEN ch = 2 THEN byte END) AS b
+           FROM {name}_px GROUP BY i, px_id)"""
+
+
+def _img_id_sql(i_expr: str, prefix: str = "img") -> str:
+    return f"'{prefix}' || lpad(CAST(CAST({i_expr} AS BIGINT) AS VARCHAR), 12, '0')"
+
+
+def _image_features_sql(n: int = 256, seed: int = 14, w: int = 8, h: int = 8,
+                        bins: int = 16) -> str:
+    npx = w * h
+    hist_cols = ",\n  ".join(
+        f"CAST(sum(CASE WHEN l // {256 // bins} = {b} THEN 1 ELSE 0 END) AS BIGINT) AS hist_{b}"
+        for b in range(bins)
+    )
+    return f"""
+WITH {_payload_cte("pl", n, seed, w, h)},
+lum AS (SELECT i, r, g, b, (r*299 + g*587 + b*114) // 1000 AS l FROM pl)
+SELECT {_img_id_sql("i")} AS image_id,
+  CAST(sum(r) * 1000 // {npx} AS BIGINT) AS mean_r,
+  CAST(sum(g) * 1000 // {npx} AS BIGINT) AS mean_g,
+  CAST(sum(b) * 1000 // {npx} AS BIGINT) AS mean_b,
+  CAST(floor(sqrt((1000000.0 * CAST({npx} * sum(l*l) - sum(l) * sum(l) AS DOUBLE)) / {float(npx * npx)})) AS BIGINT) AS std_luma,
+  {hist_cols}
+FROM lum GROUP BY i
+"""
+
+
+def _image_tiles_sql(n: int = 200, seed: int = 11, w: int = 8, h: int = 8,
+                     t: int = 2) -> str:
+    return f"""
+WITH {_payload_cte("pl", n, seed, w, h)},
+px AS (SELECT i, px_id // {w} AS row_, px_id % {w} AS col_, r, g, b FROM pl),
+tl AS (SELECT i, least((row_ * {t}) // {h}, {t - 1}) AS tile_row,
+       least((col_ * {t}) // {w}, {t - 1}) AS tile_col, r, g, b FROM px)
+SELECT {_img_id_sql("i")} AS image_id,
+  CAST(tile_row AS INTEGER) AS tile_row, CAST(tile_col AS INTEGER) AS tile_col,
+  CAST(count(*) AS BIGINT) AS n_px,
+  CAST(sum(r) * 1000 // count(*) AS BIGINT) AS mean_r,
+  CAST(sum(g) * 1000 // count(*) AS BIGINT) AS mean_g,
+  CAST(sum(b) * 1000 // count(*) AS BIGINT) AS mean_b
+FROM tl GROUP BY i, tile_row, tile_col
+"""
+
+
 def _phash_cte(name: str, n: int, seed: int) -> str:
     """CTE chain: ids 0..n-1 -> (i, x, y, z) positions, exactly mirroring
     sources/synth.py (_u16/_phash) + functions/phash.py (f64 decode)."""
@@ -530,4 +611,6 @@ SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, event_type, count(*) A
 FROM events GROUP BY bucket, event_type
 """,
         "sjcs_images_f64": _sjcs_images_f64_sql(),
+        "image_features": _image_features_sql(),
+        "image_tiles": _image_tiles_sql(),
     }

@@ -100,15 +100,26 @@ def image_roundtrip_metrics(images: DataFrame) -> DataFrame:
 def image_features(images: DataFrame, hist_bins: int = 16) -> DataFrame:
     """-> per-image integer-quantized channel stats + luma histogram.
 
-    (image_id, mean_r/g/b x1000 floor, std_luma x1000 floor,
-    hist array<long>[hist_bins]) — everything integer so results are
-    engine-independent.
+    (image_id, mean_r/g/b x1000 floor, std_luma x1000, hist_0..hist_{B-1}
+    long).  The histogram is emitted as FLAT columns (not array<long>) so
+    downstream engines/canonicalizers treat every column as a scalar and
+    the whole row is hashable/sortable.
+
+    std_luma is floor(1000 * population-std of integer luma), computed
+    deterministically from the exact integer variance numerator
+    vn = n*sum(l^2) - (sum l)^2 as floor(sqrt((1e6 * vn) / n^2)): vn and
+    1e6*vn are exact int64 (< 2^53 for any n <= 2^16 pixels of uint8
+    luma), the division and sqrt are single correctly-rounded IEEE f64
+    ops, so any engine evaluating the same expression tree (e.g. the
+    DuckDB oracle) reproduces the value bit-for-bit.
     """
+    cols = ["image_id", "mean_r", "mean_g", "mean_b", "std_luma"] + [
+        f"hist_{b}" for b in range(hist_bins)
+    ]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"image_id": [], "mean_r": [], "mean_g": [], "mean_b": [],
-                    "std_luma": [], "hist": []}
+            rows = {c: [] for c in cols}
             for img_id, data, w, h, fmt in zip(
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
             ):
@@ -119,19 +130,19 @@ def image_features(images: DataFrame, hist_bins: int = 16) -> DataFrame:
                 for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
                     rows[name].append(int(flat[:, c].sum() * 1000 // n))
                 luma = (flat[:, 0] * 299 + flat[:, 1] * 587 + flat[:, 2] * 114) // 1000
-                var = np.var(luma.astype(np.float64))
-                rows["std_luma"].append(int(np.floor(np.sqrt(var) * 1000)))
+                vn = int(n * (luma * luma).sum() - int(luma.sum()) ** 2)
+                rows["std_luma"].append(
+                    int(np.floor(np.sqrt((1_000_000.0 * vn) / float(n * n))))
+                )
                 hist = np.bincount(
                     (luma * hist_bins) // 256, minlength=hist_bins
                 )[:hist_bins]
-                rows["hist"].append(hist.astype(np.int64).tolist())
+                for b in range(hist_bins):
+                    rows[f"hist_{b}"].append(int(hist[b]))
             yield pd.DataFrame(rows)
 
-    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
-        op,
-        "image_id string, mean_r long, mean_g long, mean_b long, "
-        "std_luma long, hist array<long>",
-    )
+    schema = "image_id string, " + ", ".join(f"{c} long" for c in cols[1:])
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(op, schema)
 
 
 def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:

@@ -59,7 +59,9 @@ def test_image_features_deterministic(spark):
     f1 = image_features(synth_images(spark, 8, seed=5)).orderBy("image_id").toPandas()
     f2 = image_features(synth_images(spark, 8, seed=5)).orderBy("image_id").toPandas()
     pd.testing.assert_frame_equal(f1, f2)
-    assert (f1["hist"].apply(sum) == 64).all()  # 8x8 pixels
+    hist_cols = [c for c in f1.columns if c.startswith("hist_")]
+    assert len(hist_cols) == 16
+    assert (f1[hist_cols].sum(axis=1) == 64).all()  # 8x8 pixels
 
 
 def test_resize_nearest_identity_and_downscale(spark):
