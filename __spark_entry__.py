@@ -266,6 +266,137 @@ def _sql_mulmod(a: str, b: int) -> str:
     )
 
 
+from spatialjoincountovershells_spark.functions.texthash import (  # noqa: E402
+    P as _TH_P,
+    POWS as _TH_POWS,
+    affine_sql,
+    band_key_sql,
+    poly_hash_duck,
+    poly_hash_fixed_duck,
+)
+
+
+def _shingle_cte(shingle_n: int = 8, max_df: int | None = None) -> str:
+    """sh(doc_id, shingle) — distinct char n-grams, mirroring
+    operators/dedup.py shingles(); optional document-frequency cap."""
+    base = f"""
+sh0 AS (SELECT DISTINCT doc_id, substr(text, u, {shingle_n}) AS shingle
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, greatest(length(text) - {shingle_n - 1}, 1))) AS u
+        FROM documents))"""
+    if max_df is None:
+        return base + ",\nsh AS (SELECT * FROM sh0)"
+    return base + f""",
+rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {max_df}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle))"""
+
+
+def _minhash_lsh_sql(n_hashes: int = 32, bands: int = 8, shingle_n: int = 8) -> str:
+    r = n_hashes // bands
+    mins = ",\n  ".join(
+        f"min({affine_sql('base', i)}) AS mh_{i}" for i in range(n_hashes)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"{band_key_sql([f'mh_{b * r + j}' for j in range(r)])} AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_cte(shingle_n)},
+hb AS (SELECT doc_id, {poly_hash_fixed_duck("shingle", shingle_n)} AS base FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id),
+bands AS ({band_selects})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_hit
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def _simhash_sql() -> str:
+    bitsums = ",\n  ".join(
+        f"sum(CASE WHEN {affine_sql('base', b)} % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b if b < 63 else -(2**63)} ELSE 0 END)"
+        for b in range(64)
+    )
+    return f"""
+WITH tok0 AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+tok AS (SELECT doc_id, tok FROM tok0 WHERE length(tok) > 0),
+hb AS (SELECT doc_id, {poly_hash_duck("tok")} AS base FROM tok),
+bits AS (SELECT doc_id, {bitsums} FROM hb GROUP BY doc_id)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def _ann_cosine_sql(n_queries: int = 8, k: int = 3, scale: int = 1024) -> str:
+    qexpr = f"CAST(floor(ea * {float(scale)}) AS BIGINT)"
+    nexpr = f"CAST(floor(eb * {float(scale)}) AS BIGINT)"
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+pr AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       unnest(q.embedding) AS ea, unnest(b.embedding) AS eb
+       FROM q JOIN embeddings b ON q.vec_id <> b.vec_id),
+d AS (SELECT query_id, neighbor_id,
+      sum({qexpr} * {nexpr}) AS dot,
+      sum({qexpr} * {qexpr}) AS na2,
+      sum({nexpr} * {nexpr}) AS nb2
+      FROM pr GROUP BY query_id, neighbor_id),
+s AS (SELECT query_id, neighbor_id,
+      CASE WHEN na2 * nb2 = 0 THEN 0
+      ELSE CAST(floor((CAST(dot AS DOUBLE) / sqrt(CAST(na2 * nb2 AS DOUBLE))) * 1000000.0) AS BIGINT)
+      END AS sim_1e6
+      FROM d)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_1e6 DESC, neighbor_id) AS INTEGER) AS rank,
+       sim_1e6
+FROM s QUALIFY rank <= {k}
+"""
+
+
+def _embed_lsh_sql(n_planes: int = 8, bands: int = 4, seed: int = 7,
+                   dim: int = 64, scale: int = 1024) -> str:
+    from spatialjoincountovershells_spark.operators.similarity import lsh_planes
+
+    W = lsh_planes(n_planes, bands, dim, seed)
+    band_selects = []
+    for b in range(bands):
+        plane_terms = []
+        for p in range(n_planes):
+            arr = "[" + ", ".join(f"{int(w)}::BIGINT" for w in W[b, p]) + "]"
+            dot = (
+                f"list_sum(list_transform(generate_series(1, {dim}), "
+                f"d -> q[d] * ({arr})[d]))"
+            )
+            plane_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, CAST({' + '.join(plane_terms)} AS BIGINT) AS bucket FROM qv"
+        )
+    return f"""
+WITH qv AS (SELECT vec_id,
+            list_transform(embedding, e -> CAST(floor(e * {float(scale)}) AS BIGINT)) AS q
+            FROM embeddings),
+bk AS ({chr(10).join("  UNION ALL " + s if i else s for i, s in enumerate(band_selects))})
+SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
+def _doc_fingerprint_sql(window: int = 16) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN u + {j} <= length(text) THEN ord(substr(text, u + {j}, 1)) ELSE 0 END)::BIGINT"
+        f" * {_TH_POWS[j]}::BIGINT"
+        for j in range(window)
+    )
+    return f"""
+SELECT doc_id, CAST(list_min(list_transform(
+  generate_series(1, greatest(length(text) - {window - 1}, 1)),
+  u -> ({terms}) % {_TH_P})) AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
 def _sm64_cte(name: str, src: str, carry: list[str], col: str) -> str:
     """CTE chain applying splitmix64 in place to HUGEINT column `col` of
     CTE `src` (value already offset by the caller — this is the mixer
@@ -410,9 +541,9 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup candidates via random-hyperplane LSH."""
+    """Embedding-cosine near-dup candidates via banded hyperplane LSH."""
     emb = _read(spark, sf_dir, "embeddings")
-    return lsh_cosine_pairs(emb, n_planes=8)
+    return lsh_cosine_pairs(emb, n_planes=8, bands=4, dim=64)
 
 
 # ---------------------------------------------------------------- contract
@@ -570,13 +701,9 @@ SELECT doc_id, CAST(floor(least((1000 * CAST({tokens} AS BIGINT)) / (CAST(length
 FROM documents
 """,
         "lang_guess": f"SELECT doc_id, {lang_case} AS lang_pred FROM documents",
-        "ngram_jaccard": """
-WITH sh AS (
-  SELECT DISTINCT doc_id, substr(text, u, 8) AS shingle
-  FROM (SELECT doc_id, text,
-        unnest(generate_series(1, greatest(length(text) - 7, 1))) AS u
-        FROM documents)
-), sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        "ngram_jaccard": f"""
+WITH {_shingle_cte(8, max_df=256)},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -613,4 +740,9 @@ FROM events GROUP BY bucket, event_type
         "sjcs_images_f64": _sjcs_images_f64_sql(),
         "image_features": _image_features_sql(),
         "image_tiles": _image_tiles_sql(),
+        "minhash_lsh": _minhash_lsh_sql(),
+        "simhash": _simhash_sql(),
+        "doc_fingerprint": _doc_fingerprint_sql(),
+        "ann_cosine": _ann_cosine_sql(),
+        "embed_lsh_pairs": _embed_lsh_sql(),
     }

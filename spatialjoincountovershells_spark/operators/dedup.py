@@ -1,11 +1,14 @@
 """Deduplication operators for training-data pipelines.
 
 All hot paths are JVM-side: shingling via sequence+substring (codegen),
-hashing via xxhash64, min-aggregation for MinHash, banded LSH buckets
-as plain groupBy keys.  No Python in any per-row path.
+hashing via the SQL-derivable polynomial/affine family in
+functions/texthash.py (so every operator here has a bit-exact DuckDB
+oracle), min-aggregation for MinHash, banded LSH buckets as plain
+groupBy keys.  No Python in any per-row path.
 
 * exact_dedup        — hash-groupBy canonicalization
-* ngram_jaccard_pairs— exact n-gram Jaccard on candidate pairs
+* ngram_jaccard_pairs— exact n-gram Jaccard on candidate pairs, with a
+                       document-frequency cap on join shingles (skew)
 * minhash_lsh_pairs  — MinHash signatures + banded LSH candidate pairs
 * simhash            — 64-bit SimHash per document
 """
@@ -14,6 +17,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.texthash import (
+    affine_sql,
+    band_key_sql,
+    poly_hash_fixed_spark,
+    poly_hash_spark,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -47,14 +57,30 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 8,
     min_jaccard_1000: int = 200,
+    max_df: int | None = 256,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs.
+    """n-gram Jaccard near-dup pairs over DF-capped shingle sets.
 
     -> (doc_a, doc_b, jac_1000) with doc_a < doc_b and
     jac_1000 = floor(1000 * |A∩B| / |A∪B|) >= threshold.
     Integer output so an ANSI-SQL oracle matches bit-for-bit.
+
+    max_df: shingles appearing in more than `max_df` documents are
+    dropped from BOTH the intersection and the set sizes before the
+    self-join.  A stop-shingle shared by 10^6 docs would otherwise
+    create a 10^12-pair join bucket; it also carries no discriminative
+    signal, so the capped Jaccard is the better similarity anyway.
+    Pass None for the uncapped exact semantics (small corpora only).
     """
     sh = shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -86,13 +112,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """-> (id, mh_0..mh_{k-1}) MinHash signature, fully JVM.
 
-    h_i(shingle) = xxhash64(shingle, seed=i); signature_i = min over
-    the doc's shingles.  xxhash64 is Spark-native (deterministic,
-    codegen'd) — the scale path runs at shuffle speed.
+    h_i(shingle) = affine_i(poly_hash(shingle)) in the 2^31-1 field
+    (functions/texthash.py); signature_i = min over the doc's shingles.
+    The base hash is computed ONCE per shingle row (codegen'd column
+    exprs), then each of the n_hashes streams is two multiplies — the
+    scale path runs at shuffle speed, and the whole pipeline has a
+    bit-exact ANSI-SQL twin for the oracle gate.
     """
-    sh = shingles(df, text_col, id_col, shingle_n)
+    sh = shingles(df, text_col, id_col, shingle_n).withColumn(
+        "_base", F.expr(poly_hash_fixed_spark("shingle", shingle_n))
+    )
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}")
+        F.min(F.expr(affine_sql("_base", i))).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -116,9 +147,12 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     band_cols = []
     for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(band_key_sql(cols)).alias("key"),
+            )
         )
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
@@ -136,17 +170,19 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over whitespace tokens -> (id, simhash long).
 
-    Per bit b: sign of sum over tokens of (2*bit_b(xxhash64(token))-1);
-    bits assembled JVM-side (64 conditional sums in one aggregation).
+    Bit b is the sign of sum over tokens of (2*bit_b(token) - 1) where
+    bit_b(token) = affine_b(poly_hash(token)) mod 2 — 64 independent
+    universal-hash bits from one shared base hash (texthash.py), all
+    JVM column exprs folded into a single aggregation.
     """
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     ).where(F.length("tok") > 0)
-    h = tok.withColumn("h", F.xxhash64("tok"))
+    h = tok.withColumn("_base", F.expr(poly_hash_spark("tok")))
     aggs = [
         F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.expr(affine_sql("_base", b)) % 2 == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(64)
     ]

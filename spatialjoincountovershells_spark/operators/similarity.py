@@ -1,13 +1,17 @@
 """Similarity search over embedding columns (array<float>).
 
 * ann_l2_topk      — exact top-k by L2 on quantized-integer vectors;
-                     all math is exact int64, so an ANSI-SQL oracle
-                     matches bit-for-bit.  Brute force (the baseline).
-* ann_cosine_topk  — brute-force cosine top-k via an Arrow matmul
-                     kernel against a broadcast query matrix (the
-                     vectorized scale path for a moderate query set).
-* lsh_cosine_pairs — random-hyperplane (SimHash) bucketed candidate
-                     pairs: the scale path for all-pairs near-dup.
+                     distributed block-nested-loop (neither side is
+                     ever collected to the driver).  All math is exact
+                     int64, so an ANSI-SQL oracle matches bit-for-bit.
+* ann_cosine_topk  — cosine top-k of a SMALL broadcast query set vs
+                     the streamed corpus; integer-quantized dot/norms
+                     with one deterministic float64 normalize step, so
+                     the DuckDB oracle is bit-exact.
+* lsh_cosine_pairs — random-hyperplane LSH with BANDED signatures:
+                     the approximate scale path for all-pairs near-dup
+                     (exact corpus-vs-corpus top-k is inherently
+                     O(n^2); use LSH candidates + exact re-rank).
 """
 
 from __future__ import annotations
@@ -20,9 +24,9 @@ from pyspark.sql import functions as F
 from ..sources.synth import splitmix64
 
 
-def _quant(col, scale: int):
+def _quant_np(col: pd.Series, scale: int) -> np.ndarray:
     # floor(x * scale) in float64: IEEE-identical across engines
-    return F.floor(col.cast("double") * F.lit(float(scale))).cast("long")
+    return np.floor(np.stack(col.to_numpy()).astype(np.float64) * scale)
 
 
 def ann_l2_topk(
@@ -32,41 +36,68 @@ def ann_l2_topk(
     vec_col: str = "embedding",
     quant_scale: int = 1024,
     queries: DataFrame | None = None,
+    query_blocks: int | None = None,
+    corpus_blocks: int | None = None,
 ) -> DataFrame:
     """-> (query_id, neighbor_id, rank, qd2) exact integer L2 top-k.
 
     Vectors are quantized per element to floor(x*scale) (int64); the
-    squared distance is then exact integer arithmetic.  Ties break by
-    neighbor id.  O(n^2) by design — the correctness baseline the LSH
-    path is validated against.
+    squared distance is then exact integer arithmetic (float64 matmul
+    is integer-exact while quant_scale^2 * dim < 2^53).
 
-    Execution: the neighbor matrix is broadcast (numpy int-quantized)
-    and each Arrow batch of queries computes a distance BLOCK via
-    ||a||^2 + ||b||^2 - 2ab float64 matmul — exact because quantized
-    magnitudes keep every intermediate < 2^53 (values <= scale, dims
-    bounded), so the float64 arithmetic is integer-exact.  ~100x the
-    zip_with/aggregate Catalyst formulation, same bit-exact result.
-    Per-batch top-k partials are re-ranked by one final window.
+    Execution — distributed block-nested-loop, nothing on the driver:
+    the corpus is hash-split into `corpus_blocks` groups and the query
+    side into `query_blocks`; each side is replicated across the other
+    side's block ids so every (qb, cb) cogroup holds one exact distance
+    block.  Per-block candidates keep everything within the block's
+    kth-smallest distance (boundary ties included), and one final
+    window re-ranks globally — bit-identical to the all-pairs oracle.
+    O(n*m) compute is inherent to the EXACT baseline; per-task memory
+    is O(n*m / (QB*CB)) and shuffle is n*CB + m*QB rows.  The
+    approximate scale path for corpus-vs-corpus is lsh_cosine_pairs
+    candidates + exact re-rank inside buckets.
     """
-    npart = emb.sparkSession.sparkContext.defaultParallelism
-    neigh = emb.select(id_col, vec_col).toPandas()
-    N = np.floor(np.stack(neigh[vec_col].to_numpy()).astype(np.float64) * quant_scale)
-    nids = neigh[id_col].to_numpy(np.int64)
-    dim = N.shape[1]
-    assert quant_scale**2 * dim < 2**52, "quantized math would lose exactness"
-    n2 = (N * N).sum(axis=1)  # exact: <= dim * scale^2
+    spark = emb.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if corpus_blocks is None:
+        corpus_blocks = max(2, int(round(par ** 0.5)))
+    if query_blocks is None:
+        query_blocks = max(2, int(round(par ** 0.5)))
+    src = (queries if queries is not None else emb).select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    )
+    corpus = emb.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+    # both grouping keys MUST be int on both sides: cogroup on a long
+    # pmod vs an int sequence element silently misaligns the groups
+    q = src.withColumn(
+        "_qb", F.pmod(F.col("_qid"), F.lit(query_blocks)).cast("int")
+    ).withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(corpus_blocks - 1))))
+    c = corpus.withColumn(
+        "_cb", F.pmod(F.col("_cid"), F.lit(corpus_blocks)).cast("int")
+    ).withColumn("_qb", F.explode(F.sequence(F.lit(0), F.lit(query_blocks - 1))))
 
-    def op(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Q = np.floor(
-                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * quant_scale
-            )
-            qids = pdf[id_col].to_numpy(np.int64)
+    def kern(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "qd2": pd.Series(dtype="int64")}
+        )
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return empty
+        C = _quant_np(cpdf["_cv"], quant_scale)
+        dim = C.shape[1]
+        assert quant_scale**2 * dim < 2**52, "quantized math would lose exactness"
+        cids = cpdf["_cid"].to_numpy(np.int64)
+        c2 = (C * C).sum(axis=1)
+        outs = []
+        chunk = max(1, 4_000_000 // max(len(C), 1))
+        Qall = _quant_np(qpdf["_qv"], quant_scale)
+        qids_all = qpdf["_qid"].to_numpy(np.int64)
+        for s in range(0, len(Qall), chunk):
+            Q, qids = Qall[s : s + chunk], qids_all[s : s + chunk]
             q2 = (Q * Q).sum(axis=1)
-            d2 = q2[:, None] + n2[None, :] - 2.0 * (Q @ N.T)  # exact int in f64
-            d2[qids[:, None] == nids[None, :]] = np.inf  # self-match out
+            d2 = q2[:, None] + c2[None, :] - 2.0 * (Q @ C.T)  # exact int in f64
+            d2[qids[:, None] == cids[None, :]] = np.inf  # self-match out
             # keep EVERYTHING within the kth-smallest distance per row —
             # boundary ties included, so the final (qd2, neighbor_id)
             # window sees every candidate it might rank into the top-k
@@ -75,17 +106,21 @@ def ann_l2_topk(
             ri, ci = np.nonzero(d2 <= thresh[:, None])
             vals = d2[ri, ci]
             fin = np.isfinite(vals)
-            yield pd.DataFrame(
-                {
-                    "query_id": qids[ri[fin]],
-                    "neighbor_id": nids[ci[fin]],
-                    "qd2": vals[fin].astype(np.int64),
-                }
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[ri[fin]],
+                        "neighbor_id": cids[ci[fin]],
+                        "qd2": vals[fin].astype(np.int64),
+                    }
+                )
             )
+        return pd.concat(outs) if outs else empty
 
-    src = (queries or emb).select(id_col, vec_col)
-    partials = src.repartition(npart).mapInPandas(
-        op, schema="query_id long, neighbor_id long, qd2 long"
+    partials = (
+        q.groupBy("_qb", "_cb")
+        .cogroup(c.groupBy("_qb", "_cb"))
+        .applyInPandas(kern, schema="query_id long, neighbor_id long, qd2 long")
     )
     w = Window.partitionBy("query_id").orderBy("qd2", "neighbor_id")
     return (
@@ -101,38 +136,54 @@ def ann_cosine_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quant_scale: int = 1024,
 ) -> DataFrame:
-    """Brute-force cosine top-k of a broadcast query set vs the table.
+    """Cosine top-k of a broadcast query set vs the streamed corpus.
 
-    queries_pdf: pandas (id, vector) — small enough to broadcast.
-    The kernel is one numpy matmul per Arrow batch (no per-row Python);
-    per-batch top-k partials are reduced by a final window.
+    queries_pdf: pandas (id, vector) — an explicitly SMALL query set
+    (it ships in the UDF closure; the corpus is never collected).
+
+    Numerics: vectors quantize to floor(x*scale) int64; dot and both
+    squared norms are exact integers (f64 matmul integer-exact), and
+    sim_1e6 = floor((dot / sqrt(na2*nb2)) * 1e6) is a fixed sequence of
+    correctly-rounded IEEE ops — any engine evaluating the same tree
+    (the DuckDB oracle) reproduces it bit-for-bit.  Zero-norm vectors
+    define sim_1e6 = 0.  Per-batch top-k keeps kth-value ties so the
+    final (desc sim, neighbor_id) window is globally exact.
     -> (query_id, neighbor_id, rank, sim_1e6)
     """
-    Q = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    Q = np.floor(
+        np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64) * quant_scale
+    )
     qids = queries_pdf[id_col].to_numpy(np.int64)
+    q2 = (Q * Q).sum(axis=1)
 
     def op(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
-            sims = Qn @ Xn.T  # (nq, nb)
+            X = _quant_np(pdf[vec_col], quant_scale)
             nids = pdf[id_col].to_numpy(np.int64)
+            x2 = (X * X).sum(axis=1)
+            dot = Q @ X.T  # exact integers in f64
+            n2 = q2[:, None] * x2[None, :]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = np.floor((dot / np.sqrt(n2)) * 1e6)
+            sims[n2 == 0] = 0.0
             # mask self-matches BEFORE top-k so they don't eat a slot
             sims[qids[:, None] == nids[None, :]] = -np.inf
-            kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            out = {
-                "query_id": np.repeat(qids, kk),
-                "neighbor_id": nids[idx].ravel(),
-                "sim_1e6": np.floor(
-                    sims[np.arange(len(qids))[:, None], idx] * 1e6
-                ).astype(np.int64).ravel(),
-            }
-            yield pd.DataFrame(out)
+            kk = min(k, sims.shape[1]) - 1
+            thresh = -np.partition(-sims, kk, axis=1)[:, kk]
+            ri, ci = np.nonzero(sims >= thresh[:, None])
+            vals = sims[ri, ci]
+            fin = np.isfinite(vals)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[ri[fin]],
+                    "neighbor_id": nids[ci[fin]],
+                    "sim_1e6": vals[fin].astype(np.int64),
+                }
+            )
 
     partials = emb.select(id_col, vec_col).mapInPandas(
         op, schema="query_id long, neighbor_id long, sim_1e6 long"
@@ -141,57 +192,78 @@ def ann_cosine_topk(
         F.desc("sim_1e6"), F.col("neighbor_id")
     )
     return (
-        partials.where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim_1e6")
     )
+
+
+def lsh_planes(n_planes: int, bands: int, dim: int, seed: int) -> np.ndarray:
+    """(bands, n_planes, dim) deterministic integer hyperplane weights
+    in [-2^19, 2^19), splitmix64-derived — inlineable as SQL literals."""
+    idx = np.arange(bands * n_planes * dim, dtype=np.uint64)
+    raw = splitmix64(idx + np.uint64(seed) * np.uint64(0x9E3779B9))
+    w = (raw % np.uint64(1 << 20)).astype(np.int64) - (1 << 19)
+    return w.reshape(bands, n_planes, dim)
 
 
 def lsh_cosine_pairs(
     emb: DataFrame,
-    n_planes: int = 16,
+    n_planes: int = 8,
+    bands: int = 4,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    quant_scale: int = 1024,
 ) -> DataFrame:
-    """Random-hyperplane LSH buckets -> candidate pairs (doc_a, doc_b).
+    """Banded random-hyperplane LSH -> candidate pairs (doc_a, doc_b).
 
-    Bucket key = sign-bit signature against n_planes deterministic
-    (splitmix64-seeded) hyperplanes, computed in one Arrow kernel.
-    Pairs sharing a bucket are near-duplicate candidates; verify with
-    exact cosine downstream.
+    `bands` independent signatures of `n_planes` sign bits each; two
+    vectors are candidates if they share ANY band key — the same
+    banding shape as minhash_lsh_pairs, so no single small signature
+    space goes quadratic at scale (a popular bucket is bounded by one
+    band's collisions, and recall grows with bands).
+
+    Signs are exact: integer planes (lsh_planes) against
+    integer-quantized vectors, dot > 0 in int64 — which is what lets
+    the DuckDB oracle reproduce buckets bit-for-bit.  `dim` may be
+    omitted (inferred per batch; planes are deterministic either way).
     """
-    def planes_for(d: int) -> np.ndarray:
-        raw = splitmix64(
-            np.arange(n_planes * d, dtype=np.uint64) + np.uint64(seed * 0x9E3779B9)
-        )
-        # uniform in [-1, 1): enough for sign-hash purposes
-        return (raw.astype(np.float64) / 2**63 - 1.0).reshape(n_planes, d)
 
     def op(batches):
-        P = None
+        P = None if dim is None else lsh_planes(n_planes, bands, dim, seed)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X = _quant_np(pdf[vec_col], quant_scale)
             if P is None:
-                P = planes_for(X.shape[1])
-            bits = (X @ P.T) > 0  # (n, planes)
-            key = np.zeros(len(X), dtype=np.int64)
-            for b in range(n_planes):
-                key |= bits[:, b].astype(np.int64) << b
+                P = lsh_planes(n_planes, bands, X.shape[1], seed)
+            out_v, out_b, out_k = [], [], []
+            vids = pdf[id_col].to_numpy(np.int64)
+            for b in range(bands):
+                bits = (X @ P[b].T) > 0  # (n, planes), exact in f64
+                key = np.zeros(len(X), dtype=np.int64)
+                for p in range(n_planes):
+                    key |= bits[:, p].astype(np.int64) << p
+                out_v.append(vids)
+                out_b.append(np.full(len(X), b, dtype=np.int32))
+                out_k.append(key)
             yield pd.DataFrame(
-                {"vid": pdf[id_col].to_numpy(np.int64), "bucket": key}
+                {
+                    "vid": np.concatenate(out_v),
+                    "band": np.concatenate(out_b),
+                    "bucket": np.concatenate(out_k),
+                }
             )
 
     buckets = emb.select(id_col, vec_col).mapInPandas(
-        op, schema="vid long, bucket long"
+        op, schema="vid long, band int, bucket long"
     )
-    l = buckets.select(F.col("vid").alias("doc_a"), "bucket")
-    r = buckets.select(F.col("vid").alias("doc_b"), "bucket")
+    l = buckets.select(F.col("vid").alias("doc_a"), "band", "bucket")
+    r = buckets.select(F.col("vid").alias("doc_b"), "band", "bucket")
     return (
-        l.join(r, "bucket")
+        l.join(r, ["band", "bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

@@ -5,13 +5,11 @@ oracles match exactly.
 * text_stats       — char/token/punct counts
 * quality_score    — integer quality heuristic
 * lang_guess       — stopword-hit language heuristic
-* doc_fingerprint  — polynomial rolling hash (Arrow kernel)
+* doc_fingerprint  — min polynomial window hash (pure codegen exprs)
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,26 +68,23 @@ def lang_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 16
 ) -> DataFrame:
-    """Winnowing-style fingerprint: min polynomial rolling hash over
-    all `window`-char substrings -> (id, fingerprint).  Arrow kernel,
-    vectorized per batch via cumulative powers (no per-char Python loop
-    beyond the window fold)."""
-    B = np.uint64(1099511628211)
+    """Winnowing-style fingerprint: min polynomial codepoint hash over
+    all `window`-char substrings -> (id, fingerprint long).
 
-    def op(batches):
-        for pdf in batches:
-            fps = []
-            for s in pdf[text_col]:
-                b = np.frombuffer(str(s).encode("utf-8"), dtype=np.uint8)
-                if len(b) < window:
-                    b = np.pad(b, (0, window - len(b)))
-                with np.errstate(over="ignore"):
-                    h = np.zeros(len(b) - window + 1, dtype=np.uint64)
-                    for j in range(window):  # window-size fold, vectorized over positions
-                        h = h * B + b[j : j + len(h)].astype(np.uint64)
-                fps.append(np.int64(h.min() & np.uint64(0x7FFFFFFFFFFFFFFF)))
-            yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": fps})
+    Pure JVM column expressions (transform/sequence + array_min inside
+    whole-stage codegen) — no Python anywhere — using the SQL-derivable
+    hash family of functions/texthash.py, so the DuckDB oracle
+    reproduces every value bit-for-bit.  Texts shorter than `window`
+    hash one zero-padded window (ascii past the end contributes 0).
+    """
+    from ..functions.texthash import P, POWS
 
-    return df.select(id_col, text_col).mapInPandas(
-        op, schema=f"{id_col} long, fingerprint long"
+    terms = " + ".join(
+        f"ascii(substring({text_col}, u + {j}, 1)) * {POWS[j]}L"
+        for j in range(window)
     )
+    fp = (
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1)), "
+        f"u -> ({terms}) % {P}))"
+    )
+    return df.select(F.col(id_col), F.expr(fp).alias("fingerprint"))

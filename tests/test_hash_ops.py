@@ -1,0 +1,159 @@
+"""Tests for the SQL-derivable hash family (functions/texthash.py) and
+the operators rebuilt on it: MinHash-LSH, SimHash, doc_fingerprint,
+DF-capped n-gram Jaccard, and the similarity-search rewrites.
+
+The three-engine agreement test (Spark expr == DuckDB == numpy) is the
+load-bearing one: it is what entitles the driver's hash-comparing
+oracle gate to check these operators at all.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spatialjoincountovershells_spark.functions.texthash import (
+    MAXLEN,
+    affine_consts,
+    poly_hash_duck,
+    poly_hash_np,
+    poly_hash_spark,
+)
+from spatialjoincountovershells_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from spatialjoincountovershells_spark.operators.similarity import (
+    ann_l2_topk,
+    lsh_cosine_pairs,
+)
+from spatialjoincountovershells_spark.operators.text import doc_fingerprint
+from spatialjoincountovershells_spark.operators.dedup import simhash
+
+SAMPLES = [
+    "", "a", "hello world", "é-accented ünïcode", "x" * (MAXLEN + 10),
+    "the quick brown fox", "the quick brown fax", " leading space",
+]
+
+
+def test_poly_hash_three_engines(spark):
+    want = poly_hash_np(SAMPLES)
+    sdf = spark.createDataFrame(pd.DataFrame({"s": SAMPLES}))
+    got_spark = (
+        sdf.select(F.expr(poly_hash_spark("s")).alias("h")).toPandas()["h"].to_numpy()
+    )
+    np.testing.assert_array_equal(got_spark, want)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"s": SAMPLES}))
+    got_duck = con.execute(f"SELECT {poly_hash_duck('s')} FROM t").df().iloc[:, 0].to_numpy()
+    np.testing.assert_array_equal(got_duck, want)
+
+
+def test_affine_consts_in_range():
+    for i in (0, 1, 63, 1000):
+        a, c = affine_consts(i)
+        assert 1 <= a < 2**31 - 1 and 0 <= c < 2**31 - 1
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+
+
+def test_minhash_lsh_dups_collide(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    texts = [base, base, "completely different content about spark plans " * 5]
+    pairs = minhash_lsh_pairs(_docs(spark, texts)).toPandas()
+    dup = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)]
+    assert len(dup) == 1 and dup.iloc[0].n_bands_hit == 8  # identical: all bands
+    assert len(pairs[(pairs.doc_b == 2) | (pairs.doc_a == 2)]) == 0
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    a = "spark catalyst optimizes declarative dataframe plans into stages " * 3
+    b = a.replace("stages", "phases", 1)
+    out = simhash(_docs(spark, [a, a, b])).orderBy("doc_id").toPandas()
+    assert out.simhash[0] == out.simhash[1]
+    ham = bin((int(out.simhash[0]) ^ int(out.simhash[2])) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham <= 24  # one token of ~27 changed
+
+
+def test_doc_fingerprint_pure_jvm_and_dup_equal(spark):
+    texts = ["abcdefghijklmnopqrstuvwxyz0123", "abcdefghijklmnopqrstuvwxyz0123", "short"]
+    df = doc_fingerprint(_docs(spark, texts))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    out = df.orderBy("doc_id").toPandas()
+    assert out.fingerprint[0] == out.fingerprint[1]
+    assert (out.fingerprint >= 0).all()
+
+
+def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
+    # five identical docs: every shingle has df=5.  With max_df=3 the
+    # whole (non-discriminative) shingle set is dropped -> no pairs and,
+    # critically, no 5x5 join blowup; uncapped finds all 10 exact pairs.
+    texts = ["all work and no play makes a dull engine " * 3] * 5
+    capped = ngram_jaccard_pairs(_docs(spark, texts), max_df=3).toPandas()
+    assert len(capped) == 0
+    uncapped = ngram_jaccard_pairs(_docs(spark, texts), max_df=None).toPandas()
+    assert len(uncapped) == 10 and (uncapped.jac_1000 == 1000).all()
+
+
+def _rand_emb(spark, n, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(map(list, vecs))}
+    )
+    return spark.createDataFrame(pdf), vecs
+
+
+@pytest.mark.parametrize("n", [300, 5000])
+def test_ann_l2_matches_numpy_bruteforce(spark, n):
+    """Exact blocked top-k == numpy all-pairs oracle (incl. 10x contract scale)."""
+    emb, vecs = _rand_emb(spark, n)
+    k = 3
+    got = (
+        ann_l2_topk(emb, k=k, query_blocks=3, corpus_blocks=4)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    Q = np.floor(vecs.astype(np.float64) * 1024)
+    d2 = ((Q[:, None, :] - Q[None, :, :]) ** 2).sum(-1) if n <= 1000 else None
+    if d2 is None:
+        n2 = (Q * Q).sum(1)
+        d2 = n2[:, None] + n2[None, :] - 2 * (Q @ Q.T)
+    np.fill_diagonal(d2, np.inf)
+    order = np.lexsort((np.broadcast_to(np.arange(n), (n, n)), d2), axis=1)
+    want_n = order[:, :k]
+    got_n = got.neighbor_id.to_numpy().reshape(n, k)
+    np.testing.assert_array_equal(got_n, want_n)
+
+
+def test_ann_l2_separate_query_frame(spark):
+    emb, vecs = _rand_emb(spark, 200)
+    q = emb.where(F.col("vec_id") < 5)
+    out = ann_l2_topk(emb, k=2, queries=q).toPandas()
+    assert sorted(out.query_id.unique()) == [0, 1, 2, 3, 4]
+    assert (out.groupby("query_id").size() == 2).all()
+    assert (out.query_id != out.neighbor_id).all()
+
+
+def test_lsh_cosine_banded_identical_collide(spark):
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=32).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(4, dtype=np.int64),
+            "embedding": [list(v), list(v), list(-v), list(rng.normal(size=32).astype(np.float32))],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    pairs = lsh_cosine_pairs(emb, n_planes=8, bands=4).toPandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in got      # identical vectors share every band
+    assert (0, 2) not in got  # antipodal vectors share none
