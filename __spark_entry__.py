@@ -45,6 +45,7 @@ from spatialjoincountovershells_spark.operators.shell_count import (  # noqa: E4
 from spatialjoincountovershells_spark.operators.images import (  # noqa: E402
     image_features,
     image_roundtrip_metrics,
+    transcode,
 )
 from spatialjoincountovershells_spark.operators.similarity import (  # noqa: E402
     ann_cosine_topk,
@@ -532,8 +533,17 @@ def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row payload invariant: PSNR>=40dB (raw: bit-exact) + caption."""
-    return image_roundtrip_metrics(synth_images(spark, 256, seed=13))
+    """Per-row payload invariant: PSNR>=40dB + caption equality — over
+    BOTH codec classes: 128 lossless raw rows (bit-exact, psnr=-1=inf)
+    and 128 rows transcoded to the numpy dctq lossy codec (finite
+    PSNR, still >= 40dB)."""
+    raw = synth_images(spark, 128, seed=13)
+    lossless = image_roundtrip_metrics(raw)
+    lossy = image_roundtrip_metrics(
+        transcode(synth_images(spark, 128, seed=13, id_prefix="dct"), "raw"),
+        via_fmt="dctq",
+    )
+    return lossless.unionByName(lossy)
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,6 +40,10 @@ from .tiling import decode_image_np
 def _encode_np(a: np.ndarray, fmt: str) -> bytes:
     if fmt == "raw":
         return np.ascontiguousarray(a, dtype=np.uint8).tobytes()
+    if fmt == "dctq":
+        from ..functions.dctq import encode_dctq
+
+        return encode_dctq(a)
     try:  # pragma: no cover - PIL not in this container
         import io
 
@@ -60,13 +64,19 @@ def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
-def image_roundtrip_metrics(images: DataFrame) -> DataFrame:
+def image_roundtrip_metrics(images: DataFrame, via_fmt: str | None = None) -> DataFrame:
     """-> (image_id, psnr_x100, bit_exact, caption_ok) per row.
 
     psnr_x100 = floor(100 * PSNR(decode(bytes), decode(encode(decode(bytes)))));
     -1 encodes infinity (lossless round-trip).  caption_ok checks the
     caption column survives the pipeline unchanged (trivially true here;
     it exists so a lossy storage path that mangles metadata fails loudly).
+
+    via_fmt: re-encode through THIS codec instead of each row's own —
+    the probe for the lossy-codec invariant (original pixels vs codec
+    reconstruction must stay >= 40 dB).  Re-encoding through a row's own
+    lossy fmt is typically idempotent (recompression stability), so a
+    finite PSNR only shows up via a different codec.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -77,7 +87,8 @@ def image_roundtrip_metrics(images: DataFrame) -> DataFrame:
                 pdf["caption"],
             ):
                 a = decode_image_np(bytes(data), int(w), int(h), str(fmt))
-                b = decode_image_np(_encode_np(a, str(fmt)), int(w), int(h), str(fmt))
+                rf = via_fmt or str(fmt)
+                b = decode_image_np(_encode_np(a, rf), int(w), int(h), rf)
                 p = psnr_db(a, b)
                 ids.append(img_id)
                 psnrs.append(-1 if np.isinf(p) else int(p * 100))
@@ -143,6 +154,29 @@ def image_features(images: DataFrame, hist_bins: int = 16) -> DataFrame:
 
     schema = "image_id string, " + ", ".join(f"{c} long" for c in cols[1:])
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(op, schema)
+
+
+def transcode(images: DataFrame, to_fmt: str) -> DataFrame:
+    """Re-encode every payload to `to_fmt` (decode -> encode), keeping
+    the images-table schema.  With to_fmt='dctq' this turns a lossless
+    table into a genuinely lossy one, which is how the PSNR>=40dB
+    invariant of image_roundtrip_metrics gets exercised end-to-end."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["bytes"] = [
+                _encode_np(
+                    decode_image_np(bytes(data), int(w), int(h), str(fmt)), to_fmt
+                )
+                for data, w, h, fmt in zip(
+                    pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+                )
+            ]
+            out["fmt"] = to_fmt
+            yield out
+
+    return images.mapInPandas(op, images.schema)
 
 
 def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:

@@ -15,6 +15,16 @@ Algorithm (the H3 k_ring-widening pattern):
 Each iteration is one DataFrame job; the loop is driver-side but the
 work is fully distributed.  Ring residency grows as O(ring^2) cells
 per step, so sparse regions converge in a few steps.
+
+Scale hygiene (nothing driver-side grows with halo count):
+* the finished/pending split is a per-halo window flag computed in the
+  SAME (halo_id) shuffle as the rank window — no id-list broadcasts,
+  no groupBy+join round-trips;
+* exactly ONE action per ring (the pending count that decides
+  termination);
+* the result is materialized to a RELIABLE checkpoint (survives
+  executor loss; get_spark sets a checkpoint dir) when one is
+  configured, falling back to localCheckpoint otherwise.
 """
 
 from __future__ import annotations
@@ -63,7 +73,7 @@ def knn(
     pending = h
     topk: DataFrame | None = None
     done_parts: list[DataFrame] = []
-    cached: list[DataFrame] = []  # released after the final plan is built
+    cached: list[DataFrame] = []  # released after the final result is cut
     ring = 1
     while True:
         shell_only = ring > 1
@@ -72,36 +82,51 @@ def knn(
             F.col(id_col), F.col(particle_id_col), *_H, d2.alias("d2")
         )
         pool = cand if topk is None else topk.unionByName(cand)
-        ranked = (
+        full_cover = 2 * ring + 1 >= nc or ring >= limit
+        if full_cover:
+            done_parts.append(
+                pool.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .drop("rank")
+            )
+            break
+        # a halo is FINAL when its kth candidate is strictly inside the
+        # ring guarantee: an unseen particle outside ring r sits at
+        # d >= ring*cs, so only candidates strictly inside are immune to
+        # (d2, particle_id) tie-breaks against unseen points.  The flag
+        # is a window over the same halo_id partitioning the rank window
+        # already shuffled by — one pass, no joins, no id-list broadcast.
+        guard = float(ring) * cs
+        sw = Window.partitionBy(id_col)
+        flagged = (
             pool.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .drop("rank")
+            .withColumn("_n", F.count(F.lit(1)).over(sw))
+            .withColumn("_dmax", F.max("d2").over(sw))
+            .withColumn(
+                "_fin",
+                (F.col("_n") >= k) & (F.col("_dmax") < F.lit(guard * guard)),
+            )
+            .drop("_n", "_dmax")
             .persist()
         )
-        cached.append(ranked)
-        full_cover = 2 * ring + 1 >= nc or ring >= limit
-        if full_cover:
-            done_parts.append(ranked)
-            break
-        # a halo is final when its kth candidate is within the ring guarantee
-        guard = float(ring) * cs
-        stats = ranked.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("_n"), F.max("d2").alias("_dmax")
+        cached.append(flagged)
+        done_parts.append(flagged.where(F.col("_fin")).drop("_fin"))
+        topk = flagged.where(~F.col("_fin")).drop("_fin")
+        # halos with pending=true: either unfinished or (rare) still
+        # candidate-less; AQE picks the join strategy — the per-halo flag
+        # frame is one row per halo, no explicit broadcast hint needed
+        flags = flagged.select(id_col, "_fin").distinct()
+        pending = (
+            pending.join(flags, id_col, "left")
+            .where(F.coalesce(~F.col("_fin"), F.lit(True)))
+            .drop("_fin")
+            .persist()
         )
-        # strict <: an unseen particle outside ring r sits at d >= guard,
-        # so only candidates strictly inside the guarantee are immune to
-        # (d2, particle_id) tie-breaks against unseen points
-        finished_ids = stats.where(
-            (F.col("_n") >= k) & (F.col("_dmax") < F.lit(guard * guard))
-        ).select(id_col)
-        done_parts.append(
-            ranked.join(F.broadcast(finished_ids), id_col, "left_semi")
-        )
-        pending = pending.join(F.broadcast(finished_ids), id_col, "left_anti").persist()
         cached.append(pending)
-        if pending.isEmpty():
+        if pending.count() == 0:  # the ONE action per ring
             break
-        topk = ranked.join(F.broadcast(finished_ids), id_col, "left_anti")
         ring += 1
 
     out = done_parts[0]
@@ -111,7 +136,14 @@ def knn(
         out.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(id_col, particle_id_col, "rank", "d2")
-    ).localCheckpoint(eager=True)  # cut lineage so caches can be freed
+    )
+    # materialize so the iteration's caches can be freed: reliable
+    # checkpoint when a dir is configured (survives executor loss),
+    # else executor-local (single-process/test fallback)
+    if spark.sparkContext.getCheckpointDir() is not None:
+        res = res.checkpoint(eager=True)
+    else:
+        res = res.localCheckpoint(eager=True)
     p.unpersist()
     for df in cached:
         df.unpersist()

@@ -44,13 +44,18 @@ def rasterize_points(
 
 
 def decode_image_np(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """-> (h, w, 3) uint8.  'raw' is a bare RGB8 buffer; compressed
-    formats need codecs not present in this container and raise."""
+    """-> (h, w, 3) uint8.  'raw' is a bare RGB8 buffer; 'dctq' is the
+    built-in numpy lossy codec (functions/dctq.py); png/jpeg need
+    codecs not present in this container and raise."""
     if fmt == "raw":
         a = np.frombuffer(data, dtype=np.uint8)
         if a.size != w * h * 3:
             raise ValueError(f"raw payload size {a.size} != {w}x{h}x3")
         return a.reshape(h, w, 3)
+    if fmt == "dctq":
+        from ..functions.dctq import decode_dctq
+
+        return decode_dctq(bytes(data))
     try:  # pragma: no cover - codec not installed in this environment
         from PIL import Image  # noqa: F401
         import io

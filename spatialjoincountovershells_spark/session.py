@@ -47,4 +47,14 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if spark.sparkContext.getCheckpointDir() is None:
+        # reliable-checkpoint home for iterative operators (knn):
+        # local temp dir here; on a real cluster set SJCS_CHECKPOINT_DIR
+        # to a durable shared path (HDFS/S3) before building the session
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.environ.get("SJCS_CHECKPOINT_DIR")
+            or tempfile.mkdtemp(prefix="sjcs-ckpt-")
+        )
     return spark

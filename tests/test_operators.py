@@ -44,6 +44,48 @@ def test_image_roundtrip_invariant(spark):
     assert m["caption_ok"].all()
 
 
+def test_dctq_codec_lossy_but_above_40db():
+    from spatialjoincountovershells_spark.functions.dctq import (
+        decode_dctq,
+        encode_dctq,
+    )
+
+    rng = np.random.default_rng(17)
+    for shape in ((8, 8, 3), (16, 24, 3), (10, 13, 3)):  # incl. non-8-multiples
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        b = decode_dctq(encode_dctq(a))
+        assert b.shape == a.shape and b.dtype == np.uint8
+        p = psnr_db(a, b)
+        assert 40.0 <= p < float("inf"), f"{shape}: psnr={p}"
+        assert not np.array_equal(a, b)  # genuinely lossy
+
+
+def test_roundtrip_lossy_transcode_invariant(spark):
+    raw = synth_images(spark, 32, seed=13, w=16, h=16)
+    m = image_roundtrip_metrics(raw, via_fmt="dctq").toPandas()
+    assert len(m) == 32
+    assert (m["psnr_x100"] >= 4000).all()       # the BASELINE invariant
+    assert not m["bit_exact"].any()             # and it IS the lossy path
+    assert m["caption_ok"].all()
+
+
+def test_transcode_then_decode_matches_direct_codec(spark):
+    from spatialjoincountovershells_spark.functions.dctq import decode_dctq
+    from spatialjoincountovershells_spark.operators.images import transcode
+
+    raw = synth_images(spark, 4, seed=13)
+    t = transcode(raw, "dctq").select("image_id", "bytes", "fmt").toPandas()
+    assert (t["fmt"] == "dctq").all()
+    orig = raw.select("image_id", "bytes", "w", "h").toPandas()
+    merged = t.merge(orig, on="image_id", suffixes=("_t", "_o"))
+    for _, r in merged.iterrows():
+        a = np.frombuffer(bytes(r["bytes_o"]), dtype=np.uint8).reshape(
+            int(r["h"]), int(r["w"]), 3
+        )
+        got = decode_dctq(bytes(r["bytes_t"]))
+        assert psnr_db(a, got) >= 40.0
+
+
 def test_psnr_threshold_math():
     a = np.zeros((8, 8, 3), dtype=np.uint8)
     noisy = a.copy()
