@@ -9,9 +9,10 @@ execution, resumable output.
       --halo-file /data/halos.parquet \
       --radius 0.001:5:40 \
       --output /data/out/shell_counts \
-      [--format parquet|decoded|compressed|halo-text] \
+      [--format parquet|decoded|compressed] \
+      [--halo-format parquet|halo-text] \
       [--filter-file /data/filter_ids.csv] \
-      [--salt-threshold 100000] [--plan sql|fused] [--report out.txt]
+      [--salt-threshold 100000] [--plan sql|fused|auto] [--report out.txt]
 
 Input formats: 'parquet' expects either (id,x,y,z) columns or the
 images-table shape with a phash column (auto-decoded); 'decoded' /
@@ -85,7 +86,7 @@ def main(argv=None) -> int:
     ap.add_argument("--halo-format", default=None,
                     choices=[None, "parquet", "halo-text"])
     ap.add_argument("--filter-file", default=None)
-    ap.add_argument("--plan", default="sql", choices=["sql", "fused"])
+    ap.add_argument("--plan", default="sql", choices=["sql", "fused", "auto"])
     ap.add_argument("--salt-threshold", type=int, default=None)
     ap.add_argument("--box", type=float, default=1000.0)
     ap.add_argument("--report", default=None, help="optional text report path")
@@ -116,13 +117,17 @@ def main(argv=None) -> int:
         ).encode()
     ).hexdigest()[:16]
 
+    # key by file-order ordinal when the source provides one: the
+    # reference supports duplicate halo ids (TestData4PB has two id-0
+    # halos), which must stay separate report rows, not merge
+    id_key = "row_idx" if "row_idx" in halos.columns else "halo_id"
     counts = resume_or_compute(
         spark,
         args.output,
         token,
         lambda: shell_count(
             halos, parts, edges, box=args.box, plan=args.plan,
-            salt_threshold=args.salt_threshold,
+            salt_threshold=args.salt_threshold, id_col=id_key,
         ),
     )
     n = counts.count()
@@ -130,10 +135,8 @@ def main(argv=None) -> int:
     if args.report:
         id_cols = [c for c in halos.columns if c in ("row_idx", "halo_id")]
         hp = halos.select(*id_cols).toPandas()
-        if "row_idx" not in hp.columns:
-            hp["row_idx"] = hp["halo_id"]
         write_report(args.report, counts, hp, edges,
-                     id_col=counts.columns[0], display_id_col="halo_id")
+                     id_col=id_key, display_id_col="halo_id")
     spark.stop()
     return 0
 

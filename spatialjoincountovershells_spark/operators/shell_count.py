@@ -131,6 +131,27 @@ def _prep(
     return h, p, nc, edges
 
 
+def choose_plan(
+    n_halos: int,
+    n_particles: int,
+    ncells: int,
+    parallelism: int,
+    threshold_pairs_per_core: int = 8_000_000,
+) -> str:
+    """Pick 'fused' vs 'sql' from estimated candidate pairs per core.
+
+    Measured crossover on this class of hardware (BENCH/BASELINE.md):
+    the cogroup Arrow kernel ('fused', pairs never shuffle) wins when
+    each core chews through a large pair volume (sf1 pinned-4-core:
+    91s vs 131s at ~194M pairs/core); the pure-codegen join ('sql')
+    wins when per-group Arrow overhead dominates small per-core work
+    (sf0.1 local[32]: 2.7s vs 7.4s at ~0.24M pairs/core).  The
+    threshold sits between the measured regimes (geometric mid ~7M).
+    """
+    est_pairs = n_halos * 27.0 * n_particles / float(ncells**3)
+    return "fused" if est_pairs / max(parallelism, 1) > threshold_pairs_per_core else "sql"
+
+
 def shell_count(
     halos: DataFrame,
     particles: DataFrame,
@@ -144,19 +165,36 @@ def shell_count(
     plan: str = "sql",
     salt_threshold: int | None = None,
     max_salt: int = 64,
+    n_halos_est: int | None = None,
+    n_particles_est: int | None = None,
 ) -> DataFrame:
     """J1+J2+A1: -> (id_col, shell_idx int, cnt long), nonzero rows only.
+
+    plan: 'sql' (codegen join), 'fused' (cogroup Arrow kernel), or
+    'auto' — pick by estimated pairs/core (choose_plan).  'auto' needs
+    row counts: pass n_halos_est / n_particles_est (free if the caller
+    tracks table stats, as any catalog/Iceberg metadata does) or one
+    count() pre-job per missing side runs here — at cluster scale,
+    always pass the estimates.
 
     salt_threshold: if set, run the dense-cell salting pre-pass
     (apply_salting) so no hot cell serializes one reducer/task.
     """
+    n_est = n_particles_est
+    if plan == "auto":
+        n_est = n_est or particles.count()
+        n_h = n_halos_est or halos.count()
+        rmax = float(np.asarray(edges)[-1])
+        nc_sql = ncells or grid_ncells(rmax, box, n_hint=n_est)
+        par = halos.sparkSession.sparkContext.defaultParallelism
+        plan = choose_plan(n_h, n_est, nc_sql, par)
     if plan == "fused" and ncells is None:
         # the Arrow kernel amortizes per-group overhead over dense cells:
         # target ~128 particles/cell (measured sweet spot: the numpy
         # distance-matrix kernel tolerates the larger candidate volume of
         # a coarser grid far better than 10^5 tiny cogroups tolerate
         # per-group overhead) instead of the finest ring-1 grid
-        n_est = particles.count()
+        n_est = n_est or particles.count()
         cap = max(2, int(round((n_est / 128) ** (1.0 / 3.0))))
         ncells = max(1, min(grid_ncells(float(np.asarray(edges)[-1]), box), cap))
     h, p, nc, edges = _prep(

@@ -6,10 +6,16 @@
   so every later probe job joins shuffle-free on the big side (the
   analog of the reference's reusable per-file index; at 100 TB this is
   the difference between one shuffle ever and one per query)
-* checkpoint / resume — idempotent parquet writes keyed by a token;
+* checkpoint / resume — idempotent table writes keyed by a token;
   restarts skip completed work (BASELINE north_rule: resumable with
   per-partition lineage + metrics)
 * partition_metrics — per-partition row counts / bytes for lineage
+
+Storage format: all writes route through sources/tableio.py — Iceberg
+when the runtime jar is on the classpath (north_rule), the parquet
+stand-in otherwise (this sandbox has no Iceberg jar and no network;
+see the waiver in README + BENCH/BASELINE.md).  The checkpoint marker
+is the parquet-mode substitute for Iceberg's snapshot commit.
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ from ..functions.phash import decode_phash
 from ..operators.cells import grid_ncells, with_cell
 from ..operators.shell_count import shell_count
 from ..operators.semi_join import filter_halos
+from ..sources.tableio import read_table, write_table
 
 
 def sjcs_pipeline(
@@ -60,7 +67,7 @@ def prepartition_particles(
     nc = grid_ncells(rmax, box)
     df = with_cell(decode_phash(images), nc, box)
     w = df.repartition(n_buckets or df.sparkSession.sparkContext.defaultParallelism, "cell_id")
-    w.write.mode("overwrite").parquet(path)
+    write_table(w, path)
     return path
 
 
@@ -80,8 +87,8 @@ def checkpoint(df: DataFrame, path: str, token: str) -> dict:
 
     The marker records the completion token and per-partition counts;
     `resume` treats a matching marker as proof of completion."""
-    df.write.mode("overwrite").parquet(path)
-    back = df.sparkSession.read.parquet(path)
+    write_table(df, path)
+    back = read_table(df.sparkSession, path)
     metrics = [r.asDict() for r in partition_metrics(back).collect()]
     meta = {"token": token, "n_rows": int(sum(m["n_rows"] for m in metrics)),
             "partitions": metrics}
@@ -99,7 +106,7 @@ def resume(spark: SparkSession, path: str, token: str) -> DataFrame | None:
         meta = json.load(f)
     if meta.get("token") != token:
         return None
-    return spark.read.parquet(path)
+    return read_table(spark, path)
 
 
 def resume_or_compute(spark: SparkSession, path: str, token: str, fn) -> DataFrame:
@@ -107,4 +114,4 @@ def resume_or_compute(spark: SparkSession, path: str, token: str, fn) -> DataFra
     if df is not None:
         return df
     checkpoint(fn(), path, token)
-    return spark.read.parquet(path)
+    return read_table(spark, path)

@@ -65,3 +65,22 @@ def test_checkpoint_records_lineage(spark, tmp_path):
     assert sum(m["n_rows"] for m in meta["partitions"]) == 64
     assert resume(spark, p, "tok") is not None
     assert resume(spark, p, "other") is None
+
+
+def test_tableio_parquet_standin(spark, tmp_path):
+    """No Iceberg runtime in this container: the probe must say so and
+    write_table/read_table must degrade to parquet at the same location."""
+    from spatialjoincountovershells_spark.sources.tableio import (
+        iceberg_available,
+        read_table,
+        resolve_format,
+        write_table,
+    )
+
+    assert iceberg_available(spark) is False
+    assert resolve_format(spark) == "parquet"
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    loc = str(tmp_path / "t1")
+    assert write_table(df, loc) == "parquet"
+    back = read_table(spark, loc)
+    assert back.count() == 100 and set(back.columns) == {"id", "v"}

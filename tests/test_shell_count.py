@@ -88,3 +88,20 @@ def test_rmax_guard(spark):
     parts = _df_points(spark, PB_PARTICLES)
     with pytest.raises(ValueError, match="box/2"):
         shell_count(halos, parts, np.array([600.0], dtype=np.float32))
+
+
+def test_choose_plan_measured_regimes():
+    from spatialjoincountovershells_spark.operators.shell_count import choose_plan
+
+    # the two measured operating points from BENCH/BASELINE.md
+    assert choose_plan(60_000, 600_000, 50, parallelism=32) == "sql"
+    assert choose_plan(600_000, 6_000_000, 50, parallelism=4) == "fused"
+
+
+def test_plan_auto_matches_sql(spark):
+    P = synth_points_np(800, seed=4)
+    H = synth_points_np(40, seed=1004)
+    edges = logspace_edges(10.0, 300.0, 8)
+    got = _run(spark, H, P, edges, "auto")
+    want = _run(spark, H, P, edges, "sql")
+    assert got.tolist() == want.tolist()
