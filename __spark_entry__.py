@@ -128,6 +128,14 @@ def q_shell_count_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shell_count_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-shuffle plan: broadcast halo grid, stream particles."""
+    return shell_count(
+        _halos(spark, sf_dir), _parts(spark, sf_dir), EDGES,
+        dtype="float64", plan="bcast",
+    )
+
+
 def q_shell_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shell_totals(q_shell_count(spark, sf_dir))
 
@@ -567,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "shell_count": q_shell_count,
         "shell_count_fused": q_shell_count_fused,
+        "shell_count_bcast": q_shell_count_bcast,
         "shell_totals": q_shell_totals,
         "range_pairs": q_range_pairs,
         "semi_filtered_shell_count": q_semi_filtered_shell_count,
@@ -644,6 +653,7 @@ WITH pts AS (SELECT o_orderkey AS point_id, {sql_coord("o_orderkey", 0)} AS px,
     return {
         "shell_count": shell_sql,
         "shell_count_fused": shell_sql,
+        "shell_count_bcast": shell_sql,
         "shell_totals": f"""
 WITH base AS ({shell_sql})
 SELECT shell_idx, CAST(sum(cnt) AS BIGINT) AS total FROM base GROUP BY shell_idx

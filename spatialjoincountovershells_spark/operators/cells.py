@@ -109,6 +109,23 @@ def ring_offsets(ncells: int, k: int = 1, shell_only: bool = False) -> list[tupl
     return sorted(out)
 
 
+def expected_ring_cells(ratio: float) -> float:
+    """E[ring-1 cells within prune radius] for ratio = rmax/cell_size.
+
+    A uniformly-placed probe keeps its own cell + each face neighbor
+    w.p. min(ratio,1), edge neighbor w.p. ~(pi/4)ratio^2, corner
+    neighbor w.p. ~(4pi/3/8)ratio^3 (clipped) — used by the plan
+    chooser to size per-plan candidate volumes under pruning.
+    At ratio=1 (cs=rmax): ~20.6 of 27; at ratio 0.46: ~6.2 of 27.
+    """
+    import math
+
+    f = min(ratio, 1.0)
+    e = min(math.pi / 4.0 * ratio**2, 1.0)
+    c = min(math.pi / 6.0 * ratio**3, 1.0)
+    return 1.0 + 6.0 * f + 12.0 * e + 8.0 * c
+
+
 def explode_ring(
     df: DataFrame,
     ncells: int,
@@ -117,6 +134,7 @@ def explode_ring(
     k: int = 1,
     shell_only: bool = False,
     out: str = "cell_id",
+    prune_radius: float | None = None,
 ) -> DataFrame:
     """Explode each row into its ring-k candidate cells (periodic wrap).
 
@@ -125,6 +143,18 @@ def explode_ring(
     instead of probing a tree with up to 8 shifted boxes, each probe row
     fans out to its (dedup'd) neighbor cells and the join is a plain
     equi-join on cell_id.
+
+    prune_radius: when the query is a ball of this radius, drop ring
+    cells whose MINIMUM distance to the probe point exceeds it — the
+    per-row analog of the reference's MBR-overlap test, one level
+    tighter than the Chebyshev ring.  A corner-neighbor cell only
+    matters when the probe sits within the radius of the shared corner
+    (~52% of probes at cs=rmax; far fewer on coarser grids), so this
+    cuts candidate pairs ~25% at cs=rmax and up to ~4x when cs >> r.
+    Safe under the engine's strict d^2 < r^2 predicate: a pruned cell's
+    points all sit at d >= d_min >= r (threshold inflated by 1e-9
+    relative to swallow f64 boundary rounding).  Only valid for k == 1
+    (raw offsets recoverable from their mod-nc dedup when nc >= 3).
     """
     cs = box / ncells
     cx, cy, cz = (_axis_idx(c, cs, ncells) for c in cols)
@@ -141,4 +171,23 @@ def explode_ring(
     cell = (
         F.pmod(cx + F.col("_o.a"), nc) * nc + F.pmod(cy + F.col("_o.b"), nc)
     ) * nc + F.pmod(cz + F.col("_o.c"), nc)
-    return df.withColumn(out, cell).drop("_o")
+    df = df.withColumn(out, cell)
+    if prune_radius is not None and k == 1 and ncells >= 3:
+        half = ncells // 2
+
+        def axis_gap(coord: str, ci, off):
+            # raw offset from its mod-nc representative: m<=nc/2 -> m, else m-nc
+            raw = F.when(off <= F.lit(half), off).otherwise(off - nc)
+            x = F.col(coord).cast("double")
+            lo = (ci + raw) * F.lit(cs)  # candidate cell's lower face
+            return (
+                F.when(raw == 0, F.lit(0.0))
+                .when(raw > 0, lo - x)
+                .otherwise(x - (lo + F.lit(cs)))
+            )
+        gx = axis_gap(cols[0], cx, F.col("_o.a"))
+        gy = axis_gap(cols[1], cy, F.col("_o.b"))
+        gz = axis_gap(cols[2], cz, F.col("_o.c"))
+        r2 = float(prune_radius) ** 2 * (1.0 + 1e-9)
+        df = df.where(gx * gx + gy * gy + gz * gz < F.lit(r2))
+    return df.drop("_o")

@@ -40,9 +40,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.geometry import flit, squared_distance_expr, squared_distance_np
+from ..functions.geometry import (
+    flit,
+    squared_distance_expr,
+    squared_distance_np,
+    squared_distance_pairs_np,
+)
 from ..functions.shells import shell_index_expr, shell_index_np, squared_edges
-from .cells import explode_ring, grid_ncells, with_cell
+from .cells import explode_ring, grid_ncells, ring_offsets, with_cell  # noqa: F401
 
 _H = ("_hx", "_hy", "_hz")
 _P = ("_px", "_py", "_pz")
@@ -122,7 +127,9 @@ def _prep(
     h = halos.select(
         F.col(id_col), *[F.col(c).alias(a) for c, a in zip(h_coords, _H)]
     )
-    h = explode_ring(h, nc, box, cols=_H, k=1)
+    # per-row Euclidean cell prune: the MBR-overlap analog, drops ring
+    # cells no point of which can satisfy the strict d^2 < rmax^2 bound
+    h = explode_ring(h, nc, box, cols=_H, k=1, prune_radius=rmax)
     p = particles.select(
         *[F.col(c).alias(a) for c, a in zip(p_coords, _P)],
         *[F.col(c) for c in extra_p],
@@ -131,25 +138,68 @@ def _prep(
     return h, p, nc, edges
 
 
+# CPU-pinned per-core cost model fitted to the measured regimes
+# (BENCH/BASELINE.md): the codegen join processes its (fine ring-1 grid)
+# candidates at ~1.2M pairs/s/core; the cogroup Arrow kernel runs ~4.5x
+# faster per pair (~5.5M) but on its coarser 128-occupancy grid (more
+# pairs) AND pays ~13 us/core per row shipped through the cogroup
+# (particles + exploded halo-ring rows) — measured by fused barely
+# moving when the Euclidean prune cut its pair volume 4.4x.  Comparing
+# each plan's own work at its own rates predicts the winner in every
+# measured regime; a single pairs-per-core threshold does not.
+R_SQL_PAIRS_PER_CORE_SEC = 1.2e6
+R_FUSED_PAIRS_PER_CORE_SEC = 5.5e6
+A_FUSED_SEC_PER_ROW = 1.3e-5
+
+
 def choose_plan(
     n_halos: int,
     n_particles: int,
-    ncells: int,
-    parallelism: int,
-    threshold_pairs_per_core: int = 8_000_000,
+    rmax: float,
+    box: float = 1000.0,
+    ncells: int | None = None,
+    fused_occupancy: int = 128,
+    max_broadcast_bytes: int = 512 << 20,
 ) -> str:
-    """Pick 'fused' vs 'sql' from estimated candidate pairs per core.
+    """Pick the physical plan for shell_count.
 
-    Measured crossover on this class of hardware (BENCH/BASELINE.md):
-    the cogroup Arrow kernel ('fused', pairs never shuffle) wins when
-    each core chews through a large pair volume (sf1 pinned-4-core:
-    91s vs 131s at ~194M pairs/core); the pure-codegen join ('sql')
-    wins when per-group Arrow overhead dominates small per-core work
-    (sf0.1 local[32]: 2.7s vs 7.4s at ~0.24M pairs/core).  The
-    threshold sits between the measured regimes (geometric mid ~7M).
+    'bcast' whenever the probe (halo) side fits the broadcast budget
+    (~32 B/halo; 512 MB covers 16M probes — reference scale is 10M):
+    it was the fastest plan in every CPU-pinned measurement
+    (BENCH/BASELINE.md) and is the only one that never shuffles the
+    big table — at 100 TB that dominates everything else.
+
+    Otherwise 'fused' vs 'sql' by estimated per-plan runtime.  Each
+    runs on a DIFFERENT grid: sql on the finest ring-1 grid
+    (occupancy-capped), fused on a ~`fused_occupancy`-particles/cell
+    grid that amortizes per-group Arrow overhead.  Estimated core-time
+    = that plan's candidate-pair volume / its measured per-core rate;
+    ties go to sql (lower fixed overhead, pure JVM).
     """
-    est_pairs = n_halos * 27.0 * n_particles / float(ncells**3)
-    return "fused" if est_pairs / max(parallelism, 1) > threshold_pairs_per_core else "sql"
+    from .cells import expected_ring_cells
+
+    if n_halos * 32 <= max_broadcast_bytes:
+        return "bcast"
+
+    nc_sql = ncells or grid_ncells(rmax, box, n_hint=n_particles)
+    nc_fused = max(
+        2,
+        min(grid_ncells(rmax, box),
+            int(round((n_particles / fused_occupancy) ** (1.0 / 3.0)))),
+    )
+
+    def ring(nc: int) -> float:
+        return expected_ring_cells(rmax / (box / nc))  # Euclidean cell prune
+
+    def pairs(nc: int) -> float:
+        return n_halos * ring(nc) * n_particles / float(nc**3)
+
+    t_sql = pairs(nc_sql) / R_SQL_PAIRS_PER_CORE_SEC
+    t_fused = (
+        pairs(nc_fused) / R_FUSED_PAIRS_PER_CORE_SEC
+        + (n_particles + n_halos * ring(nc_fused)) * A_FUSED_SEC_PER_ROW
+    )
+    return "sql" if t_sql <= t_fused else "fused"
 
 
 def shell_count(
@@ -185,9 +235,7 @@ def shell_count(
         n_est = n_est or particles.count()
         n_h = n_halos_est or halos.count()
         rmax = float(np.asarray(edges)[-1])
-        nc_sql = ncells or grid_ncells(rmax, box, n_hint=n_est)
-        par = halos.sparkSession.sparkContext.defaultParallelism
-        plan = choose_plan(n_h, n_est, nc_sql, par)
+        plan = choose_plan(n_h, n_est, rmax, box, ncells)
     if plan == "fused" and ncells is None:
         # the Arrow kernel amortizes per-group overhead over dense cells:
         # target ~128 particles/cell (measured sweet spot: the numpy
@@ -197,6 +245,18 @@ def shell_count(
         n_est = n_est or particles.count()
         cap = max(2, int(round((n_est / 128) ** (1.0 / 3.0))))
         ncells = max(1, min(grid_ncells(float(np.asarray(edges)[-1]), box), cap))
+    if plan == "bcast":
+        # no shuffle at all -> salting is moot; empty cells are free in
+        # the CSR layout, so the finest ring-1 grid is always right
+        edges = np.asarray(edges)
+        rmax = float(edges[-1])
+        if not rmax < box / 2:
+            raise ValueError(f"r_max={rmax} must be < box/2={box / 2}")
+        nc = ncells or grid_ncells(rmax, box)
+        return _bcast_plan(
+            halos, particles, squared_edges(edges), box, dtype, id_col, nc,
+            h_coords, p_coords,
+        )
     h, p, nc, edges = _prep(
         halos, particles, edges, box, id_col, h_coords, p_coords, ncells
     )
@@ -264,6 +324,182 @@ def _fused_plan(h, p, r2, box, dtype, id_col, join_key: str = "cell_id") -> Data
         .applyInPandas(kern, schema=f"{id_col} long, shell_idx int, cnt long")
     )
     # per-cell partials -> final agg (the map-side-combine analog)
+    return out.groupBy(id_col, "shell_idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def _bcast_plan(
+    halos: DataFrame,
+    particles: DataFrame,
+    r2: np.ndarray,
+    box: float,
+    dtype: str,
+    id_col: str,
+    ncells: int,
+    h_coords: tuple[str, str, str],
+    p_coords: tuple[str, str, str],
+) -> DataFrame:
+    """Broadcast-halo-grid plan: stream the BIG table map-side only.
+
+    The reference holds its whole index in memory per node and streams
+    probes past it (``src/astr_rcount/main.c``); this is the same
+    architecture with the sides flipped to fit Spark's broadcast model:
+    the probe (halo) table — the small side by the workload's own shape
+    (10M probes vs 3x100M particles in the published run) — is sorted
+    by cell key into a CSR layout, broadcast once, and every particle
+    partition counts against it in a numpy kernel.  The 100 TB particle
+    table is NEVER shuffled, exploded, or cogrouped: one scan, map-side
+    partial (halo, shell) counts, and a tiny final aggregation whose
+    input is bounded by nonzero (halo, shell) cells per partition.
+    Requires the halo side to fit in executor memory (~32 B/halo: 10M
+    halos ≈ 320 MB — the same assumption the reference makes per node).
+
+    Candidate work per particle = halos in the 27-cell ring around it,
+    cut further by the same Euclidean min-distance prune as the join
+    plans.  Numerics are identical to the fused kernel (f32-safe
+    (dx2+dy2)+dz2, strict-< first-match searchsorted binning), so the
+    byte-exact golden tests hold for this plan too.
+    """
+    np_dtype = np.float32 if dtype == "float32" else np.float64
+    spark = halos.sparkSession
+    hp = halos.select(id_col, *h_coords).toPandas()
+    H = hp[list(h_coords)].to_numpy(np_dtype)
+    ids = hp[id_col].to_numpy(np.int64)
+    nc = ncells
+    cs = box / nc
+    hcell = np.clip(np.floor(H.astype(np.float64) / cs), 0, nc - 1).astype(np.int64)
+    hkey = (hcell[:, 0] * nc + hcell[:, 1]) * nc + hcell[:, 2]
+    order = np.argsort(hkey, kind="stable")
+    # O(1) cell lookup: dense CSR offsets over the nc^3 grid when it
+    # fits (64 MB int32 at 16M cells; ref scale nc=200 -> 8M).  The
+    # searchsorted fallback only triggers on absurdly fine grids.
+    dense_cells = nc**3 <= 16_000_000
+    payload = {"H": H[order], "ids": ids[order], "keys": hkey[order]}
+    if dense_cells:
+        counts = np.bincount(hkey, minlength=nc**3)
+        payload["starts"] = np.concatenate(
+            ([0], np.cumsum(counts))
+        ).astype(np.int32 if len(H) < 2**31 else np.int64)
+    bc = spark.sparkContext.broadcast(payload)
+    r2k = np.asarray(r2, dtype=np_dtype)
+    nr = len(r2k)
+    rmax2_infl = float(np.asarray(r2, dtype=np.float64)[-1]) * (1.0 + 1e-9)
+    offs = ring_offsets(nc, k=1)
+    half = nc // 2
+    raw_offs = np.array(
+        [[m if m <= half else m - nc for m in o] for o in offs], dtype=np.int64
+    )
+    prune_ok = nc >= 3
+
+    m = len(H)
+    dense_ok = m * nr <= 48_000_000  # ~384 MB int64 accumulator cap
+
+    def _reduce(keys: np.ndarray, cnts: np.ndarray):
+        o = np.argsort(keys, kind="stable")
+        k, c = keys[o], cnts[o]
+        b = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+        return k[b], np.add.reduceat(c, b)
+
+    def kern(batches):
+        data = bc.value
+        Hs, ids_s, keys_s = data["H"], data["ids"], data["keys"]
+        starts = data.get("starts")
+        # accumulate (halo, shell) keys: buffer batches, then ONE dense
+        # bincount per flush (a bincount per batch would re-add the full
+        # m*nr accumulator each time); sort-reduce fallback for probe
+        # sets too large for the dense accumulator
+        acc = np.zeros(m * nr, dtype=np.int64) if dense_ok else None
+        raw: list[np.ndarray] = []
+        comp: list[tuple[np.ndarray, np.ndarray]] = []
+        raw_n = 0
+
+        def flush():
+            nonlocal raw, raw_n, acc
+            if not raw:
+                return
+            k = np.concatenate(raw)
+            if acc is not None:
+                acc += np.bincount(k, minlength=m * nr)
+            else:
+                comp.append(_reduce(k, np.ones(len(k), dtype=np.int64)))
+            raw, raw_n = [], 0
+
+        # offset index per axis: raw offset -1/0/+1 -> gap-table column
+        oidx = raw_offs + 1  # (noffs, 3) in {0,1,2}
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            P = pdf[list(_P)].to_numpy(np_dtype)
+            P64 = P.astype(np.float64)
+            pc = np.clip(np.floor(P64 / cs), 0, nc - 1).astype(np.int64)
+            if prune_ok:
+                # per-axis squared gaps to the -1/0/+1 neighbor slabs;
+                # one fancy-indexed sum gives all offsets in one pass
+                # (the vectorized MBR-overlap prune)
+                g2ax = np.empty((n, 3, 3), dtype=np.float64)
+                for a in range(3):
+                    lo = pc[:, a] * cs
+                    gm = P64[:, a] - lo          # off=-1: x - own lower face
+                    gp = lo + cs - P64[:, a]     # off=+1: own upper face - x
+                    g2ax[:, a, 0] = gm * gm
+                    g2ax[:, a, 1] = 0.0
+                    g2ax[:, a, 2] = gp * gp
+                g2 = (
+                    g2ax[:, 0, oidx[:, 0]]
+                    + g2ax[:, 1, oidx[:, 1]]
+                    + g2ax[:, 2, oidx[:, 2]]
+                )  # (n, noffs)
+                pi0, oi0 = np.nonzero(g2 < rmax2_infl)
+            else:
+                pi0 = np.repeat(np.arange(n), len(raw_offs))
+                oi0 = np.tile(np.arange(len(raw_offs)), n)
+            qc = (pc[pi0] + raw_offs[oi0]) % nc
+            qkey = (qc[:, 0] * nc + qc[:, 1]) * nc + qc[:, 2]
+            if starts is not None:
+                lo_i = starts[qkey].astype(np.int64)
+                cnt = starts[qkey + 1].astype(np.int64) - lo_i
+            else:
+                lo_i = np.searchsorted(keys_s, qkey, side="left")
+                cnt = np.searchsorted(keys_s, qkey, side="right") - lo_i
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            pi = np.repeat(pi0, cnt)
+            base = np.repeat(lo_i, cnt)
+            run = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            hidx = base + run
+            d2 = squared_distance_pairs_np(Hs[hidx], P[pi], box=box)
+            sh = shell_index_np(d2, r2k)
+            keep = sh < nr
+            if not keep.any():
+                continue
+            keys = hidx[keep] * nr + sh[keep]
+            raw.append(keys)
+            raw_n += len(keys)
+            if raw_n > 24_000_000:
+                flush()
+        flush()
+        if acc is not None:
+            k = np.nonzero(acc)[0]
+            c = acc[k]
+        else:
+            if not comp:
+                return
+            k = np.concatenate([x[0] for x in comp])
+            c = np.concatenate([x[1] for x in comp])
+            k, c = _reduce(k, c)
+        if len(k):
+            yield pd.DataFrame(
+                {
+                    id_col: ids_s[k // nr],
+                    "shell_idx": (k % nr).astype(np.int32),
+                    "cnt": c.astype(np.int64),
+                }
+            )
+
+    out = particles.select(
+        *[F.col(c).alias(a) for c, a in zip(p_coords, _P)]
+    ).mapInPandas(kern, schema=f"{id_col} long, shell_idx int, cnt long")
     return out.groupBy(id_col, "shell_idx").agg(F.sum("cnt").alias("cnt"))
 
 
