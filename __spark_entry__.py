@@ -50,6 +50,7 @@ from spatialjoincountovershells_spark.operators.images import (  # noqa: E402
 from spatialjoincountovershells_spark.operators.similarity import (  # noqa: E402
     ann_cosine_topk,
     ann_l2_topk,
+    cosine_dedup_pairs,
     lsh_cosine_pairs,
 )
 from spatialjoincountovershells_spark.operators.text import (  # noqa: E402
@@ -392,6 +393,27 @@ FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.
 """
 
 
+def _cosine_dedup_sql(min_sim_1e6: int = 200_000) -> str:
+    return f"""
+WITH cand AS ({_embed_lsh_sql()}),
+qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1024.0) AS BIGINT)) AS q
+       FROM embeddings),
+s AS (SELECT doc_a, doc_b,
+  list_sum(list_transform(generate_series(1, 64), d -> a.q[d] * b.q[d])) AS dot,
+  list_sum(list_transform(generate_series(1, 64), d -> a.q[d] * a.q[d])) AS na2,
+  list_sum(list_transform(generate_series(1, 64), d -> b.q[d] * b.q[d])) AS nb2
+  FROM cand JOIN qv a ON a.vec_id = cand.doc_a JOIN qv b ON b.vec_id = cand.doc_b)
+SELECT doc_a, doc_b,
+  CASE WHEN na2 * nb2 = 0 THEN 0
+  ELSE CAST(floor((CAST(dot AS DOUBLE) / sqrt(CAST(na2 * nb2 AS DOUBLE))) * 1000000.0) AS BIGINT)
+  END AS sim_1e6
+FROM s
+WHERE (CASE WHEN na2 * nb2 = 0 THEN 0
+       ELSE CAST(floor((CAST(dot AS DOUBLE) / sqrt(CAST(na2 * nb2 AS DOUBLE))) * 1000000.0) AS BIGINT)
+       END) >= {min_sim_1e6}
+"""
+
+
 def _doc_fingerprint_sql(window: int = 16) -> str:
     terms = " + ".join(
         f"(CASE WHEN u + {j} <= length(text) THEN ord(substr(text, u + {j}, 1)) ELSE 0 END)::BIGINT"
@@ -558,6 +580,14 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synth_images(spark, 256, seed=14))
 
 
+def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed near-dup scale path: banded-LSH candidates + exact
+    integer-cosine re-rank (threshold chosen to exercise both stages
+    on the synthetic embeddings)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_dedup_pairs(emb, min_sim_1e6=200_000, dim=64)
+
+
 def q_embed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidates via banded hyperplane LSH."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -601,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_roundtrip": q_image_roundtrip,
         "image_features": q_image_features,
         "embed_lsh_pairs": q_embed_lsh_pairs,
+        "cosine_dedup": q_cosine_dedup,
     }
 
 
@@ -765,4 +796,5 @@ FROM events GROUP BY bucket, event_type
         "doc_fingerprint": _doc_fingerprint_sql(),
         "ann_cosine": _ann_cosine_sql(),
         "embed_lsh_pairs": _embed_lsh_sql(),
+        "cosine_dedup": _cosine_dedup_sql(),
     }

@@ -198,6 +198,63 @@ def ann_cosine_topk(
     )
 
 
+def cosine_dedup_pairs(
+    emb: DataFrame,
+    min_sim_1e6: int = 950_000,
+    n_planes: int = 8,
+    bands: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    quant_scale: int = 1024,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded-LSH candidates +
+    EXACT integer-quantized cosine re-rank inside the candidate set —
+    the composed scale path (candidates bounded by band collisions, the
+    O(n^2) work never materializes) with exact output semantics on the
+    candidates.  -> (doc_a, doc_b, sim_1e6) with sim >= min_sim_1e6.
+
+    sim_1e6 uses the same deterministic formula as ann_cosine_topk
+    (exact int dot/norms + one fixed correctly-rounded f64 tree), so
+    the DuckDB oracle matches bit-for-bit.
+    """
+    cand = lsh_cosine_pairs(
+        emb, n_planes=n_planes, bands=bands, seed=seed,
+        id_col=id_col, vec_col=vec_col, dim=dim, quant_scale=quant_scale,
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda e: F.floor(e.cast("double") * F.lit(float(quant_scale))).cast("long"),
+    )
+    qe = emb.select(F.col(id_col).alias("_id"), q.alias("_q"))
+    dot = F.expr(
+        "aggregate(zip_with(_qa, _qb, (a, b) -> a * b), 0L, (s, x) -> s + x)"
+    )
+    n2 = lambda c: F.expr(  # noqa: E731
+        f"aggregate(transform({c}, v -> v * v), 0L, (s, x) -> s + x)"
+    )
+    j = (
+        cand.join(qe.select(F.col("_id").alias("doc_a"), F.col("_q").alias("_qa")), "doc_a")
+        .join(qe.select(F.col("_id").alias("doc_b"), F.col("_q").alias("_qb")), "doc_b")
+        .withColumn("_dot", dot)
+        .withColumn("_na2", n2("_qa"))
+        .withColumn("_nb2", n2("_qb"))
+    )
+    sim = F.when(F.col("_na2") * F.col("_nb2") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (F.col("_dot").cast("double")
+             / F.sqrt((F.col("_na2") * F.col("_nb2")).cast("double")))
+            * F.lit(1e6)
+        ).cast("long")
+    )
+    return (
+        j.withColumn("sim_1e6", sim)
+        .where(F.col("sim_1e6") >= min_sim_1e6)
+        .select("doc_a", "doc_b", "sim_1e6")
+    )
+
+
 def lsh_planes(n_planes: int, bands: int, dim: int, seed: int) -> np.ndarray:
     """(bands, n_planes, dim) deterministic integer hyperplane weights
     in [-2^19, 2^19), splitmix64-derived — inlineable as SQL literals."""

@@ -157,3 +157,27 @@ def test_lsh_cosine_banded_identical_collide(spark):
     got = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
     assert (0, 1) in got      # identical vectors share every band
     assert (0, 2) not in got  # antipodal vectors share none
+
+
+def test_cosine_dedup_pairs_finds_identical(spark):
+    from spatialjoincountovershells_spark.operators.similarity import (
+        cosine_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    v = rng.normal(size=32).astype(np.float32)
+    w = v + rng.normal(scale=0.01, size=32).astype(np.float32)  # near-dup
+    others = [rng.normal(size=32).astype(np.float32) for _ in range(6)]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(9, dtype=np.int64),
+            "embedding": [list(v), list(v), list(w)] + [list(o) for o in others],
+        }
+    )
+    out = cosine_dedup_pairs(
+        spark.createDataFrame(pdf), min_sim_1e6=950_000
+    ).toPandas()
+    got = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert out[out.doc_a == 0].sim_1e6.max() >= 999_000
+    assert not any(a > 2 or b > 2 for a, b in got)  # randoms not near-dups
