@@ -65,7 +65,9 @@ def timed(fn, repeat: int = 1) -> float:
 
 
 def run_bench(cores: int, sf_dir: str, mult: float = 1.0, headline_only: bool = False,
-              no_broadcast: bool = False) -> dict:
+              no_broadcast: bool = False,
+              plans: tuple[str, ...] = ("sql", "fused", "bcast"),
+              count_pairs: bool = True) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
     from spatialjoincountovershells_spark import get_spark
     from spatialjoincountovershells_spark.operators.shell_count import (
@@ -90,34 +92,39 @@ def run_bench(cores: int, sf_dir: str, mult: float = 1.0, headline_only: bool = 
     edges[-1] = np.float32(2.0 ** np.log2(20.0))
 
     # candidate-pair volume for the throughput metric (one-off, not timed)
-    nc = grid_ncells(float(edges[-1]))
-    hr = explode_ring(
-        halos.selectExpr("halo_id", "x as _hx", "y as _hy", "z as _hz"),
-        nc, cols=("_hx", "_hy", "_hz"), prune_radius=float(edges[-1]),
-    )
-    pc = with_cell(parts, nc)
-    n_pairs = hr.join(pc, "cell_id").count()
+    n_pairs = -1
+    if count_pairs:
+        nc = grid_ncells(float(edges[-1]))
+        hr = explode_ring(
+            halos.selectExpr("halo_id", "x as _hx", "y as _hy", "z as _hz"),
+            nc, cols=("_hx", "_hy", "_hz"), prune_radius=float(edges[-1]),
+        )
+        pc = with_cell(parts, nc)
+        n_pairs = hr.join(pc, "cell_id").count()
 
     # explicit fused grid (the auto heuristic's count() pre-pass would be
     # a serial component in the scaling measurement)
     nc_fused = max(2, min(grid_ncells(float(edges[-1])),
                           int(round((n_part / 128) ** (1.0 / 3.0)))))
     queries: dict[str, float] = {}
-    queries["sjcs_shell_sql"] = timed(
-        lambda: noop_write(shell_count(halos, parts, edges, plan="sql",
-                                       id_col="halo_id")),
-        repeat=2,
-    )
-    queries["sjcs_shell_fused"] = timed(
-        lambda: noop_write(shell_count(halos, parts, edges, plan="fused",
-                                       ncells=nc_fused, id_col="halo_id")),
-        repeat=2,
-    )
-    queries["sjcs_shell_bcast"] = timed(
-        lambda: noop_write(shell_count(halos, parts, edges, plan="bcast",
-                                       id_col="halo_id")),
-        repeat=2,
-    )
+    if "sql" in plans:
+        queries["sjcs_shell_sql"] = timed(
+            lambda: noop_write(shell_count(halos, parts, edges, plan="sql",
+                                           id_col="halo_id")),
+            repeat=2,
+        )
+    if "fused" in plans:
+        queries["sjcs_shell_fused"] = timed(
+            lambda: noop_write(shell_count(halos, parts, edges, plan="fused",
+                                           ncells=nc_fused, id_col="halo_id")),
+            repeat=2,
+        )
+    if "bcast" in plans:
+        queries["sjcs_shell_bcast"] = timed(
+            lambda: noop_write(shell_count(halos, parts, edges, plan="bcast",
+                                           id_col="halo_id")),
+            repeat=2,
+        )
     if not headline_only:
         queries["sjcs_range_pairs"] = timed(
             lambda: noop_write(range_join_pairs(
@@ -129,10 +136,10 @@ def run_bench(cores: int, sf_dir: str, mult: float = 1.0, headline_only: bool = 
             fn = entrymod.queries()[name]
             queries[name] = timed(lambda fn=fn: noop_write(fn(spark, sf_dir)))
 
-    t_shell = queries["sjcs_shell_sql"]
+    t_shell = queries.get("sjcs_shell_sql") or min(queries.values())
     result = {
         "metric": "sjcs_candidate_pairs_per_sec",
-        "value": round(n_pairs / t_shell, 1),
+        "value": round(n_pairs / t_shell, 1) if n_pairs > 0 else -1,
         "unit": "pairs/sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": sf,
@@ -282,7 +289,8 @@ def _taskset(ncpu: int) -> list[str]:
     return []
 
 
-def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4)) -> None:
+def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4),
+                plans: str = "sql,bcast") -> None:
     """Same job, same input, N vs 4N cores -> BENCH/BASELINE.md.
 
     Design notes (all measured on this host, see BENCH/BASELINE.md):
@@ -295,33 +303,57 @@ def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4)) -> None:
       all are loaded — hypervisor steal), so the contrast measures the
       ENGINE's scaling, not the neighbors' workload."""
     lo, hi = cores_pair
+    plan_list = plans.split(",")
     results = {}
+    # ONE subprocess per (cores, plan): fresh JVM + fresh python workers
+    # per measurement — a long-lived local session slows down over many
+    # heavy jobs (see CLAUDE.md) and poisons the contrast
     for cores in (lo, hi):
-        out = subprocess.run(
-            _taskset(cores)
-            + [sys.executable, __file__, "--cores", str(cores), "--sf-dir", sf_dir,
-               "--scale-mult", str(mult), "--headline-only"],
-            capture_output=True, text=True, timeout=6000,
-        )
-        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if not lines:
-            sys.stderr.write(
-                f"scaling child (cores={cores}) produced no result; "
-                f"rc={out.returncode}\nstderr tail:\n"
-                + "\n".join(out.stderr.splitlines()[-20:])
-                + "\n"
+        merged = None
+        for i, plan in enumerate(plan_list):
+            args = [sys.executable, __file__, "--cores", str(cores),
+                    "--sf-dir", sf_dir, "--scale-mult", str(mult),
+                    "--headline-only", "--plans", plan]
+            if not (cores == lo and i == 0):
+                args.append("--no-pairs")  # one volume count is enough
+            out = subprocess.run(
+                _taskset(cores) + args, capture_output=True, text=True,
+                timeout=6000,
             )
-            raise RuntimeError(f"scaling child failed at cores={cores}")
-        results[cores] = json.loads(lines[-1])
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                sys.stderr.write(
+                    f"scaling child (cores={cores}, plan={plan}) produced no "
+                    f"result; rc={out.returncode}\nstderr tail:\n"
+                    + "\n".join(out.stderr.splitlines()[-20:]) + "\n"
+                )
+                raise RuntimeError(
+                    f"scaling child failed at cores={cores} plan={plan}"
+                )
+            r = json.loads(lines[-1])
+            if merged is None:
+                merged = r
+            else:
+                merged["queries"].update(r["queries"])
+                if r.get("n_candidate_pairs", -1) > 0:
+                    merged["n_candidate_pairs"] = r["n_candidate_pairs"]
+        results[cores] = merged
     npairs = results[lo]["n_candidate_pairs"]
     rows = []
     effs = {}
-    for q in ("sjcs_shell_sql", "sjcs_shell_fused", "sjcs_shell_bcast"):
+    for q in [f"sjcs_shell_{p}" for p in plans.split(",")]:
         tl, th = results[lo]["queries"][q], results[hi]["queries"][q]
         effs[q] = (tl / th) / (hi / lo)
         rows.append((q, tl, th, npairs / tl, npairs / th, effs[q]))
     best = max(effs, key=effs.get)
     os.makedirs("BENCH", exist_ok=True)
+    # preserve the reference-shape section (written by --ref-shape)
+    ref_section = ""
+    if os.path.exists("BENCH/BASELINE.md"):
+        with open("BENCH/BASELINE.md") as f:
+            parts = f.read().split("\n## Reference-matched shape")
+            if len(parts) > 1:
+                ref_section = "\n## Reference-matched shape" + parts[1]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH — two-parallelism scaling evidence\n\n"
@@ -353,6 +385,7 @@ def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4)) -> None:
             f"Full per-query timings:\n\n```json\n"
             f"{json.dumps(results[lo])}\n{json.dumps(results[hi])}\n```\n"
         )
+        f.write(ref_section)
     print(json.dumps({"scaling_efficiency": round(effs[best], 3),
                       "best_plan": best,
                       **{f"eff_{q}": round(e, 3) for q, e in effs.items()}}))
@@ -370,16 +403,24 @@ def main():
     ap.add_argument("--ref-shape-child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--scale-mult", type=float, default=1.0)
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--plans", default="sql,fused,bcast",
+                    help="comma list of shell-count plans to time")
+    ap.add_argument("--no-pairs", action="store_true",
+                    help="skip the candidate-pair count job")
     args = ap.parse_args()
     if args.scaling:
-        run_scaling(args.sf_dir, mult=max(args.scale_mult, 10.0))
+        run_scaling(args.sf_dir, mult=max(args.scale_mult, 10.0),
+                    plans=args.plans if args.plans != "sql,fused,bcast"
+                    else "sql,bcast")
     elif args.ref_shape:
         run_ref_shape(args.sf_dir, mult=max(args.scale_mult, 10.0))
     elif args.ref_shape_child:
         print(json.dumps(run_ref_bench(args.cores, args.sf_dir, mult=args.scale_mult)))
     else:
         print(json.dumps(run_bench(args.cores, args.sf_dir, mult=args.scale_mult,
-                                   headline_only=args.headline_only)))
+                                   headline_only=args.headline_only,
+                                   plans=tuple(args.plans.split(",")),
+                                   count_pairs=not args.no_pairs)))
 
 
 if __name__ == "__main__":

@@ -43,6 +43,12 @@ def get_spark(
         # the mapInPandas kernels (bcast shell count, image ops); 64k rows
         # of (id, 3 coords) is ~2 MB — well within executor memory
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # CPU-saturating Arrow kernels (bcast shell count) can starve the
+        # executor<->driver heartbeat thread on small pinned-core runs;
+        # generous timeouts are the standard setting for PandasUDF-heavy
+        # jobs and change nothing else
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "900s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")

@@ -62,3 +62,59 @@ def test_stream_cell_occupancy_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_shell_counts_matches_batch(spark):
+    """Streaming micro-batches play the reference's per-file loop: the
+    complete-mode sink must equal the batch shell_count over the same
+    particles (SURVEY §3.1 accumulation semantics)."""
+    import numpy as np
+
+    from spatialjoincountovershells_spark import shell_count
+    from spatialjoincountovershells_spark.streaming.stream_cells import (
+        stream_shell_counts,
+    )
+
+    n_parts, n_halos = 400, 20
+    edges = np.logspace(np.log2(30.0), np.log2(200.0), 4, base=2.0).astype(np.float32)
+
+    def coords(df, key):
+        for i, c in enumerate("xyz"):
+            df = df.withColumn(
+                c,
+                ((F.col(key) * F.lit([2654435761, 2246822519, 3266489917][i]))
+                 % F.lit(64000) / F.lit(64.0)).cast("float"),
+            )
+        return df
+    halos = coords(
+        spark.range(n_halos).withColumnRenamed("id", "halo_id"), "halo_id"
+    ).select("halo_id", "x", "y", "z")
+    stream = coords(
+        spark.readStream.format("rate").option("rowsPerSecond", "2000").load()
+        .where(F.col("value") < n_parts),
+        "value",
+    ).select("x", "y", "z")
+    agg = stream_shell_counts(stream, halos, edges)
+    q = (
+        agg.writeStream.format("memory").queryName("shells")
+        .outputMode("complete").start()
+    )
+    try:
+        deadline = time.time() + 60
+        want_df = coords(spark.range(n_parts), "id").select("x", "y", "z")
+        want = {
+            (r.halo_id, r.shell_idx): r.cnt
+            for r in shell_count(halos, want_df, edges).collect()
+        }
+        got = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {
+                (r.halo_id, r.shell_idx): r.cnt
+                for r in spark.sql("SELECT * FROM shells").collect()
+            }
+            if got == want:
+                break
+    finally:
+        q.stop()
+    assert got == want and len(want) > 0
