@@ -40,12 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.geometry import (
-    flit,
-    squared_distance_expr,
-    squared_distance_np,
-    squared_distance_pairs_np,
-)
+from ..functions.geometry import squared_distance_expr, squared_distance_np
 from ..functions.shells import shell_index_expr, shell_index_np, squared_edges
 from .cells import explode_ring, grid_ncells, ring_offsets, with_cell  # noqa: F401
 
@@ -164,21 +159,27 @@ def choose_plan(
     """Pick the physical plan for shell_count.
 
     'bcast' whenever the probe (halo) side fits the broadcast budget
-    (~32 B/halo; 512 MB covers 16M probes — reference scale is 10M):
-    it was the fastest plan in every CPU-pinned measurement
-    (BENCH/BASELINE.md) and is the only one that never shuffles the
-    big table — at 100 TB that dominates everything else.
+    (real payload: 3 coords + id + sorted key ≈ 40 B/halo, plus the
+    dense CSR offsets array of ~4 B/cell; 512 MB covers ~12M probes —
+    reference scale is 10M): it was the fastest plan in every
+    CPU-pinned measurement (BENCH/BASELINE.md) and is the only one
+    that never shuffles the big table — at 100 TB that dominates
+    everything else.
 
     Otherwise 'fused' vs 'sql' by estimated per-plan runtime.  Each
     runs on a DIFFERENT grid: sql on the finest ring-1 grid
-    (occupancy-capped), fused on a ~`fused_occupancy`-particles/cell
-    grid that amortizes per-group Arrow overhead.  Estimated core-time
-    = that plan's candidate-pair volume / its measured per-core rate;
+    (occupancy-capped — the same grid shell_count passes to the sql
+    plan when 'auto' picks it, so the cost model and the executed
+    plan agree), fused on a ~`fused_occupancy`-particles/cell grid
+    that amortizes per-group Arrow overhead.  Estimated core-time =
+    that plan's candidate-pair volume / its measured per-core rate;
     ties go to sql (lower fixed overhead, pure JVM).
     """
     from .cells import expected_ring_cells
 
-    if n_halos * 32 <= max_broadcast_bytes:
+    nc_bcast = grid_ncells(rmax, box)
+    bcast_bytes = n_halos * 40 + min(nc_bcast**3, 16_000_000) * 4
+    if bcast_bytes <= max_broadcast_bytes:
         return "bcast"
 
     nc_sql = ncells or grid_ncells(rmax, box, n_hint=n_particles)
@@ -236,6 +237,10 @@ def shell_count(
         n_h = n_halos_est or halos.count()
         rmax = float(np.asarray(edges)[-1])
         plan = choose_plan(n_h, n_est, rmax, box, ncells)
+        if plan == "sql" and ncells is None:
+            # execute on the same occupancy-capped grid the cost model
+            # evaluated (ADVICE r2: chooser/plan grid mismatch)
+            ncells = grid_ncells(rmax, box, n_hint=n_est)
     if plan == "fused" and ncells is None:
         # the Arrow kernel amortizes per-group overhead over dense cells:
         # target ~128 particles/cell (measured sweet spot: the numpy
@@ -350,37 +355,69 @@ def _bcast_plan(
     table is NEVER shuffled, exploded, or cogrouped: one scan, map-side
     partial (halo, shell) counts, and a tiny final aggregation whose
     input is bounded by nonzero (halo, shell) cells per partition.
-    Requires the halo side to fit in executor memory (~32 B/halo: 10M
-    halos ≈ 320 MB — the same assumption the reference makes per node).
+    Requires the halo side to fit in executor memory (~40 B/halo: 10M
+    halos ≈ 400 MB — the same assumption the reference makes per node).
 
     Candidate work per particle = halos in the 27-cell ring around it,
     cut further by the same Euclidean min-distance prune as the join
     plans.  Numerics are identical to the fused kernel (f32-safe
     (dx2+dy2)+dz2, strict-< first-match searchsorted binning), so the
     byte-exact golden tests hold for this plan too.
+
+    Kernel hot-path design (profiled stage-by-stage, round 3): the
+    per-candidate-cell bookkeeping — not the distance math — dominated
+    the round-2 kernel (int64 ``% nc`` wrap + per-group np.repeat were
+    ~60% of wall time).  Now:
+
+    * particles whose cell is >= 1 from every box face (the vast
+      majority; requires nc >= 5) take a FAST path: neighbor cell key
+      is one add against a precomputed offset LUT (no modulo), and the
+      pair distance skips the min-image fold entirely — exact, because
+      every candidate pair then has per-axis separation <= 2*cs <=
+      box/2, where ``min(|d|, box-|d|)`` provably picks ``|d|`` and
+      ``|d|^2 == d^2`` in IEEE f32;
+    * empty candidate cells are dropped before pair expansion, and the
+      expansion builds the halo index in ONE np.repeat + one arange
+      (was three repeats);
+    * halo coords are broadcast as three CONTIGUOUS 1-D arrays so the
+      per-pair gather is a flat ``np.take``, and the probe coords are
+      np.repeat'ed values (4 B floats), never 8 B row indices;
+    * pairs are pre-filtered with ``d2 < r2_max`` (typically only a few
+      % survive at reference shapes) before the 40-edge searchsorted.
     """
     np_dtype = np.float32 if dtype == "float32" else np.float64
     spark = halos.sparkSession
     hp = halos.select(id_col, *h_coords).toPandas()
-    H = hp[list(h_coords)].to_numpy(np_dtype)
+    # bin cells from ORIGINAL (f64) precision so cell assignment is
+    # plan-invariant (the sql/fused plans bin raw columns); only the
+    # distance kernel sees the dtype-rounded copy
+    H64 = hp[list(h_coords)].to_numpy(np.float64)
     ids = hp[id_col].to_numpy(np.int64)
     nc = ncells
     cs = box / nc
-    hcell = np.clip(np.floor(H.astype(np.float64) / cs), 0, nc - 1).astype(np.int64)
+    hcell = np.clip(np.floor(H64 / cs), 0, nc - 1).astype(np.int64)
     hkey = (hcell[:, 0] * nc + hcell[:, 1]) * nc + hcell[:, 2]
     order = np.argsort(hkey, kind="stable")
+    Hsorted = H64.astype(np_dtype)[order]
     # O(1) cell lookup: dense CSR offsets over the nc^3 grid when it
     # fits (64 MB int32 at 16M cells; ref scale nc=200 -> 8M).  The
     # searchsorted fallback only triggers on absurdly fine grids.
     dense_cells = nc**3 <= 16_000_000
-    payload = {"H": H[order], "ids": ids[order], "keys": hkey[order]}
+    payload = {
+        "Hx": np.ascontiguousarray(Hsorted[:, 0]),
+        "Hy": np.ascontiguousarray(Hsorted[:, 1]),
+        "Hz": np.ascontiguousarray(Hsorted[:, 2]),
+        "ids": ids[order],
+        "keys": hkey[order],
+    }
     if dense_cells:
         counts = np.bincount(hkey, minlength=nc**3)
         payload["starts"] = np.concatenate(
             ([0], np.cumsum(counts))
-        ).astype(np.int32 if len(H) < 2**31 else np.int64)
+        ).astype(np.int32 if len(H64) < 2**31 else np.int64)
     bc = spark.sparkContext.broadcast(payload)
     r2k = np.asarray(r2, dtype=np_dtype)
+    r2max = r2k[-1]
     nr = len(r2k)
     rmax2_infl = float(np.asarray(r2, dtype=np.float64)[-1]) * (1.0 + 1e-9)
     offs = ring_offsets(nc, k=1)
@@ -388,9 +425,16 @@ def _bcast_plan(
     raw_offs = np.array(
         [[m if m <= half else m - nc for m in o] for o in offs], dtype=np.int64
     )
+    # neighbor-key delta LUT for non-wrapping (interior) cells
+    doff = (raw_offs[:, 0] * nc + raw_offs[:, 1]) * nc + raw_offs[:, 2]
     prune_ok = nc >= 3
+    # interior pairs then have |d|_axis <= 2cs <= 2box/5 < box/2 with a
+    # wide margin (nc >= 5, not 4, so the min-image fold can never flip
+    # within an ulp of the box/2 boundary)
+    fastpath_ok = nc >= 5
+    bx = np_dtype(box)
 
-    m = len(H)
+    m = len(H64)
     dense_ok = m * nr <= 48_000_000  # ~384 MB int64 accumulator cap
 
     def _reduce(keys: np.ndarray, cnts: np.ndarray):
@@ -401,7 +445,8 @@ def _bcast_plan(
 
     def kern(batches):
         data = bc.value
-        Hs, ids_s, keys_s = data["H"], data["ids"], data["keys"]
+        Hx, Hy, Hz = data["Hx"], data["Hy"], data["Hz"]
+        ids_s, keys_s = data["ids"], data["keys"]
         starts = data.get("starts")
         # accumulate (halo, shell) keys: buffer batches, then ONE dense
         # bincount per flush (a bincount per batch would re-add the full
@@ -429,8 +474,10 @@ def _bcast_plan(
             n = len(pdf)
             if n == 0:
                 continue
-            P = pdf[list(_P)].to_numpy(np_dtype)
-            P64 = P.astype(np.float64)
+            # bin from original precision (plan-invariant cells); the
+            # kernel-dtype copy is used only for distances
+            P64 = pdf[list(_P)].to_numpy(np.float64)
+            P = P64.astype(np_dtype)
             pc = np.clip(np.floor(P64 / cs), 0, nc - 1).astype(np.int64)
             if prune_ok:
                 # per-axis squared gaps to the -1/0/+1 neighbor slabs;
@@ -444,40 +491,69 @@ def _bcast_plan(
                     g2ax[:, a, 0] = gm * gm
                     g2ax[:, a, 1] = 0.0
                     g2ax[:, a, 2] = gp * gp
-                g2 = (
-                    g2ax[:, 0, oidx[:, 0]]
-                    + g2ax[:, 1, oidx[:, 1]]
-                    + g2ax[:, 2, oidx[:, 2]]
-                )  # (n, noffs)
-                pi0, oi0 = np.nonzero(g2 < rmax2_infl)
+                g2 = g2ax[:, 0, oidx[:, 0]]
+                g2 += g2ax[:, 1, oidx[:, 1]]
+                g2 += g2ax[:, 2, oidx[:, 2]]  # (n, noffs)
+                keepmask = g2 < rmax2_infl
             else:
-                pi0 = np.repeat(np.arange(n), len(raw_offs))
-                oi0 = np.tile(np.arange(len(raw_offs)), n)
-            qc = (pc[pi0] + raw_offs[oi0]) % nc
-            qkey = (qc[:, 0] * nc + qc[:, 1]) * nc + qc[:, 2]
-            if starts is not None:
-                lo_i = starts[qkey].astype(np.int64)
-                cnt = starts[qkey + 1].astype(np.int64) - lo_i
+                keepmask = np.ones((n, len(raw_offs)), dtype=bool)
+            pkey = (pc[:, 0] * nc + pc[:, 1]) * nc + pc[:, 2]
+            if fastpath_ok:
+                interior = ((pc >= 1) & (pc <= nc - 2)).all(axis=1)
             else:
-                lo_i = np.searchsorted(keys_s, qkey, side="left")
-                cnt = np.searchsorted(keys_s, qkey, side="right") - lo_i
-            total = int(cnt.sum())
-            if total == 0:
-                continue
-            pi = np.repeat(pi0, cnt)
-            base = np.repeat(lo_i, cnt)
-            run = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-            hidx = base + run
-            d2 = squared_distance_pairs_np(Hs[hidx], P[pi], box=box)
-            sh = shell_index_np(d2, r2k)
-            keep = sh < nr
-            if not keep.any():
-                continue
-            keys = hidx[keep] * nr + sh[keep]
-            raw.append(keys)
-            raw_n += len(keys)
-            if raw_n > 24_000_000:
-                flush()
+                interior = np.zeros(n, dtype=bool)
+            for fast in (True, False):
+                mk = keepmask & (interior if fast else ~interior)[:, None]
+                if not mk.any():
+                    continue
+                pi0, oi0 = np.nonzero(mk)
+                if fast:
+                    qkey = pkey[pi0] + doff[oi0]
+                else:
+                    qc = (pc[pi0] + raw_offs[oi0]) % nc
+                    qkey = (qc[:, 0] * nc + qc[:, 1]) * nc + qc[:, 2]
+                if starts is not None:
+                    lo_i = starts[qkey].astype(np.int64)
+                    cnt = starts[qkey + 1].astype(np.int64) - lo_i
+                else:
+                    lo_i = np.searchsorted(keys_s, qkey, side="left")
+                    cnt = np.searchsorted(keys_s, qkey, side="right") - lo_i
+                nz = cnt > 0
+                pi0, lo_i, cnt = pi0[nz], lo_i[nz], cnt[nz]
+                total = int(cnt.sum())
+                if total == 0:
+                    continue
+                c0 = np.cumsum(cnt) - cnt
+                hidx = np.arange(total, dtype=np.int64)
+                hidx += np.repeat(lo_i - c0, cnt)
+                dx = np.take(Hx, hidx)
+                dx -= np.repeat(P[pi0, 0], cnt)
+                dy = np.take(Hy, hidx)
+                dy -= np.repeat(P[pi0, 1], cnt)
+                dz = np.take(Hz, hidx)
+                dz -= np.repeat(P[pi0, 2], cnt)
+                if not fast:
+                    # min-image fold, f32-exact ((dx2+dy2)+dz2 order kept)
+                    np.abs(dx, out=dx)
+                    np.minimum(dx, bx - dx, out=dx)
+                    np.abs(dy, out=dy)
+                    np.minimum(dy, bx - dy, out=dy)
+                    np.abs(dz, out=dz)
+                    np.minimum(dz, bx - dz, out=dz)
+                dx *= dx
+                dy *= dy
+                dz *= dz
+                d2 = dx + dy
+                d2 += dz
+                inr = d2 < r2max  # cheap prefilter before the 40-edge bin
+                if not inr.any():
+                    continue
+                sh = np.searchsorted(r2k, d2[inr], side="right")
+                keys = hidx[inr] * nr + sh
+                raw.append(keys)
+                raw_n += len(keys)
+                if raw_n > 24_000_000:
+                    flush()
         flush()
         if acc is not None:
             k = np.nonzero(acc)[0]
