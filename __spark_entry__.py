@@ -214,7 +214,9 @@ def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(bucket, "event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
-# ------- rows-only entries (Spark-native hashing / numpy kernels; no SQL twin)
+# ------- hash-family entries — oracle-backed since round 2 via the
+# SQL-derivable poly/affine hashes in functions/texthash.py (each has a
+# bit-exact DuckDB twin in oracle_sql(), hash-checked by the gate)
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_read(spark, sf_dir, "documents"))

@@ -26,6 +26,41 @@ from ..functions.texthash import (
 )
 
 
+def bucket_pairs(
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """All intra-bucket ordered id pairs (a < b) via ONE aggregation.
+
+    Replaces the bucket-table self-join (which recomputed the upstream
+    signature aggregation once per join side — round-2 VERDICT): one
+    groupBy(bucket).collect_list, then JVM array exprs expand each
+    bucket's sorted id list into its C(n,2) ordered pairs.  One
+    shuffle, the upstream plan executes exactly once, and there is no
+    persist/cache lifetime to manage.  A pathological hot bucket
+    concentrates its pair expansion in one task, but the self-join had
+    the same bound (every row of a bucket hashes to one reducer); LSH
+    banding keeps buckets small by construction.
+    """
+    g = (
+        buckets.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(_ids, (x, i) -> "
+            "transform(slice(_ids, i + 2, size(_ids)), y -> struct(x, y))))"
+        )
+    ).alias("_p")
+    return g.select(pair).select(
+        F.col("_p.x").alias(out_a), F.col("_p.y").alias(out_b)
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """-> (canonical_id, n_copies) — one row per distinct text."""
     return (
@@ -157,11 +192,9 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    l = buckets.select(F.col(id_col).alias("doc_a"), "band", "key")
-    r = buckets.select(F.col(id_col).alias("doc_b"), "band", "key")
+    # one aggregation over the signature plan (no self-join recompute)
     return (
-        l.join(r, ["band", "key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        bucket_pairs(buckets, ["band", "key"], id_col)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands_hit"))
     )

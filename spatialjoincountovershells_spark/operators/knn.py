@@ -49,12 +49,24 @@ def knn(
     particle_id_col: str = "particle_id",
     h_coords: tuple[str, str, str] = ("x", "y", "z"),
     p_coords: tuple[str, str, str] = ("x", "y", "z"),
-    ncells: int = 16,
+    ncells: int | None = None,
     max_ring: int | None = None,
+    n_particles_est: int | None = None,
+    warmup: bool = False,
 ) -> DataFrame:
-    """-> (halo_id, particle_id, rank 1..k, d2) — exact periodic kNN."""
+    """-> (halo_id, particle_id, rank 1..k, d2) — exact periodic kNN.
+
+    ncells: grid resolution; defaults to an occupancy-aware choice via
+    grid_ncells(box/16, n_hint=n_particles_est) — pass the (free, if a
+    catalog tracks stats) particle-count estimate so sparse tables get
+    a coarser grid whose first ring already holds ~k candidates instead
+    of fanning probes into empty cells.  warmup=True materializes the
+    cell-keyed particle cache up front (one extra count job) — useful
+    before latency measurements; off by default (the ring loop's own
+    first job populates the cache anyway).
+    """
     spark = halos.sparkSession
-    nc = ncells or grid_ncells(box / 16, box)
+    nc = ncells or grid_ncells(box / 16, box, n_hint=n_particles_est)
     cs = box / nc
     h = halos.select(
         F.col(id_col), *[F.col(c).alias(a) for c, a in zip(h_coords, _H)]
@@ -64,7 +76,8 @@ def knn(
         *[F.col(c).alias(a) for c, a in zip(p_coords, _P)],
     )
     p = with_cell(p, nc, box, cols=_P).persist()
-    p.count()
+    if warmup:
+        p.count()
 
     d2 = squared_distance_expr(_H, _P, box, dtype)
     w = Window.partitionBy(id_col).orderBy("d2", particle_id_col)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.synth import splitmix64
+from .dedup import bucket_pairs
 
 
 def _quant_np(col: pd.Series, scale: int) -> np.ndarray:
@@ -317,11 +318,6 @@ def lsh_cosine_pairs(
     buckets = emb.select(id_col, vec_col).mapInPandas(
         op, schema="vid long, band int, bucket long"
     )
-    l = buckets.select(F.col("vid").alias("doc_a"), "band", "bucket")
-    r = buckets.select(F.col("vid").alias("doc_b"), "band", "bucket")
-    return (
-        l.join(r, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    # one aggregation over the bucket scan (the mapInPandas signature
+    # pass executes once, not once per self-join side)
+    return bucket_pairs(buckets, ["band", "bucket"], "vid").distinct()

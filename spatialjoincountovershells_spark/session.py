@@ -58,13 +58,18 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if spark.sparkContext.getCheckpointDir() is None:
-        # reliable-checkpoint home for iterative operators (knn):
-        # local temp dir here; on a real cluster set SJCS_CHECKPOINT_DIR
-        # to a durable shared path (HDFS/S3) before building the session
-        import tempfile
+        # reliable-checkpoint home for iterative operators (knn).
+        # SJCS_CHECKPOINT_DIR (a durable shared path — HDFS/S3) is
+        # honored everywhere; the tempdir fallback applies ONLY in
+        # local mode — on a multi-node cluster a driver-local tempdir
+        # would make every executor checkpoint to its own disk
+        # (unrecoverable), so there knn falls back to localCheckpoint
+        # unless the env var names a shared path.
+        ckpt = os.environ.get("SJCS_CHECKPOINT_DIR")
+        if ckpt is None and spark.sparkContext.master.startswith("local"):
+            import tempfile
 
-        spark.sparkContext.setCheckpointDir(
-            os.environ.get("SJCS_CHECKPOINT_DIR")
-            or tempfile.mkdtemp(prefix="sjcs-ckpt-")
-        )
+            ckpt = tempfile.mkdtemp(prefix="sjcs-ckpt-")
+        if ckpt is not None:
+            spark.sparkContext.setCheckpointDir(ckpt)
     return spark
