@@ -137,6 +137,14 @@ def q_shell_count_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shell_count_dgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-aggregation plan: broadcast particle grid, stream probes."""
+    return shell_count(
+        _halos(spark, sf_dir), _parts(spark, sf_dir), EDGES,
+        dtype="float64", plan="dgrid",
+    )
+
+
 def q_shell_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shell_totals(q_shell_count(spark, sf_dir))
 
@@ -416,6 +424,26 @@ WHERE (CASE WHEN na2 * nb2 = 0 THEN 0
 """
 
 
+def _ann_l2_lsh_sql(k: int = 3, dim: int = 64, scale: float = 1024.0) -> str:
+    return f"""
+WITH cand0 AS ({_embed_lsh_sql()}),
+cand AS (SELECT doc_a AS query_id, doc_b AS neighbor_id FROM cand0
+         UNION ALL
+         SELECT doc_b AS query_id, doc_a AS neighbor_id FROM cand0),
+qv AS (SELECT vec_id, list_transform(embedding, e -> CAST(floor(e * {scale}) AS BIGINT)) AS q
+       FROM embeddings),
+d AS (SELECT query_id, neighbor_id,
+      CAST(list_sum(list_transform(generate_series(1, {dim}),
+               i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS BIGINT) AS qd2
+      FROM cand JOIN qv a ON a.vec_id = cand.query_id
+                JOIN qv b ON b.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY qd2, neighbor_id) AS INTEGER) AS rank,
+       qd2
+FROM d QUALIFY rank <= {k}
+"""
+
+
 def _doc_fingerprint_sql(window: int = 16) -> str:
     terms = " + ".join(
         f"(CASE WHEN u + {j} <= length(text) THEN ord(substr(text, u + {j}, 1)) ELSE 0 END)::BIGINT"
@@ -596,6 +624,18 @@ def q_embed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(emb, n_planes=8, bands=4, dim=64)
 
 
+def q_ann_l2_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale ANN route: banded-LSH candidates expanded to both
+    directions + exact integer-L2 re-rank via ann_l2_topk(candidates=)
+    — no O(n*m) distance block anywhere (VERDICT r2 item 5)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cand = lsh_cosine_pairs(emb, n_planes=8, bands=4, dim=64)
+    both = cand.selectExpr("doc_a AS query_id", "doc_b AS neighbor_id").union(
+        cand.selectExpr("doc_b AS query_id", "doc_a AS neighbor_id")
+    )
+    return ann_l2_topk(emb, k=3, candidates=both)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -608,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shell_count": q_shell_count,
         "shell_count_fused": q_shell_count_fused,
         "shell_count_bcast": q_shell_count_bcast,
+        "shell_count_dgrid": q_shell_count_dgrid,
         "shell_totals": q_shell_totals,
         "range_pairs": q_range_pairs,
         "semi_filtered_shell_count": q_semi_filtered_shell_count,
@@ -633,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_roundtrip": q_image_roundtrip,
         "image_features": q_image_features,
         "embed_lsh_pairs": q_embed_lsh_pairs,
+        "ann_l2_lsh": q_ann_l2_lsh,
         "cosine_dedup": q_cosine_dedup,
     }
 
@@ -687,6 +729,7 @@ WITH pts AS (SELECT o_orderkey AS point_id, {sql_coord("o_orderkey", 0)} AS px,
         "shell_count": shell_sql,
         "shell_count_fused": shell_sql,
         "shell_count_bcast": shell_sql,
+        "shell_count_dgrid": shell_sql,
         "shell_totals": f"""
 WITH base AS ({shell_sql})
 SELECT shell_idx, CAST(sum(cnt) AS BIGINT) AS total FROM base GROUP BY shell_idx
@@ -798,5 +841,6 @@ FROM events GROUP BY bucket, event_type
         "doc_fingerprint": _doc_fingerprint_sql(),
         "ann_cosine": _ann_cosine_sql(),
         "embed_lsh_pairs": _embed_lsh_sql(),
+        "ann_l2_lsh": _ann_l2_lsh_sql(),
         "cosine_dedup": _cosine_dedup_sql(),
     }

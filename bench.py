@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CACHE = "/tmp/sjcs_bench_cache"
 
-SHELL_PLANS = ("sql", "fused", "bcast")
+SHELL_PLANS = ("sql", "fused", "bcast", "dgrid")
 EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign", "point_in_polygon", "knn",
                  "minhash_lsh", "ann_cosine", "dedup_exact")
 
@@ -305,9 +305,9 @@ def run_ref_shape(sf_dir: str, mult: float = 10.0, cores: int = 4) -> None:
             f"{r['cores']} | {ours:,.0f} |\n\n"
             f"Ratio (ours/reference per thread): **{ours / ref_per_thread:.2f}x**.  "
             f"Candidate-pair throughput: {r['pairs_per_sec_per_core']:,.0f} "
-            f"pairs/s/core.  Plans: sql {r['queries']['sql']:.1f}s, fused "
-            f"{r['queries']['fused']:.1f}s, bcast {r['queries']['bcast']:.1f}s "
-            f"on {r['n_halos']:,} probes x "
+            f"pairs/s/core.  Plans: "
+            + ", ".join(f"{k} {v:.1f}s" for k, v in r["queries"].items())
+            + f" on {r['n_halos']:,} probes x "
             f"{r['n_particles']:,} particles ({r['n_candidate_pairs']:,} candidate "
             f"pairs); auto chooser picks '{r['auto_plan_choice']}' here.\n\n"
             f"```json\n{json.dumps(r)}\n```\n"

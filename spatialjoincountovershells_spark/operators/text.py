@@ -21,6 +21,14 @@ _LANG_MARKERS = [
 
 
 def _n_tokens(text_col: str):
+    """Token count CONTRACT: space-count + 1 on the trimmed text.
+
+    Every 0x20 space is a boundary, so consecutive spaces count empty
+    tokens ("a  b" -> 3) and other whitespace (tab/newline) does not
+    split.  Deliberate: the same arithmetic is expressible in ANSI SQL
+    (`length - length(replace(..)) + 1`) so the DuckDB oracle is
+    bit-exact, whereas regex-split token semantics diverge across
+    engines.  Pinned by test_n_tokens_space_semantics."""
     t = F.trim(F.col(text_col))
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1

@@ -181,3 +181,40 @@ def test_cosine_dedup_pairs_finds_identical(spark):
     assert (0, 1) in got and (0, 2) in got and (1, 2) in got
     assert out[out.doc_a == 0].sim_1e6.max() >= 999_000
     assert not any(a > 2 or b > 2 for a, b in got)  # randoms not near-dups
+
+
+def test_ann_l2_candidate_route(spark):
+    """candidates= hook (VERDICT r2 #5): LSH candidates + exact bucketed
+    re-rank returns IDENTICAL top-k to the exact block-nested-loop on a
+    clustered dataset where LSH recall is total — tight clusters of
+    size > k whose members share every band signature (10x the contract
+    scale, seeded)."""
+    rng = np.random.default_rng(17)
+    n_clusters, per, dim, k = 60, 11, 8, 3
+    centers = rng.normal(size=(n_clusters, dim)) * 10.0
+    vecs = (
+        np.repeat(centers, per, axis=0)
+        + rng.normal(size=(n_clusters * per, dim)) * 1e-3
+    ).astype(np.float32)
+    n = len(vecs)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(map(list, vecs))}
+    )
+    emb = spark.createDataFrame(pdf)
+    cand = lsh_cosine_pairs(emb, n_planes=8, bands=4, seed=7, dim=dim)
+    both = cand.selectExpr("doc_a AS query_id", "doc_b AS neighbor_id").union(
+        cand.selectExpr("doc_b AS query_id", "doc_a AS neighbor_id")
+    )
+    got = (
+        ann_l2_topk(emb, k=k, candidates=both)
+        .orderBy("query_id", "rank")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        ann_l2_topk(emb, k=k, query_blocks=3, corpus_blocks=4)
+        .orderBy("query_id", "rank")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

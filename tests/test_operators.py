@@ -209,3 +209,24 @@ def test_pip_matches_numpy_oracle(spark):
         mask = point_in_polygon_np(pts[:, 0], pts[:, 1], v)
         want |= {(int(i), pid) for i in np.nonzero(mask)[0]}
     assert got == want
+
+
+def test_n_tokens_space_semantics(spark):
+    """Pin the documented token-count contract (operators/text.py):
+    space-count + 1 on trimmed text — consecutive spaces count empty
+    tokens, non-space whitespace does not split."""
+    from spatialjoincountovershells_spark.operators.text import text_stats
+
+    rows = [
+        (0, "a b c", 3),
+        (1, "a  b", 3),        # double space -> an empty token
+        (2, "  a b  ", 2),     # trim first
+        (3, "", 0),
+        (4, "a\tb", 1),        # tab is NOT a boundary
+        (5, "one", 1),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], schema="doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_tokens for r in text_stats(df).collect()}
+    assert got == {i: n for i, _, n in rows}

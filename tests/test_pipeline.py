@@ -84,3 +84,50 @@ def test_tableio_parquet_standin(spark, tmp_path):
     assert write_table(df, loc) == "parquet"
     back = read_table(spark, loc)
     assert back.count() == 100 and set(back.columns) == {"id", "v"}
+
+
+def test_tableio_iceberg_branch_plumbing():
+    """The Iceberg branch cannot EXECUTE in this container (no runtime
+    jar — documented waiver), so pin its DataFrameWriterV2 call plumbing
+    with a stub: forced fmt='iceberg' must route writeTo(ident)
+    .using('iceberg') then createOrReplace()/append() by mode, and
+    read_table must resolve through spark.table(ident)."""
+    from spatialjoincountovershells_spark.sources import tableio
+
+    calls = []
+
+    class W:
+        def __init__(self, ident):
+            self.ident = ident
+
+        def using(self, fmt):
+            calls.append(("using", self.ident, fmt))
+            return self
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace",))
+
+        def append(self):
+            calls.append(("append",))
+
+    class FakeDF:
+        sparkSession = None
+
+        def writeTo(self, ident):
+            return W(ident)
+
+    assert tableio.write_table(FakeDF(), "sjcs.db.t", fmt="iceberg") == "iceberg"
+    assert calls == [("using", "sjcs.db.t", "iceberg"), ("createOrReplace",)]
+    calls.clear()
+    assert tableio.write_table(
+        FakeDF(), "sjcs.db.t", mode="append", fmt="iceberg") == "iceberg"
+    assert calls == [("using", "sjcs.db.t", "iceberg"), ("append",)]
+
+    class FakeSpark:
+        def table(self, ident):
+            calls.append(("table", ident))
+            return "DF"
+
+    calls.clear()
+    assert tableio.read_table(FakeSpark(), "sjcs.db.t", fmt="iceberg") == "DF"
+    assert calls == [("table", "sjcs.db.t")]

@@ -76,7 +76,7 @@ def parse_golden_report(path: str):
     return [np.array(h) for h in halos], ids, np.array(total)
 
 
-def run_on_files(spark, part_paths, halo_path, spec, filter_path=None):
+def run_on_files(spark, part_paths, halo_path, spec, filter_path=None, plan="sql"):
     parts = read_decoded_particles(spark, part_paths)
     halos = read_halos_text_ordered(spark, halo_path)
     if filter_path is not None:
@@ -84,14 +84,16 @@ def run_on_files(spark, part_paths, halo_path, spec, filter_path=None):
         halos = filter_halos(halos, ids, id_col="halo_id")
     edges = logspace_edges(*spec)
     counts = shell_count(
-        halos, parts, edges, id_col="row_idx", dtype="float32"
+        halos, parts, edges, id_col="row_idx", dtype="float32", plan=plan
     )
     hp = halos.select("row_idx", "halo_id").toPandas().sort_values("row_idx")
     return counts, hp, edges
 
 
-def assert_matches_golden(spark, part_paths, halo_path, spec, golden, filter_path=None):
-    counts, hp, edges = run_on_files(spark, part_paths, halo_path, spec, filter_path)
+def assert_matches_golden(spark, part_paths, halo_path, spec, golden,
+                          filter_path=None, plan="sql"):
+    counts, hp, edges = run_on_files(spark, part_paths, halo_path, spec,
+                                     filter_path, plan=plan)
     want_halos, want_ids, want_total = parse_golden_report(os.path.join(GOLD, golden))
     lines = report_lines(counts, hp, edges, buggy_total=True)
     golden_lines = open(os.path.join(GOLD, golden)).read().splitlines()
@@ -113,6 +115,15 @@ def assert_matches_golden(spark, part_paths, halo_path, spec, golden, filter_pat
 def test_pb_golden_report_byte_exact(spark, spec, golden):
     """TestData4PB through our readers == astr_rcount.exe output, byte-level."""
     assert_matches_golden(spark, PB_PART, PB_HALO, spec, golden)
+
+
+@pytest.mark.parametrize("plan", ["fused", "bcast", "dgrid"])
+def test_pb_golden_all_plans_byte_exact(spark, plan):
+    """f32 byte-parity is plan-invariant: every physical plan reproduces
+    the reference report on the 40-shell PB golden (the kernels share
+    one (dx2+dy2)+dz2 / strict-< searchsorted numerics contract)."""
+    assert_matches_golden(spark, PB_PART, PB_HALO, (0.001, 5.0, 40),
+                          "pb_0.001_5_40.txt", plan=plan)
 
 
 @pytest.mark.parametrize(

@@ -34,7 +34,7 @@ def _run(spark, H, P, edges, plan, ncells=None, dtype="float32"):
     return dense_from_long(rows, len(H), len(edges))
 
 
-@pytest.mark.parametrize("plan", ["sql", "fused", "bcast"])
+@pytest.mark.parametrize("plan", ["sql", "fused", "bcast", "dgrid"])
 @pytest.mark.parametrize(
     "spec,expected",
     [
@@ -54,7 +54,7 @@ def test_periodic_golden(spark, plan, spec, expected):
     assert oracle_shell_counts(PB_HALOS, PB_PARTICLES, squared_edges(edges)).tolist() == want.tolist()
 
 
-@pytest.mark.parametrize("plan", ["sql", "fused", "bcast"])
+@pytest.mark.parametrize("plan", ["sql", "fused", "bcast", "dgrid"])
 @pytest.mark.parametrize(
     "seed,n_part,n_halo,spec",
     [
@@ -93,11 +93,13 @@ def test_rmax_guard(spark):
 def test_choose_plan_measured_regimes():
     from spatialjoincountovershells_spark.operators.shell_count import choose_plan
 
-    # bcast wins whenever the probe side fits the broadcast budget —
-    # fastest in every CPU-pinned 3-way measurement (BENCH/BASELINE.md)
-    # and the only plan that never shuffles the big table
-    assert choose_plan(60_000, 600_000, rmax=20.0) == "bcast"
-    assert choose_plan(10_000_000, 300_000_000, rmax=5.0) == "bcast"  # ref scale
+    # dgrid wins whenever the DATA side fits the broadcast budget
+    # (the reference's own in-memory-grid architecture; fastest in
+    # every CPU-pinned measurement, BENCH/BASELINE.md)
+    assert choose_plan(60_000, 600_000, rmax=20.0) == "dgrid"
+    # data too big, probe side fits: bcast — never shuffles the big
+    # table (ref scale: 10M probes vs 300M particles)
+    assert choose_plan(10_000_000, 300_000_000, rmax=5.0) == "bcast"
     # beyond the budget: the measured sql/fused operating points
     # (sf0.1 rmax=20: sql 2.7 vs fused 7.4; sf1 rmax=20: sql 131 vs
     # fused 91; ref-shape rmax=12.77: sql 62 vs fused 86)
