@@ -6,8 +6,12 @@ ANSI-SQL equivalent.  Cross-engine determinism strategy: spatial
 coordinates are derived from integer keys as exact multiples of 1/64
 (functions/keycoords.py), so every float64 comparison is exact and the
 two engines agree bit-for-bit; non-spatial queries output only
-integers/strings.  Operators whose hashes are Spark-native (xxhash64)
-or whose kernels are numpy-only have no SQL oracle -> rows-only check.
+integers/strings.  String/embedding hash operators (minhash, simhash,
+fingerprint, LSH) use the SQL-derivable texthash family
+(functions/texthash.py), so they are fully oracle-backed too; the only
+rows-only entries left are image-payload ones (sjcs_images f32 —
+pinned instead by byte-exact reference goldens — and image_roundtrip's
+PSNR property, which has no reasonable SQL twin).
 """
 
 from __future__ import annotations
