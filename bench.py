@@ -144,12 +144,26 @@ def _run_one(query: str, cores: int, sf_dir: str, mult: float,
 
     if query.startswith("sjcs_shell_"):
         plan = query.removeprefix("sjcs_shell_")
-        out["sec"] = timed(
-            lambda: noop_write(shell_count(
-                halos, parts, edges, plan=plan, id_col="halo_id",
-                n_halos_est=n_halo, n_particles_est=n_part)),
-            repeat=repeat,
-        )
+        # phase-split timing, mirroring the reference's own accounting
+        # (README.md:119-136 prints "index construction time" apart from
+        # "searching time"; its published probes/s derives from searching
+        # only).  For the broadcast plans "build" is the grid collect +
+        # broadcast, triggered eagerly by shell_count(); for sql/fused
+        # plan construction is lazy so build ~ 0 and search = whole job.
+        best_b = best_s = best_t = float("inf")
+        for _ in range(repeat):
+            t0 = time.time()
+            df = shell_count(halos, parts, edges, plan=plan, id_col="halo_id",
+                             n_halos_est=n_halo, n_particles_est=n_part)
+            t1 = time.time()
+            noop_write(df)
+            t2 = time.time()
+            best_b = min(best_b, t1 - t0)
+            best_s = min(best_s, t2 - t1)
+            best_t = min(best_t, t2 - t0)
+        out["sec"] = best_t
+        out["build_sec"] = round(best_b, 3)
+        out["search_sec"] = round(best_s, 3)
     elif query == "sjcs_range_pairs":
         out["sec"] = timed(
             lambda: noop_write(range_join_pairs(
@@ -249,24 +263,37 @@ def run_ref_shape(sf_dir: str, mult: float = 10.0, cores: int = 4) -> None:
     from spatialjoincountovershells_spark.operators.shell_count import choose_plan
 
     queries: dict[str, float] = {}
+    builds: dict[str, float] = {}
+    searches: dict[str, float] = {}
     meta: dict = {}
     for plan in SHELL_PLANS:
         r = _spawn_one(f"sjcs_shell_{plan}", cores, sf_dir, mult,
                        shape="ref", pin=True)
         queries[plan] = r["sec"]
+        builds[plan] = r.get("build_sec", 0.0)
+        searches[plan] = r.get("search_sec", r["sec"])
         meta = r
     # pair volume for the ref shape (context metric, not timed)
     n_pairs = _spawn_one("__pairs", cores, sf_dir, mult, shape="ref",
                          pin=True)["n_candidate_pairs"]
     n_halo, n_part = meta["n_halos"], meta["n_particles"]
     _, rmax = _ref_edges(n_part)
-    best = min(queries.values())
+    # reference accounting: its published 478k probes/s = n_halos /
+    # SEARCHING time; "index construction time" is printed separately
+    # (reference README.md:119-136).  Compare like with like: probes/s
+    # from our searching phase, the grid build reported apart — and the
+    # end-to-end total too, so nothing hides.
+    best_plan = min(searches, key=searches.get)
+    best = searches[best_plan]
+    best_total = min(queries.values())
     auto = choose_plan(n_halo, n_part, rmax)
     r = {
         "metric": "ref_shape_probes_per_sec",
         "value": round(n_halo / best, 1),
         "unit": "probes/sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
+        "build_sec": {k: round(v, 3) for k, v in builds.items()},
+        "search_sec": {k: round(v, 3) for k, v in searches.items()},
         "sf": meta["sf"],
         "cores": cores,
         "n_particles": n_part,
@@ -275,7 +302,10 @@ def run_ref_shape(sf_dir: str, mult: float = 10.0, cores: int = 4) -> None:
         "rmax": round(rmax, 4),
         "candidates_per_probe": round(n_pairs / n_halo, 1),
         "auto_plan_choice": auto,
+        "best_plan": best_plan,
         "probes_per_sec_per_core": round(n_halo / best / cores, 1),
+        "probes_per_sec_per_core_incl_build": round(
+            n_halo / best_total / cores, 1),
         "pairs_per_sec_per_core": round(n_pairs / best / cores, 1),
         "total_sec": round(sum(queries.values()), 3),
     }
@@ -298,15 +328,25 @@ def run_ref_shape(sf_dir: str, mult: float = 10.0, cores: int = 4) -> None:
             f"density-radius product at our density "
             f"({r['candidates_per_probe']} measured candidates/probe).\n"
             f"Each plan timed in a FRESH CPU-pinned subprocess, min-of-2.\n\n"
+            f"Accounting matches the reference's own: its published 478k\n"
+            f"probes/s is halos / SEARCHING time, with index construction\n"
+            f"printed separately (its README.md:119-136 — 6.6s build vs\n"
+            f"21.2s search per file).  Ours likewise: 'search' is the probe\n"
+            f"stream; 'build' is the grid collect+broadcast (zero for the\n"
+            f"non-broadcast plans, whose whole job is search).\n\n"
             f"| | probes/s | threads | probes/s/thread |\n|---|---|---|---|\n"
             f"| reference astr_rcount (README.md:125-135) | 478,000 | 20 | "
             f"{ref_per_thread:,.0f} |\n"
             f"| this repo (best plan, CPU-pinned, min-of-2) | {r['value']:,.0f} | "
             f"{r['cores']} | {ours:,.0f} |\n\n"
-            f"Ratio (ours/reference per thread): **{ours / ref_per_thread:.2f}x**.  "
+            f"Ratio (ours/reference per thread): **{ours / ref_per_thread:.2f}x** "
+            f"(incl. grid build: "
+            f"{r['probes_per_sec_per_core_incl_build'] / ref_per_thread:.2f}x).  "
             f"Candidate-pair throughput: {r['pairs_per_sec_per_core']:,.0f} "
-            f"pairs/s/core.  Plans: "
-            + ", ".join(f"{k} {v:.1f}s" for k, v in r["queries"].items())
+            f"pairs/s/core.  Plans (total = build + search): "
+            + ", ".join(
+                f"{k} {v:.1f}s ({builds[k]:.1f}+{searches[k]:.1f})"
+                for k, v in r["queries"].items())
             + f" on {r['n_halos']:,} probes x "
             f"{r['n_particles']:,} particles ({r['n_candidate_pairs']:,} candidate "
             f"pairs); auto chooser picks '{r['auto_plan_choice']}' here.\n\n"
@@ -334,21 +374,30 @@ def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4),
     results: dict[int, dict] = {}
     npairs = -1
     for cores in (lo, hi):
-        merged: dict = {"queries": {}}
+        merged: dict = {"queries": {}, "search": {}, "build": {}}
         for plan in plan_list:
             r = _spawn_one(f"sjcs_shell_{plan}", cores, sf_dir, mult, pin=True)
-            merged.update({k: v for k, v in r.items() if k not in ("query", "sec")})
-            merged["queries"][f"sjcs_shell_{plan}"] = round(r["sec"], 3)
+            merged.update({k: v for k, v in r.items()
+                           if k not in ("query", "sec", "build_sec",
+                                        "search_sec")})
+            q = f"sjcs_shell_{plan}"
+            merged["queries"][q] = round(r["sec"], 3)
+            merged["search"][q] = r.get("search_sec", round(r["sec"], 3))
+            merged["build"][q] = r.get("build_sec", 0.0)
         results[cores] = merged
     npairs = _spawn_one("__pairs", lo, sf_dir, mult, pin=True)["n_candidate_pairs"]
     for c in results:
         results[c]["n_candidate_pairs"] = npairs
     rows = []
     effs = {}
+    effs_search = {}
     for q in [f"sjcs_shell_{p}" for p in plan_list]:
         tl, th = results[lo]["queries"][q], results[hi]["queries"][q]
+        sl, sh = results[lo]["search"][q], results[hi]["search"][q]
         effs[q] = (tl / th) / (hi / lo)
-        rows.append((q, tl, th, npairs / tl, npairs / th, effs[q]))
+        effs_search[q] = (sl / sh) / (hi / lo)
+        rows.append((q, tl, th, npairs / tl, npairs / th, effs[q],
+                     effs_search[q]))
     best = max(effs, key=effs.get)
     os.makedirs("BENCH", exist_ok=True)
     # preserve the reference-shape section (written by --ref-shape)
@@ -368,11 +417,13 @@ def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4),
             "stand-in for the N->4N executor criterion (BASELINE.json\n"
             "north_rule).  Each (plan, level) is a fresh pinned subprocess;\n"
             "min-of-2 runs per level.\n\n"
-            "| plan | sec @N | sec @4N | pairs/s @N | pairs/s @4N | efficiency |\n"
-            "|---|---|---|---|---|---|\n"
+            "| plan | sec @N | sec @4N | pairs/s @N | pairs/s @4N "
+            "| efficiency | search-phase eff |\n"
+            "|---|---|---|---|---|---|---|\n"
         )
-        for q, tl, th, pl, ph, e in rows:
-            f.write(f"| {q} | {tl:.2f} | {th:.2f} | {pl:,.0f} | {ph:,.0f} | {e:.3f} |\n")
+        for q, tl, th, pl, ph, e, es in rows:
+            f.write(f"| {q} | {tl:.2f} | {th:.2f} | {pl:,.0f} | {ph:,.0f} "
+                    f"| {e:.3f} | {es:.3f} |\n")
         f.write(
             f"\n**Best-plan scaling efficiency ({lo} -> {hi} cores, "
             f"{hi // lo}x): {effs[best]:.3f}** (target >= 0.8)\n\n"
@@ -383,8 +434,13 @@ def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4),
             "microbenchmark shows fixed work taking 4.8s at 8 concurrent\n"
             "processes but 8.7s at 32 (per-task slowdown ~7x, hypervisor\n"
             "steal), so efficiency measured at 8 vs 32 would grade the\n"
-            "neighbors, not the engine.  At cluster scale the same pipeline\n"
-            "shape shards by cell_id with no driver-side serial component\n"
+            "neighbors, not the engine.  The broadcast plans (bcast/dgrid)\n"
+            "carry a fixed serial component — the grid collect+broadcast,\n"
+            "the analog of the reference's per-node index build — so their\n"
+            "end-to-end efficiency is Amdahl-capped at this tiny job size;\n"
+            "the search-phase column isolates the part that shards.  At\n"
+            "cluster scale the same pipeline shape shards by cell_id with\n"
+            "no driver-side serial component\n"
             "(see plans/pipeline.py: prepartition + shuffle-only-the-rings).\n\n"
             f"Full per-query timings:\n\n```json\n"
             f"{json.dumps(results[lo])}\n{json.dumps(results[hi])}\n```\n"
@@ -392,7 +448,9 @@ def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4),
         f.write(ref_section)
     print(json.dumps({"scaling_efficiency": round(effs[best], 3),
                       "best_plan": best,
-                      **{f"eff_{q}": round(e, 3) for q, e in effs.items()}}))
+                      **{f"eff_{q}": round(e, 3) for q, e in effs.items()},
+                      **{f"eff_search_{q}": round(e, 3)
+                         for q, e in effs_search.items()}}))
 
 
 def main():
@@ -410,7 +468,7 @@ def main():
     ap.add_argument("--no-broadcast", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--scale-mult", type=float, default=1.0)
     ap.add_argument("--headline-only", action="store_true")
-    ap.add_argument("--plans", default="sql,fused,bcast",
+    ap.add_argument("--plans", default=",".join(SHELL_PLANS),
                     help="comma list of shell-count plans to time")
     ap.add_argument("--no-pairs", action="store_true",
                     help="skip the candidate-pair count job")
@@ -420,9 +478,11 @@ def main():
                                   args.scale_mult, shape=args.shape,
                                   no_broadcast=args.no_broadcast)))
     elif args.scaling:
+        # scaling contrasts one shuffle plan and the broadcast plans
+        # (fused scales like sql and doubles the 1-core wall time)
         run_scaling(args.sf_dir, mult=max(args.scale_mult, 10.0),
-                    plans=args.plans if args.plans != "sql,fused,bcast"
-                    else "sql,bcast")
+                    plans=args.plans if args.plans != ",".join(SHELL_PLANS)
+                    else "sql,bcast,dgrid")
     elif args.ref_shape:
         run_ref_shape(args.sf_dir, mult=max(args.scale_mult, 10.0))
     else:

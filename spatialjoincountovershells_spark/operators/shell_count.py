@@ -363,40 +363,48 @@ def _build_grid(
     box: float,
     np_dtype,
 ):
-    """Sort one side by cell key IN SPARK, collect ordered, CSR-index,
+    """Collect one side, CSR-index it by cell key on the driver,
     broadcast.
 
-    The heavy build steps run distributed: the cell key is a codegen'd
-    column expression (with_cell — identical f64 floor(x/cs) arithmetic
-    to the kernels', so cell assignment is plan-invariant) and the sort
-    is Spark's range-partitioned sort, so the driver's serial work is
-    just the ordered Arrow collect + one bincount for the CSR offsets
-    + the broadcast pickle (profiled: the old driver-side
-    pandas/argsort/gather build was ~7s serial for 6M rows; this is
-    ~2.5s, mostly the collect).  Dense CSR offsets over the nc^3 grid
-    when it fits (64 MB int32 at 16M cells); the searchsorted-on-keys
-    fallback only triggers on absurdly fine grids.
+    The cell key is a codegen'd column expression (with_cell —
+    identical f64 floor(x/cs) arithmetic to the kernels', so cell
+    assignment is plan-invariant); the collect is an UNORDERED Arrow
+    collect and the CSR ordering is a driver-side numpy argsort +
+    gather.  A Spark range-partitioned sort before the collect was
+    measured SLOWER end-to-end (the sort adds a full shuffle + sampling
+    pass and the driver still has to collect every row afterwards;
+    argsort+gather of 6M rows is ~0.8s vs ~3s of sort overhead) — and
+    the serial work is bounded by the same broadcast budget that gates
+    this plan, so it cannot grow past ~16M rows.  Dense CSR offsets
+    over the nc^3 grid when it fits (64 MB int32 at 16M cells); the
+    sorted key array is shipped ONLY for the searchsorted fallback on
+    absurdly fine grids — with dense offsets the kernels never touch
+    it, and dropping it cuts the broadcast ~35%.
     Returns (broadcast, n_rows)."""
     from .cells import with_cell
 
     cols = ([id_col] if id_col else []) + list(coords)
     keyed = with_cell(side.select(*cols), ncells, box, cols=coords)
-    tbl = keyed.sort("cell_id").toArrow()
+    tbl = keyed.toArrow()
     key = np.asarray(tbl.column("cell_id"))
     n = len(key)
+    order = np.argsort(key, kind="stable")
     xs = [
-        np.ascontiguousarray(np.asarray(tbl.column(c)).astype(np_dtype, copy=False))
+        np.asarray(tbl.column(c)).astype(np_dtype, copy=False)[order]
         for c in coords
     ]
-    payload = {"Hx": xs[0], "Hy": xs[1], "Hz": xs[2], "keys": key}
+    payload = {"Hx": xs[0], "Hy": xs[1], "Hz": xs[2]}
     if id_col:
-        payload["ids"] = np.asarray(tbl.column(id_col)).astype(np.int64, copy=False)
+        payload["ids"] = np.asarray(tbl.column(id_col)).astype(
+            np.int64, copy=False)[order]
     nc = ncells
     if nc**3 <= 16_000_000:
         counts = np.bincount(key, minlength=nc**3)
         payload["starts"] = np.concatenate(([0], np.cumsum(counts))).astype(
             np.int32 if n < 2**31 else np.int64
         )
+    else:
+        payload["keys"] = key[order]
     return side.sparkSession.sparkContext.broadcast(payload), n
 
 
@@ -526,7 +534,7 @@ def _bcast_plan(
         cpu0 = _time.thread_time()
         data = bc.value
         Hx, Hy, Hz = data["Hx"], data["Hy"], data["Hz"]
-        ids_s, keys_s = data["ids"], data["keys"]
+        ids_s, keys_s = data["ids"], data.get("keys")
         starts = data.get("starts")
         st0 = st1 = None
         if starts is not None:
@@ -755,7 +763,7 @@ def _dgrid_plan(
         cpu0 = _time.thread_time()
         data = bc.value
         Px, Py, Pz = data["Hx"], data["Hy"], data["Hz"]
-        keys_s = data["keys"]
+        keys_s = data.get("keys")
         starts = data.get("starts")
         st0 = st1 = None
         if starts is not None:
