@@ -35,6 +35,7 @@ from spatialjoincountovershells_spark.operators.cells import cell_stats, with_ce
 from spatialjoincountovershells_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     minhash_lsh_pairs,
+    simhash_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -192,6 +193,18 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_polygon(pts, polys, id_col="point_id")
 
 
+def q_point_in_polygon_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-tiled PIP scale path (equi-join on cell_id; no broadcast).
+    Bit-identical semantics to q_point_in_polygon — shares its oracle."""
+    pts = _parts(spark, sf_dir).withColumnRenamed("particle_id", "point_id")
+    polys = spark.createDataFrame(
+        [(pid, [{"x": float(x), "y": float(y)} for x, y in verts])
+         for pid, verts in POLYGONS.items()],
+        "poly_id long, vertices array<struct<x: double, y: double>>",
+    )
+    return point_in_polygon(pts, polys, id_col="point_id", grid=(8, BOX))
+
+
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_points(_parts(spark, sf_dir), res=16, box=BOX)
 
@@ -236,6 +249,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_read(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_read(spark, sf_dir, "documents"))
 
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,6 +368,31 @@ tok AS (SELECT doc_id, tok FROM tok0 WHERE length(tok) > 0),
 hb AS (SELECT doc_id, {poly_hash_duck("tok")} AS base FROM tok),
 bits AS (SELECT doc_id, {bitsums} FROM hb GROUP BY doc_id)
 SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def _simhash_pairs_sql(bands: int = 4, max_hamming: int = 3) -> str:
+    """Banded-SimHash pairs oracle: shares the simhash CTE; band key is
+    (simhash >> 16b) & 0xffff — arithmetic shift + mask is identical in
+    Spark and DuckDB, as is two's-complement bit_count of the xor."""
+    w = 64 // bands
+    mask = (1 << w) - 1
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {w * b}) & {mask} AS key FROM sims"
+        for b in range(bands)
+    )
+    return f"""
+WITH sims AS ({_simhash_sql()}),
+bands AS ({band_selects}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS h
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(min(h) AS BIGINT) AS hamming
+FROM pairs GROUP BY 1, 2 HAVING min(h) <= {max_hamming}
 """
 
 
@@ -660,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_stats": q_cell_stats,
         "knn": q_knn,
         "point_in_polygon": q_point_in_polygon,
+        "point_in_polygon_grid": q_point_in_polygon_grid,
         "tile_assign": q_tile_assign,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -670,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window": q_event_window,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,
         "doc_fingerprint": q_doc_fingerprint,
         "sjcs_images": q_sjcs_images,
@@ -778,6 +822,7 @@ SELECT halo_id, particle_id,
 FROM d QUALIFY rank <= 3
 """,
         "point_in_polygon": pip_sql,
+        "point_in_polygon_grid": pip_sql,
         "tile_assign": f"""
 WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders)
 SELECT least(greatest(CAST(floor(x / 62.5) AS BIGINT), 0), 15) * 16
@@ -842,6 +887,7 @@ FROM events GROUP BY bucket, event_type
         "image_tiles": _image_tiles_sql(),
         "minhash_lsh": _minhash_lsh_sql(),
         "simhash": _simhash_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
         "doc_fingerprint": _doc_fingerprint_sql(),
         "ann_cosine": _ann_cosine_sql(),
         "embed_lsh_pairs": _embed_lsh_sql(),

@@ -11,6 +11,7 @@ groupBy keys.  No Python in any per-row path.
                        document-frequency cap on join shingles (skew)
 * minhash_lsh_pairs  — MinHash signatures + banded LSH candidate pairs
 * simhash            — 64-bit SimHash per document
+* simhash_pairs      — banded-SimHash near-dup pairs (Hamming <= t)
 """
 
 from __future__ import annotations
@@ -225,3 +226,75 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         bit = F.lit(2**b if b < 63 else -(2**63)).cast("long")
         acc = acc.bitwiseOR(F.when(F.col(f"b{b}") > 0, bit).otherwise(F.lit(0).cast("long")))
     return per.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded-SimHash near-dup pairs -> (doc_a, doc_b, hamming).
+
+    The pigeonhole guarantee of banding: any pair within Hamming
+    distance < `bands` must agree exactly on at least one of the
+    `bands` contiguous (64/bands)-bit slices of the signature, so
+    bucketing each slice as a groupBy key finds EVERY such pair without
+    an all-pairs join.  With the defaults (4 bands, max_hamming=3)
+    recall is exact; for max_hamming >= bands the candidate set is
+    banding-limited (documented approximation, same trade as LSH).
+
+    The signature is carried INTO the bucket expansion
+    (collect_list of struct(id, simhash)) so the token-hash
+    aggregation executes exactly once and the Hamming distance —
+    bit_count(sig_a ^ sig_b), two's-complement 64-bit in both Spark
+    and DuckDB — is a pure codegen expression on the expanded pairs.
+    doc_a < doc_b; pairs colliding in several bands are collapsed by a
+    final groupBy.
+    """
+    assert 64 % bands == 0
+    w = 64 // bands
+    mask = (1 << w) - 1
+    sig = simhash(df, text_col, id_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"shiftright(simhash, {w * b}) & {mask}").alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select(
+        id_col, "simhash",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    g = (
+        buckets.groupBy("band", "key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
+            ).alias("_ids")
+        )
+        .where(F.size("_ids") >= 2)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(_ids, (x, i) -> "
+            "transform(slice(_ids, i + 2, size(_ids)), y -> struct(x, y))))"
+        )
+    ).alias("_p")
+    return (
+        g.select(pair)
+        .select(
+            F.col("_p.x.i").alias("doc_a"),
+            F.col("_p.y.i").alias("doc_b"),
+            F.expr("bit_count(_p.x.s ^ _p.y.s)").cast("long").alias("hamming"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -45,8 +45,24 @@ def point_in_polygon(
     poly_id: str = "poly_id",
     point_coords: tuple[str, str] = ("x", "y"),
     vertices: str = "vertices",
+    grid: tuple[int, float] | None = None,
 ) -> DataFrame:
-    """-> (id_col, poly_id) rows for strictly-inside points (even-odd rule)."""
+    """-> (id_col, poly_id) rows for strictly-inside points (even-odd rule).
+
+    grid=(ncells, box): the LARGE-polygon-set path.  The default
+    broadcast theta-join (points x polygon bboxes) is the right plan
+    while the polygon dim is small, but it is a nested loop over every
+    polygon per point and needs the bbox+edge tables to fit in a
+    broadcast.  With grid set, polygon bboxes are tiled onto an
+    ncells x ncells cell grid over [0, box)^2 (one row per covered
+    cell), points take their single containing cell, and the candidate
+    set comes from a plain shuffled EQUI-join on cell_id — both sides
+    scale out, no broadcast.  Cell clamping is monotone, so a point
+    inside a bbox always lands in a cell that bbox covers, and a point
+    occupies exactly one cell so no (point, polygon) pair is emitted
+    twice.  The crossing predicate and float64 expression tree are
+    identical in both modes; results are bit-equal.
+    """
     px, py = (F.col(c).cast("double") for c in point_coords)
     edges = polygon_edges(polygons, poly_id, vertices)
     bbox = edges.groupBy(poly_id).agg(
@@ -55,15 +71,45 @@ def point_in_polygon(
         F.min(F.least("y1", "y2")).alias("_by0"),
         F.max(F.greatest("y1", "y2")).alias("_by1"),
     )
-    # bbox prefilter keeps the point x edge fanout proportional to hits
-    cand = points.select(F.col(id_col), px.alias("_px"), py.alias("_py")).join(
-        F.broadcast(bbox),
+    in_bbox = (
         (F.col("_px") >= F.col("_bx0"))
         & (F.col("_px") <= F.col("_bx1"))
         & (F.col("_py") >= F.col("_by0"))
-        & (F.col("_py") <= F.col("_by1")),
+        & (F.col("_py") <= F.col("_by1"))
     )
-    pe = cand.join(F.broadcast(edges), poly_id)
+    pts = points.select(F.col(id_col), px.alias("_px"), py.alias("_py"))
+    if grid is None:
+        # bbox prefilter keeps the point x edge fanout proportional to hits
+        cand = pts.join(F.broadcast(bbox), in_bbox)
+        pe = cand.join(F.broadcast(edges), poly_id)
+    else:
+        nc, box = grid
+        cs = float(box) / nc
+
+        def cell(col):
+            return F.least(
+                F.greatest(F.floor(col / F.lit(cs)), F.lit(0)), F.lit(nc - 1)
+            )
+
+        poly_cells = (
+            bbox.withColumn(
+                "_cx", F.explode(F.sequence(cell(F.col("_bx0")), cell(F.col("_bx1"))))
+            )
+            .withColumn(
+                "_cy", F.explode(F.sequence(cell(F.col("_by0")), cell(F.col("_by1"))))
+            )
+            .withColumn("_cell", F.col("_cx") * nc + F.col("_cy"))
+            .drop("_cx", "_cy")
+        )
+        pts_c = pts.withColumn(
+            "_cell", cell(F.col("_px")) * nc + cell(F.col("_py"))
+        )
+        cand = (
+            pts_c.join(poly_cells, "_cell")
+            .where(in_bbox)
+            .drop("_cell")
+        )
+        pe = cand.join(edges, poly_id)
     crossing = (
         ((F.col("y1") > F.col("_py")) != (F.col("y2") > F.col("_py")))
         & (

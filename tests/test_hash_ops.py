@@ -82,6 +82,36 @@ def test_simhash_near_dup_small_hamming(spark):
     assert ham <= 24  # one token of ~27 changed
 
 
+def test_simhash_pairs_bruteforce_recall(spark):
+    """Banding must find EVERY pair with hamming < bands (pigeonhole) —
+    compare against a brute force over the signatures, and pin that the
+    whole pipeline stays JVM-side."""
+    from spatialjoincountovershells_spark.operators.dedup import simhash_pairs
+
+    base = "spark catalyst optimizes declarative dataframe plans into stages "
+    texts = [
+        base * 3,
+        base * 3,                                   # exact dup -> hamming 0
+        (base * 3).replace("stages", "phases", 1),  # near dup
+        "entirely unrelated content about image tile decoding " * 4,
+        "another distinct document on minhash banding theory " * 4,
+    ]
+    docs = _docs(spark, texts)
+    sigs = {r.doc_id: int(r.simhash) for r in simhash(docs).collect()}
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    df = simhash_pairs(docs, max_hamming=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    got = {(r.doc_a, r.doc_b): r.hamming for r in df.collect()}
+    assert got == want and (0, 1) in got and got[(0, 1)] == 0
+
+
 def test_doc_fingerprint_pure_jvm_and_dup_equal(spark):
     texts = ["abcdefghijklmnopqrstuvwxyz0123", "abcdefghijklmnopqrstuvwxyz0123", "short"]
     df = doc_fingerprint(_docs(spark, texts))

@@ -191,9 +191,12 @@ def test_pip_matches_numpy_oracle(spark):
             (400.0, 400.0), (400.0, 600.0), (200.0, 600.0)],
         # degenerate sliver
         3: [(50.0, 50.0), (950.0, 51.0), (950.0, 52.0)],
+        # spills past the grid box: bbox cells must clamp monotonically
+        4: [(900.0, 900.0), (1150.0, 950.0), (1050.0, 1150.0)],
     }
+    pts = np.concatenate([pts, rng.uniform(900, 1100, size=(60, 2))])
     pdf = pd.DataFrame(
-        {"point_id": np.arange(500), "x": pts[:, 0], "y": pts[:, 1]}
+        {"point_id": np.arange(len(pts)), "x": pts[:, 0], "y": pts[:, 1]}
     )
     points = spark.createDataFrame(pdf, schema="point_id long, x double, y double")
     polygons = spark.createDataFrame(
@@ -209,6 +212,13 @@ def test_pip_matches_numpy_oracle(spark):
         mask = point_in_polygon_np(pts[:, 0], pts[:, 1], v)
         want |= {(int(i), pid) for i in np.nonzero(mask)[0]}
     assert got == want
+    # grid-tiled scale path: same result set, including points outside
+    # [0, box) which clamp to edge cells monotonically with the bboxes
+    got_grid = {
+        (r.point_id, r.poly_id)
+        for r in point_in_polygon(points, polygons, grid=(8, 1000.0)).collect()
+    }
+    assert got_grid == want
 
 
 def test_n_tokens_space_semantics(spark):
