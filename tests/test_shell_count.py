@@ -72,6 +72,19 @@ def test_random_vs_oracle(spark, plan, seed, n_part, n_halo, spec):
     assert got.tolist() == want.tolist()
 
 
+@pytest.mark.parametrize("plan", ["bcast", "dgrid"])
+def test_broadcast_sparse_grid_fallback(spark, plan):
+    """nc^3 > 16M disables the dense CSR offsets in _build_grid, so the
+    broadcast kernels must take the sorted-keys searchsorted fallback —
+    the only regime that branch serves since the round-3 payload trim."""
+    P = synth_points_np(400, seed=9)
+    H = synth_points_np(15, seed=1009)
+    edges = logspace_edges(0.5, 5.0, 4)
+    got = _run(spark, H, P, edges, plan, ncells=260)
+    want = oracle_shell_counts(H, P, squared_edges(edges))
+    assert got.tolist() == want.tolist()
+
+
 def test_shell_totals(spark):
     edges = logspace_edges(0.5, 2.0, 3)
     halos = _df_points(spark, PB_HALOS, id_col="halo_id")
