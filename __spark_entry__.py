@@ -54,6 +54,7 @@ from spatialjoincountovershells_spark.operators.images import (  # noqa: E402
 )
 from spatialjoincountovershells_spark.operators.similarity import (  # noqa: E402
     ann_cosine_topk,
+    ann_ivf_topk,
     ann_l2_topk,
     cosine_dedup_pairs,
     lsh_cosine_pairs,
@@ -470,6 +471,35 @@ WHERE (CASE WHEN na2 * nb2 = 0 THEN 0
 """
 
 
+def _ann_ivf_sql(k: int = 3, n_centroids: int = 16, n_probe: int = 4,
+                 dim: int = 64, scale: float = 1024.0) -> str:
+    """IVF oracle: identical quantize/assign/probe/re-rank tree to
+    operators/similarity.py ivf_candidates + ann_l2_topk(candidates=)."""
+    l2 = (f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+          f"i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i]))) AS BIGINT)")
+    return f"""
+WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
+       FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM qv ORDER BY vec_id LIMIT {n_centroids}),
+ad AS (SELECT a.vec_id AS vid, c.cent_id, {l2} AS d2c FROM qv a CROSS JOIN cents c),
+inv AS (SELECT vid AS neighbor_id, cent_id FROM ad
+        QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2c, cent_id) = 1),
+probes AS (SELECT vid AS query_id, cent_id FROM ad
+           QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2c, cent_id) <= {n_probe}),
+cand AS (SELECT query_id, neighbor_id FROM probes JOIN inv USING (cent_id)
+         WHERE query_id <> neighbor_id),
+d AS (SELECT query_id, neighbor_id,
+      CAST(list_sum(list_transform(generate_series(1, {dim}),
+               i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS BIGINT) AS qd2
+      FROM cand JOIN qv a ON a.vec_id = cand.query_id
+                JOIN qv b ON b.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY qd2, neighbor_id) AS INTEGER) AS rank,
+       qd2
+FROM d QUALIFY rank <= {k}
+"""
+
+
 def _ann_l2_lsh_sql(k: int = 3, dim: int = 64, scale: float = 1024.0) -> str:
     return f"""
 WITH cand0 AS ({_embed_lsh_sql()}),
@@ -682,6 +712,13 @@ def q_ann_l2_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_l2_topk(emb, k=3, candidates=both)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer candidates + exact integer-L2 re-rank —
+    the clustered-corpus ANN scale path (inverted lists on cent_id)."""
+    return ann_ivf_topk(_read(spark, sf_dir, "embeddings"),
+                        k=3, n_centroids=16, n_probe=4)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -723,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "embed_lsh_pairs": q_embed_lsh_pairs,
         "ann_l2_lsh": q_ann_l2_lsh,
+        "ann_ivf": q_ann_ivf,
         "cosine_dedup": q_cosine_dedup,
     }
 
@@ -892,5 +930,6 @@ FROM events GROUP BY bucket, event_type
         "ann_cosine": _ann_cosine_sql(),
         "embed_lsh_pairs": _embed_lsh_sql(),
         "ann_l2_lsh": _ann_l2_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
         "cosine_dedup": _cosine_dedup_sql(),
     }

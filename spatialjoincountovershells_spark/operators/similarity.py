@@ -165,6 +165,108 @@ def ann_l2_topk(
     )
 
 
+def _quant_col(vec_col: str, quant_scale: int):
+    return F.transform(
+        F.col(vec_col),
+        lambda e: F.floor(e.cast("double") * F.lit(float(quant_scale))).cast("long"),
+    )
+
+
+def ivf_candidates(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 1024,
+    queries: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF coarse quantizer -> (query_id, neighbor_id) candidate pairs.
+
+    Corpus vectors are assigned to their single nearest centroid
+    (exact integer L2 on floor(x*scale) quantized vectors, ties to the
+    smallest centroid id) — the inverted lists, physically a DataFrame
+    partitioned by cent_id.  Queries probe their `n_probe` nearest
+    centroids; candidates are the inverted-list members of the probed
+    cells, produced by one equi-join on cent_id.  Everything is JVM
+    column expressions (zip_with/aggregate for the distances), nothing
+    collects to the driver, and the assignment is deterministic — a
+    bit-exact ANSI-SQL twin exists (the `ann_ivf` oracle).
+
+    centroids: pluggable (cent_id, vector) frame, e.g. sampled+k-means
+    offline.  Default: the `n_centroids` smallest-id corpus vectors —
+    a deterministic coarse quantizer whose quality matches random
+    sampling on unstructured corpora, chosen so the whole pipeline
+    stays closed-form for the oracle gate.  With
+    n_probe == n_centroids the candidate set is complete and the
+    downstream re-rank is exact (pinned by test_ann_ivf_full_probe).
+    """
+    quant = _quant_col(vec_col, quant_scale)
+    if centroids is None:
+        cents = (
+            emb.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), quant.alias("_ctv"))
+        )
+    else:
+        cents = centroids.select(
+            F.col("cent_id"), _quant_col("vector", quant_scale).alias("_ctv")
+        )
+    cents = F.broadcast(cents)
+    d2c = F.expr(
+        "aggregate(zip_with(_v, _ctv, (a, b) -> (a - b) * (a - b)), "
+        "0L, (s, x) -> s + x)"
+    )
+
+    def assign(side: DataFrame, out_id: str, keep: int) -> DataFrame:
+        w = Window.partitionBy(out_id).orderBy("_d2c", "cent_id")
+        return (
+            side.crossJoin(cents)
+            .select(out_id, "cent_id", d2c.alias("_d2c"))
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= keep)
+            .select(out_id, "cent_id")
+        )
+
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), quant.alias("_v"))
+    inv = assign(corpus, "neighbor_id", 1)
+    qsrc = (queries if queries is not None else emb).select(
+        F.col(id_col).alias("query_id"), quant.alias("_v")
+    )
+    probes = assign(qsrc, "query_id", n_probe)
+    return (
+        probes.join(inv, "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 1024,
+    queries: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-ANN top-k: coarse-quantizer candidates + exact integer-L2
+    re-rank (ann_l2_topk's candidates= route).  The corpus-scale path
+    when LSH banding is a poor fit (dense clustered embeddings):
+    recall is governed by n_probe/n_centroids, compute by the probed
+    inverted-list sizes — never O(n^2)."""
+    cands = ivf_candidates(
+        emb, n_centroids, n_probe, id_col, vec_col, quant_scale, queries, centroids
+    )
+    return ann_l2_topk(
+        emb, k=k, id_col=id_col, vec_col=vec_col, quant_scale=quant_scale,
+        queries=queries, candidates=cands,
+    )
+
+
 def ann_cosine_topk(
     emb: DataFrame,
     queries_pdf: pd.DataFrame,

@@ -173,6 +173,39 @@ def test_ann_l2_separate_query_frame(spark):
     assert (out.query_id != out.neighbor_id).all()
 
 
+def test_ann_ivf_full_probe_exact(spark):
+    """n_probe == n_centroids probes every inverted list, so the IVF
+    candidate set is complete and the re-rank must equal the exact
+    block-nested-loop top-k bit-for-bit."""
+    from spatialjoincountovershells_spark.operators.similarity import ann_ivf_topk
+
+    emb, _ = _rand_emb(spark, 250)
+    k = 3
+    exact = (
+        ann_l2_topk(emb, k=k, query_blocks=2, corpus_blocks=2)
+        .orderBy("query_id", "rank").toPandas()
+    )
+    ivf = (
+        ann_ivf_topk(emb, k=k, n_centroids=8, n_probe=8)
+        .orderBy("query_id", "rank").toPandas()
+    )
+    pd.testing.assert_frame_equal(ivf.reset_index(drop=True),
+                                  exact.reset_index(drop=True))
+
+
+def test_ann_ivf_partial_probe_shape(spark):
+    """With n_probe < n_centroids the result stays well-formed: <= k
+    ranked rows per query, ranks contiguous from 1, no self-matches."""
+    from spatialjoincountovershells_spark.operators.similarity import ann_ivf_topk
+
+    emb, _ = _rand_emb(spark, 250, seed=9)
+    out = ann_ivf_topk(emb, k=3, n_centroids=8, n_probe=2).toPandas()
+    assert (out.query_id != out.neighbor_id).all()
+    g = out.groupby("query_id")["rank"]
+    assert (g.max() <= 3).all() and (g.min() == 1).all()
+    assert (g.apply(lambda r: sorted(r) == list(range(1, len(r) + 1)))).all()
+
+
 def test_lsh_cosine_banded_identical_collide(spark):
     rng = np.random.default_rng(11)
     v = rng.normal(size=32).astype(np.float32)
