@@ -42,7 +42,9 @@ CACHE = "/tmp/sjcs_bench_cache"
 
 SHELL_PLANS = ("sql", "fused", "bcast", "dgrid")
 EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign", "point_in_polygon", "knn",
-                 "minhash_lsh", "ann_cosine", "dedup_exact")
+                 "minhash_lsh", "ann_cosine", "dedup_exact",
+                 "simhash_pairs", "ann_ivf", "point_in_polygon_grid",
+                 "cosine_dedup")
 
 
 def sf_of(sf_dir: str) -> float:
