@@ -37,8 +37,8 @@ def grid_ncells(
     """
     if rmax <= 0:
         raise ValueError("rmax must be positive")
-    nc = int(box / rmax)
-    while nc * (box / nc) < box:  # paranoia vs float division
+    nc = max(1, int(box / rmax))  # rmax > box -> one cell covers the box
+    while nc > 1 and nc * (box / nc) < box:  # paranoia vs float division
         nc -= 1
     if n_hint is not None and n_hint > 0:
         nc = min(nc, max(1, int(round(n_hint ** (1.0 / 3.0)))))
