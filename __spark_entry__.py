@@ -471,16 +471,23 @@ WHERE (CASE WHEN na2 * nb2 = 0 THEN 0
 """
 
 
-def _ann_ivf_sql(k: int = 3, n_centroids: int = 16, n_probe: int = 4,
+def _ann_ivf_sql(k: int = 3, n_probe: int = 4,
                  dim: int = 64, scale: float = 1024.0) -> str:
     """IVF oracle: identical quantize/assign/probe/re-rank tree to
-    operators/similarity.py ivf_candidates + ann_l2_topk(candidates=)."""
+    operators/similarity.py ivf_candidates + ann_l2_topk(candidates=).
+
+    The centroid count is max(16, floor(sqrt(n))) — the same
+    size-derived rule q_ann_ivf applies (matches Python's isqrt for
+    the table sizes at play), so the oracle tracks the Spark query at
+    any scale factor."""
     l2 = (f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
           f"i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i]))) AS BIGINT)")
+    ncents = ("(SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) "
+              "FROM embeddings)")
     return f"""
 WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
        FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, q AS cq FROM qv ORDER BY vec_id LIMIT {n_centroids}),
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM qv ORDER BY vec_id LIMIT {ncents}),
 ad AS (SELECT a.vec_id AS vid, c.cent_id, {l2} AS d2c FROM qv a CROSS JOIN cents c),
 inv AS (SELECT vid AS neighbor_id, cent_id FROM ad
         QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2c, cent_id) = 1),
@@ -714,9 +721,18 @@ def q_ann_l2_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer candidates + exact integer-L2 re-rank —
-    the clustered-corpus ANN scale path (inverted lists on cent_id)."""
-    return ann_ivf_topk(_read(spark, sf_dir, "embeddings"),
-                        k=3, n_centroids=16, n_probe=4)
+    the clustered-corpus ANN scale path (inverted lists on cent_id).
+
+    n_centroids scales as sqrt(n): with a FIXED centroid count the
+    probed-list sizes grow linearly in the corpus and the re-rank is
+    O(n^2/c); at c ~ sqrt(n) candidate volume is O(n_probe * n^1.5)
+    — the standard IVF sizing.  The count() here is one cheap action
+    on the small embeddings table (a catalog row-count at scale)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    import math
+
+    n_cent = max(16, math.isqrt(emb.count()))
+    return ann_ivf_topk(emb, k=3, n_centroids=n_cent, n_probe=4)
 
 
 # ---------------------------------------------------------------- contract
