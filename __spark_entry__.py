@@ -69,9 +69,15 @@ from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     image_tile_stats,
     rasterize_points,
 )
+from spatialjoincountovershells_spark.operators.media import (  # noqa: E402
+    audio_window_stats,
+    frame_stats,
+)
 from spatialjoincountovershells_spark.sources.synth import (  # noqa: E402
+    synth_audio,
     synth_images,
     synth_points,
+    synth_videos,
 )
 
 BOX = 1000.0
@@ -557,21 +563,29 @@ def _sm64_cte(name: str, src: str, carry: list[str], col: str) -> str:
 {name} AS (SELECT {cy}xor({s}, {s} // 2147483648) AS {s} FROM {name}_5)"""
 
 
-def _payload_cte(name: str, n: int, seed: int, w: int = 8, h: int = 8) -> str:
-    """CTE chain -> {name}(i HUGEINT, px_id BIGINT, r/g/b BIGINT): the
-    pure-SQL mirror of sources/synth.py _payload (splitmix64 word stream,
-    little-endian byte view) + the raw-RGB8 decode of tiling.py."""
-    nw = (w * h * 3 + 7) // 8
+def _byte_cte(name: str, n: int, seed: int, nbytes: int,
+              salt: int = 0xB10C) -> str:
+    """CTE chain -> {name}(i HUGEINT, p BIGINT, byte BIGINT): the
+    pure-SQL mirror of sources/synth.py _byte_stream (splitmix64 word
+    stream, little-endian byte view).  Emits whole 8-byte words —
+    filter p < nbytes downstream."""
+    nw = (nbytes + 7) // 8
     byte_div = ", ".join(f"({j}, {256 ** j})" for j in range(8))
     return f"""
 {name}_ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, {n})),
-{name}_s0 AS (SELECT i, xor(xor(CAST({seed} AS HUGEINT), i), {0xB10C}) AS s FROM {name}_ids),{_sm64_cte(f"{name}_s", f"{name}_s0", ["i"], "s")},
+{name}_s0 AS (SELECT i, xor(xor(CAST({seed} AS HUGEINT), i), {salt}) AS s FROM {name}_ids),{_sm64_cte(f"{name}_s", f"{name}_s0", ["i"], "s")},
 {name}_w0 AS (SELECT i, CAST(kr.range AS HUGEINT) AS k,
               ((CAST(kr.range AS HUGEINT) + s) % {_M64}) AS v
               FROM {name}_s, range(0, {nw}) kr),{_sm64_cte(f"{name}_w", f"{name}_w0", ["i", "k"], "v")},
-{name}_b AS (SELECT i, CAST(k * 8 AS BIGINT) + jd.j AS p,
-             CAST((v // jd.d) % 256 AS BIGINT) AS byte
-             FROM {name}_w, (VALUES {byte_div}) AS jd(j, d)),
+{name} AS (SELECT i, CAST(k * 8 AS BIGINT) + jd.j AS p,
+           CAST((v // jd.d) % 256 AS BIGINT) AS byte
+           FROM {name}_w, (VALUES {byte_div}) AS jd(j, d))"""
+
+
+def _payload_cte(name: str, n: int, seed: int, w: int = 8, h: int = 8) -> str:
+    """CTE chain -> {name}(i HUGEINT, px_id BIGINT, r/g/b BIGINT): the
+    byte stream + the raw-RGB8 decode of tiling.py."""
+    return f"""{_byte_cte(f"{name}_b", n, seed, w * h * 3)},
 {name}_px AS (SELECT i, p // 3 AS px_id, p % 3 AS ch, byte
               FROM {name}_b WHERE p < {w * h * 3}),
 {name} AS (SELECT i, px_id,
@@ -583,6 +597,48 @@ def _payload_cte(name: str, n: int, seed: int, w: int = 8, h: int = 8) -> str:
 
 def _img_id_sql(i_expr: str, prefix: str = "img") -> str:
     return f"'{prefix}' || lpad(CAST(CAST({i_expr} AS BIGINT) AS VARCHAR), 12, '0')"
+
+
+def _video_frames_sql(n: int = 200, seed: int = 21, w: int = 8, h: int = 8,
+                      n_frames: int = 6, stride: int = 2) -> str:
+    """frame-sample oracle: a rawv payload is _payload at height
+    h*n_frames; frame_idx = px_id // (w*h), sampled every `stride`."""
+    npx = w * h
+    return f"""
+WITH {_payload_cte("vp", n, seed, w, h * n_frames)},
+fr AS (SELECT i, px_id // {npx} AS frame_idx, r, g, b FROM vp)
+SELECT {_img_id_sql("i", "vid")} AS video_id,
+  CAST(frame_idx AS INTEGER) AS frame_idx,
+  CAST(sum(r) * 1000 // {npx} AS BIGINT) AS mean_r,
+  CAST(sum(g) * 1000 // {npx} AS BIGINT) AS mean_g,
+  CAST(sum(b) * 1000 // {npx} AS BIGINT) AS mean_b
+FROM fr WHERE frame_idx % {stride} = 0
+GROUP BY i, frame_idx
+"""
+
+
+def _audio_stats_sql(n: int = 300, seed: int = 23, n_samples: int = 512,
+                     win: int = 120) -> str:
+    """audio-window oracle: s16le samples from the salted byte stream
+    (low byte at even p), signed two's-complement, windows of `win`
+    with a partial tail (512 = 4*120 + 32 exercises it)."""
+    from spatialjoincountovershells_spark.sources.synth import AUDIO_SALT
+
+    return f"""
+WITH {_byte_cte("ab", n, seed, 2 * n_samples, salt=AUDIO_SALT)},
+smp AS (SELECT i, p // 2 AS k,
+        sum(byte * (CASE WHEN p % 2 = 0 THEN 1 ELSE 256 END)) AS su
+        FROM ab WHERE p < {2 * n_samples} GROUP BY i, p // 2),
+sgn AS (SELECT i, k, CASE WHEN su >= 32768 THEN su - 65536 ELSE su END AS s
+        FROM smp)
+SELECT {_img_id_sql("i", "aud")} AS audio_id,
+  CAST(k // {win} AS INTEGER) AS win_idx,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(min(s) AS BIGINT) AS vmin,
+  CAST(max(s) AS BIGINT) AS vmax,
+  CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+FROM sgn GROUP BY i, k // {win}
+"""
 
 
 def _image_features_sql(n: int = 256, seed: int = 14, w: int = 8, h: int = 8,
@@ -693,6 +749,19 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synth_images(spark, 256, seed=14))
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + per-frame integer channel means over the rawv
+    container (operators/media.py) — codec formats are stubbed, the
+    mapInPandas plumbing and the sampling arithmetic are oracle-checked."""
+    return frame_stats(synth_videos(spark, 200, seed=21), stride=2)
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed integer stats over s16le PCM (partial tail window
+    included: 512 = 4*120 + 32)."""
+    return audio_window_stats(synth_audio(spark, 300, seed=23), win=120)
+
+
 def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed near-dup scale path: banded-LSH candidates + exact
     integer-cosine re-rank (threshold chosen to exercise both stages
@@ -774,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tiles": q_image_tiles,
         "image_roundtrip": q_image_roundtrip,
         "image_features": q_image_features,
+        "video_frames": q_video_frames,
+        "audio_stats": q_audio_stats,
         "embed_lsh_pairs": q_embed_lsh_pairs,
         "ann_l2_lsh": q_ann_l2_lsh,
         "ann_ivf": q_ann_ivf,
@@ -938,6 +1009,8 @@ FROM events GROUP BY bucket, event_type
 """,
         "sjcs_images_f64": _sjcs_images_f64_sql(),
         "image_features": _image_features_sql(),
+        "video_frames": _video_frames_sql(),
+        "audio_stats": _audio_stats_sql(),
         "image_tiles": _image_tiles_sql(),
         "minhash_lsh": _minhash_lsh_sql(),
         "simhash": _simhash_sql(),

@@ -48,14 +48,21 @@ def _phash(seed: int, ids: np.ndarray) -> np.ndarray:
     return ((qx << np.uint64(32)) | (qy << np.uint64(16)) | qz).astype(np.int64)
 
 
+def _byte_stream(seed: int, i: int, nbytes: int, salt: int = 0xB10C) -> bytes:
+    """Deterministic byte stream: splitmix64 words viewed little-endian.
+
+    The SQL twin is __spark_entry__._byte_cte — byte j of word v is
+    (v // 256^j) % 256, which is exactly the u64 little-endian layout."""
+    words = splitmix64(
+        np.arange((nbytes + 7) // 8, dtype=np.uint64)
+        + splitmix64(np.uint64(seed) ^ np.uint64(i) ^ np.uint64(salt))
+    )
+    return words.view(np.uint8)[:nbytes].tobytes()
+
+
 def _payload(seed: int, i: int, w: int, h: int) -> bytes:
     """Deterministic raw RGB8 payload: w*h*3 bytes from splitmix64."""
-    n = w * h * 3
-    words = splitmix64(
-        np.arange((n + 7) // 8, dtype=np.uint64)
-        + splitmix64(np.uint64(seed) ^ np.uint64(i) ^ np.uint64(0xB10C))
-    )
-    return words.view(np.uint8)[:n].tobytes()
+    return _byte_stream(seed, i, w * h * 3)
 
 
 def synth_images(
@@ -94,6 +101,83 @@ def synth_images(
 
     rng = spark.range(n, numPartitions=partitions)
     return rng.mapInPandas(gen, schema=IMAGES_SCHEMA)
+
+
+VIDEOS_SCHEMA = (
+    "video_id string, bytes binary, w int, h int, n_frames int, fmt string"
+)
+
+AUDIO_SALT = 0xA0D10
+
+AUDIO_SCHEMA = "audio_id string, bytes binary, sr int, n_samples int, fmt string"
+
+
+def synth_videos(
+    spark: SparkSession,
+    n: int,
+    seed: int = 21,
+    w: int = 8,
+    h: int = 8,
+    n_frames: int = 6,
+    id_prefix: str = "vid",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Videos table: n_frames concatenated raw RGB8 frames per row
+    (fmt='rawv') — deterministic per (seed, row id), partition-independent.
+    The byte stream is _payload with height h*n_frames, so the image
+    oracle CTE reproduces it verbatim."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "video_id": [f"{id_prefix}{i:012d}" for i in ids],
+                    "bytes": [
+                        _payload(seed, int(i), w, h * n_frames) for i in ids
+                    ],
+                    "w": np.int32(w),
+                    "h": np.int32(h),
+                    "n_frames": np.int32(n_frames),
+                    "fmt": "rawv",
+                }
+            )
+
+    rng = spark.range(n, numPartitions=partitions)
+    return rng.mapInPandas(gen, schema=VIDEOS_SCHEMA)
+
+
+def synth_audio(
+    spark: SparkSession,
+    n: int,
+    seed: int = 23,
+    n_samples: int = 512,
+    sr: int = 16000,
+    id_prefix: str = "aud",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Audio table: bare s16le PCM (fmt='pcm16'), deterministic per
+    (seed, row id) via the salted byte stream (AUDIO_SALT decorrelates
+    it from the image payload stream)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "audio_id": [f"{id_prefix}{i:012d}" for i in ids],
+                    "bytes": [
+                        _byte_stream(seed, int(i), 2 * n_samples, AUDIO_SALT)
+                        for i in ids
+                    ],
+                    "sr": np.int32(sr),
+                    "n_samples": np.int32(n_samples),
+                    "fmt": "pcm16",
+                }
+            )
+
+    rng = spark.range(n, numPartitions=partitions)
+    return rng.mapInPandas(gen, schema=AUDIO_SCHEMA)
 
 
 def synth_points(
