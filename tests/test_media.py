@@ -85,6 +85,24 @@ def test_audio_window_stats_partial_tail(spark):
                 len(seg), int(seg.min()), int(seg.max()), int(np.abs(seg).sum()))
 
 
+def test_sampled_frames_compose_with_image_operators(spark):
+    """A sampled frame IS an images-table row (fmt='raw') — the media
+    fan-out feeds images.image_features / tiling downstream unchanged."""
+    from spatialjoincountovershells_spark.operators.images import image_features
+
+    vids = synth_videos(spark, 6, seed=31, w=8, h=8, n_frames=4)
+    frames = sample_frames(vids, stride=2).selectExpr(
+        "concat(video_id, '#', frame_idx) AS image_id",
+        "frame AS bytes", "w", "h", "fmt")
+    feats = {r["image_id"]: r for r in image_features(frames).collect()}
+    assert len(feats) == 6 * 2
+    # channel means agree with frame_stats' (same integer quantization)
+    for r in frame_stats(vids, stride=2).collect():
+        f = feats[f"{r['video_id']}#{r['frame_idx']}"]
+        assert (f["mean_r"], f["mean_g"], f["mean_b"]) == (
+            r["mean_r"], r["mean_g"], r["mean_b"])
+
+
 def test_synth_media_partition_independent(spark):
     a = set(map(tuple, synth_videos(spark, 16, seed=3, partitions=1)
                 .select("video_id", "bytes").collect()))
