@@ -29,6 +29,7 @@ from .operators.knn import knn
 from .operators.pip import point_in_polygon, polygon_edges
 from .operators.tiling import rasterize_points, image_tile_stats
 from .operators.images import image_roundtrip_metrics, image_features, resize_nearest
+from .operators.media import sample_frames, frame_stats, audio_window_stats
 
 __all__ = [
     "get_spark",
@@ -53,6 +54,9 @@ __all__ = [
     "image_roundtrip_metrics",
     "image_features",
     "resize_nearest",
+    "sample_frames",
+    "frame_stats",
+    "audio_window_stats",
 ]
 
 __version__ = "0.1.0"
