@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: lock the plan SHAPES the scale
+story depends on, not just the result values.
+
+The 100 TB claims in README/SURVEY are plan properties — "dgrid never
+shuffles or aggregates", "bcast shuffles only the tiny partial
+counts", "the parquet scan receives the filter and the pruned
+schema".  A refactor can silently break these while every value test
+stays green; these assertions catch that.
+"""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from spatialjoincountovershells_spark import (
+    decode_phash,
+    logspace_edges,
+    shell_count,
+)
+from spatialjoincountovershells_spark.sources.synth import synth_points
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def n_nodes(plan: str, op: str) -> int:
+    """Count physical nodes by their formatted-mode detail headers
+    ('(6) Exchange') — each node prints once there, vs twice overall."""
+    return len(re.findall(rf"^\(\d+\) {op}", plan, flags=re.M))
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    parts = decode_phash(synth_points(spark, 5000, seed=1, id_col="pid"))
+    halos = decode_phash(synth_points(spark, 300, seed=2))
+    return halos, parts
+
+
+EDGES = logspace_edges(1.0, 80.0, 8)
+
+
+def test_dgrid_plan_has_no_shuffle_and_no_aggregate(sides):
+    halos, parts = sides
+    p = plan_of(shell_count(halos, parts, EDGES, plan="dgrid"))
+    assert "Exchange" not in p
+    assert "Aggregate" not in p  # the map output IS the result
+
+
+def test_bcast_plan_shuffles_only_the_partial_counts(sides):
+    halos, parts = sides
+    p = plan_of(shell_count(halos, parts, EDGES, plan="bcast"))
+    # exactly one Exchange: the tiny (halo, shell) partial-count agg;
+    # the big table itself is never shuffled or exploded
+    assert n_nodes(p, "Exchange") == 1
+    assert "Generate" not in p  # no ring explode of either side
+
+
+def test_sql_plan_is_an_equi_join_with_partial_aggregation(sides):
+    halos, parts = sides
+    p = plan_of(shell_count(halos, parts, EDGES, plan="sql"))
+    assert "Join" in p and "cell_id" in p
+    assert "partial_count" in p  # map-side combine before the shuffle
+    assert "NestedLoop" not in p  # the distance predicate must not
+    # demote the join to a cartesian/BNL: it rides the cell_id equi-join
+
+
+def test_parquet_scan_gets_pushdown_and_pruned_schema(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .where("doc_id = 7")
+        .select("doc_id", "lang")
+    )
+    p = plan_of(df)
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in p
+    # column pruning reached the reader: only the 2 selected columns
+    m = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert m and "doc_id" in m[0] and "lang" in m[0] and "text" not in m[0]
+
+
+def test_fused_plan_cogroups_without_exploding_particles(sides):
+    halos, parts = sides
+    p = plan_of(shell_count(halos, parts, EDGES, plan="fused"))
+    assert "FlatMapCoGroupsInPandas" in p or "CoGroup" in p
+    # exactly one Generate: the ring explode of the SMALL (halo) side
+    assert n_nodes(p, "Generate") == 1
