@@ -40,6 +40,51 @@ def stream_cell_occupancy(
     )
 
 
+def _binned_stream(
+    stream: DataFrame,
+    halos: DataFrame,
+    edges,
+    box: float,
+    dtype: str,
+    id_col: str,
+):
+    """Shared join+bin stage: particle STREAM x static halo ring table
+    -> streaming (halo_id, shell_idx) rows, one per in-range pair.
+
+    The plan is the sql join plan (ring-explode the STATIC side,
+    stream->static equi-join on cell_id — stream-static joins are
+    stateless and append-safe).  Returns (binned_df, n_shells).
+    """
+    import numpy as np
+
+    from ..functions.geometry import squared_distance_expr
+    from ..functions.shells import shell_index_expr, squared_edges
+    from ..operators.cells import explode_ring, grid_ncells, with_cell
+    from ..operators.shell_count import _H, _P
+
+    edges = np.asarray(edges)
+    rmax = float(edges[-1])
+    if not rmax < box / 2:
+        raise ValueError(f"r_max={rmax} must be < box/2={box / 2}")
+    nc = grid_ncells(rmax, box)
+    h = halos.select(
+        F.col(id_col), *[F.col(c).alias(a) for c, a in zip(("x", "y", "z"), _H)]
+    )
+    h = explode_ring(h, nc, box, cols=_H, k=1, prune_radius=rmax)
+    p = stream.select(
+        *[F.col(c).alias(a) for c, a in zip(("x", "y", "z"), _P)]
+    )
+    p = with_cell(p, nc, box, cols=_P)
+    r2 = squared_edges(edges)
+    d2 = squared_distance_expr(_H, _P, box, dtype)
+    j = p.join(h, "cell_id")  # stream on the left: stream-static join
+    proj = j.select(F.col(id_col), d2.alias("_d2")).where(
+        F.col("_d2") < F.lit(float(r2[-1]))
+    )
+    sh = shell_index_expr(F.col("_d2"), r2).alias("shell_idx")
+    return proj.select(F.col(id_col), sh), len(r2)
+
+
 def stream_shell_counts(
     stream: DataFrame,
     halos: DataFrame,
@@ -55,44 +100,83 @@ def stream_shell_counts(
     (`src/astr_rcount/main.c` processes particle files one at a time,
     adding each file's counts into the running totals — SURVEY §3.1):
     here every micro-batch plays the role of one particle file.  The
-    plan is the sql join plan (ring-explode the STATIC side, stream->
-    static equi-join on cell_id — stream-static joins are append-safe)
-    followed by a streaming groupBy; run it in update/complete mode and
-    the sink holds the same running totals the reference prints at the
-    end of its file loop.
+    join+bin stage (`_binned_stream`) feeds a streaming groupBy; run it
+    in update/complete mode and the sink holds the same running totals
+    the reference prints at the end of its file loop.
     -> streaming (halo_id, shell_idx, cnt)
     """
-    import numpy as np
-
-    from ..functions.geometry import squared_distance_expr
-    from ..functions.shells import shell_index_expr, squared_edges
-    from ..operators.cells import explode_ring, grid_ncells
-    from ..operators.shell_count import _H, _P
-
-    edges = np.asarray(edges)
-    rmax = float(edges[-1])
-    if not rmax < box / 2:
-        raise ValueError(f"r_max={rmax} must be < box/2={box / 2}")
-    nc = grid_ncells(rmax, box)
-    h = halos.select(
-        F.col(id_col), *[F.col(c).alias(a) for c, a in zip(("x", "y", "z"), _H)]
-    )
-    h = explode_ring(h, nc, box, cols=_H, k=1, prune_radius=rmax)
-    p = stream.select(
-        *[F.col(c).alias(a) for c, a in zip(("x", "y", "z"), _P)]
-    )
-    from ..operators.cells import with_cell
-
-    p = with_cell(p, nc, box, cols=_P)
-    r2 = squared_edges(edges)
-    d2 = squared_distance_expr(_H, _P, box, dtype)
-    j = p.join(h, "cell_id")  # stream on the left: stream-static join
-    proj = j.select(F.col(id_col), d2.alias("_d2")).where(
-        F.col("_d2") < F.lit(float(r2[-1]))
-    )
-    sh = shell_index_expr(F.col("_d2"), r2).alias("shell_idx")
+    binned, _ = _binned_stream(stream, halos, edges, box, dtype, id_col)
     return (
-        proj.select(F.col(id_col), sh)
-        .groupBy(id_col, "shell_idx")
+        binned.groupBy(id_col, "shell_idx")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def stream_shell_counts_stateful(
+    stream: DataFrame,
+    halos: DataFrame,
+    edges,
+    box: float = 1000.0,
+    dtype: str = "float32",
+    id_col: str = "halo_id",
+) -> DataFrame:
+    """Stateful streaming count-over-shells via applyInPandasWithState:
+    the per-halo running-totals ARRAY as explicit group state.
+
+    The reference keeps one `long counts[n_shells]` accumulator per
+    probe across its particle-file loop (`src/astr_rcount/main.c`
+    running totals, SURVEY §3.1); this operator is that accumulator as
+    a Structured Streaming custom stateful operator — group state keyed
+    by halo_id holds the dense shell vector, each micro-batch bincounts
+    its pairs into it, and only the halos TOUCHED by the batch are
+    re-emitted (update-mode sink).  Compared to `stream_shell_counts`
+    (streaming groupBy whose state lives in Spark's agg hash map and
+    whose complete-mode sink rewrites every halo every batch), this is
+    the shape you want when the probe set is large and each micro-batch
+    touches few of them: sink traffic is proportional to the batch, not
+    the state.
+    -> streaming (halo_id, shell_idx, cnt) — updated running totals.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    binned, n_shells = _binned_stream(stream, halos, edges, box, dtype, id_col)
+    out_t = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("shell_idx", IntegerType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    state_t = StructType([StructField("counts", ArrayType(LongType()))])
+
+    def accumulate(key, pdfs, state):
+        acc = np.zeros(n_shells, dtype=np.int64)
+        if state.exists:
+            acc += np.asarray(state.get[0], dtype=np.int64)
+        for pdf in pdfs:
+            b = np.bincount(
+                pdf["shell_idx"].to_numpy(dtype=np.int64), minlength=n_shells
+            )
+            acc += b
+        state.update((acc.tolist(),))
+        nz = np.nonzero(acc)[0]
+        yield pd.DataFrame(
+            {
+                id_col: np.full(len(nz), key[0], dtype=np.int64),
+                "shell_idx": nz.astype(np.int32),
+                "cnt": acc[nz],
+            }
+        )
+
+    return binned.groupBy(id_col).applyInPandasWithState(
+        accumulate, out_t, state_t, "update", GroupStateTimeout.NoTimeout
     )

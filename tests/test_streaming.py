@@ -64,6 +64,89 @@ def test_stream_cell_occupancy_matches_batch(spark):
     assert got == want
 
 
+def test_stream_shell_counts_stateful_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState running totals: two deterministic file-source
+    micro-batches; after batch 1 the update-mode sink holds exactly the
+    batch-1 counts, after batch 2 the latest row per key equals the batch
+    shell_count over BOTH files — the reference's per-file accumulation
+    loop (src/astr_rcount/main.c running totals) as explicit group state."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import FloatType, StructField, StructType
+
+    from spatialjoincountovershells_spark import shell_count
+    from spatialjoincountovershells_spark.streaming.stream_cells import (
+        stream_shell_counts_stateful,
+    )
+
+    n_parts, n_halos = 400, 20
+    edges = np.logspace(np.log2(30.0), np.log2(200.0), 4, base=2.0).astype(np.float32)
+
+    def pos(ids):
+        mults = (2654435761, 2246822519, 3266489917)
+        return {
+            c: ((ids * m) % 64000 / 64.0).astype(np.float32)
+            for c, m in zip("xyz", mults)
+        }
+
+    halos = spark.createDataFrame(
+        [
+            (int(i), *(float(pos(np.array([i + 7919]))[c][0]) for c in "xyz"))
+            for i in range(n_halos)
+        ],
+        "halo_id long, x float, y float, z float",
+    )
+    src = tmp_path / "parts"
+    src.mkdir()
+    ids = np.arange(n_parts, dtype=np.int64)
+    halves = [ids[: n_parts // 2], ids[n_parts // 2:]]
+    pq.write_table(pa.table(pos(halves[0])), src / "b1.parquet")
+
+    schema = StructType([StructField(c, FloatType()) for c in "xyz"])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = stream_shell_counts_stateful(stream, halos, edges)
+    q = (
+        agg.writeStream.format("memory").queryName("shells_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def batch_counts(id_arr):
+        df = spark.createDataFrame(
+            [tuple(map(float, r)) for r in np.column_stack(
+                [pos(id_arr)[c] for c in "xyz"])],
+            "x float, y float, z float",
+        )
+        return {
+            (r.halo_id, r.shell_idx): r.cnt
+            for r in shell_count(halos, df, edges).collect()
+        }
+
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r.halo_id, r.shell_idx): r.cnt
+            for r in spark.sql("SELECT * FROM shells_state").collect()
+        }
+        assert got1 == batch_counts(halves[0]) and len(got1) > 0
+
+        pq.write_table(pa.table(pos(halves[1])), src / "b2.parquet")
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT halo_id, shell_idx, max(cnt) AS cnt FROM shells_state "
+            "GROUP BY halo_id, shell_idx"
+        ).collect()
+        got = {(r.halo_id, r.shell_idx): r.cnt for r in rows}
+    finally:
+        q.stop()
+    want = batch_counts(ids)
+    assert got == want
+    # the totals really did grow across batches (state carried over)
+    assert any(got[k] > got1[k] for k in got1)
+
+
 def test_stream_shell_counts_matches_batch(spark):
     """Streaming micro-batches play the reference's per-file loop: the
     complete-mode sink must equal the batch shell_count over the same
