@@ -147,6 +147,104 @@ def test_stream_shell_counts_stateful_accumulates_across_batches(spark, tmp_path
     assert any(got[k] > got1[k] for k in got1)
 
 
+def test_stream_shell_counts_stateful_resumes_from_checkpoint(spark, tmp_path):
+    """North-rule resumability: STOP the stateful query after batch 1,
+    restart a NEW query from the same checkpoint, feed batch 2 — the
+    recovered group state must keep accumulating (final totals equal the
+    batch shell_count over both files, not just file 2)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import FloatType, StructField, StructType
+
+    from spatialjoincountovershells_spark import shell_count
+    from spatialjoincountovershells_spark.streaming.stream_cells import (
+        stream_shell_counts_stateful,
+    )
+
+    n_parts, n_halos = 300, 12
+    edges = np.logspace(np.log2(30.0), np.log2(200.0), 4, base=2.0).astype(np.float32)
+
+    def pos(ids):
+        mults = (2654435761, 2246822519, 3266489917)
+        return {
+            c: ((ids * m) % 64000 / 64.0).astype(np.float32)
+            for c, m in zip("xyz", mults)
+        }
+
+    halos = spark.createDataFrame(
+        [
+            (int(i), *(float(pos(np.array([i + 104729]))[c][0]) for c in "xyz"))
+            for i in range(n_halos)
+        ],
+        "halo_id long, x float, y float, z float",
+    )
+    src = tmp_path / "parts"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ids = np.arange(n_parts, dtype=np.int64)
+    schema = StructType([StructField(c, FloatType()) for c in "xyz"])
+
+    def start(rows):
+        # the memory sink cannot recover from a checkpoint; foreachBatch can
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        return (
+            stream_shell_counts_stateful(stream, halos, edges)
+            .writeStream.foreachBatch(
+                lambda df, _eid: rows.extend(df.collect())
+            )
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    pq.write_table(pa.table(pos(ids[:150])), src / "b1.parquet")
+    rows1 = []
+    q1 = start(rows1)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert rows1  # batch 1 was processed and its offsets checkpointed
+
+    pq.write_table(pa.table(pos(ids[150:])), src / "b2.parquet")
+    rows2 = []
+    q2 = start(rows2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {}
+    for r in rows2:  # latest emission per key wins (counts are monotone)
+        got[(r.halo_id, r.shell_idx)] = max(
+            r.cnt, got.get((r.halo_id, r.shell_idx), 0)
+        )
+    pdf = spark.createDataFrame(
+        [tuple(map(float, r)) for r in np.column_stack(
+            [pos(ids)[c] for c in "xyz"])],
+        "x float, y float, z float",
+    )
+    want = {
+        (r.halo_id, r.shell_idx): r.cnt
+        for r in shell_count(halos, pdf, edges).collect()
+    }
+    pdf2 = spark.createDataFrame(
+        [tuple(map(float, r)) for r in np.column_stack(
+            [pos(ids[150:])[c] for c in "xyz"])],
+        "x float, y float, z float",
+    )
+    want2 = {
+        (r.halo_id, r.shell_idx): r.cnt
+        for r in shell_count(halos, pdf2, edges).collect()
+    }
+    # resume_b only ever SAW file 2 (the memory sink holds batch-2
+    # updates only, so keys untouched by file 2 don't reappear): every
+    # re-emitted total must be the TWO-file total, and at least one must
+    # exceed its file-2-only count — both require the batch-1 state to
+    # have been recovered from the checkpoint
+    assert got and all(want[k] == v for k, v in got.items())
+    assert any(v > want2.get(k, 0) for k, v in got.items())
+
+
 def test_stream_shell_counts_matches_batch(spark):
     """Streaming micro-batches play the reference's per-file loop: the
     complete-mode sink must equal the batch shell_count over the same
