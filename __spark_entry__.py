@@ -962,6 +962,9 @@ FROM documents GROUP BY text
         "text_stats": f"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
        CAST({tokens} AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+|[ \t\n\r]+'
+       )) AS BIGINT) AS n_tokens_bpe,
        CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
        CAST(length(text) - length(replace(text, ',', '')) AS BIGINT) AS n_commas
 FROM documents

@@ -35,13 +35,38 @@ def _n_tokens(text_col: str):
     )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the regex subset on
+# which Java (Spark) and RE2 (DuckDB) agree exactly: leftmost-first
+# alternation, no lookaround, explicit whitespace classes instead of \s
+# (Java's \s includes \x0B, RE2's does not).  Branches: contraction
+# suffix, letter run, digit run, punctuation run (each with optional
+# leading space, like GPT-2's ` ?`), whitespace run.
+BPE_TOKEN_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]+"
+    "| ?[^A-Za-z0-9 \t\n\r]+"
+    "|[ \t\n\r]+"
+)
+
+
+def n_tokens_bpe(text_col: str):
+    """BPE-ish token count: number of pre-tokenizer matches over the
+    text (GPT-2's split, see BPE_TOKEN_PATTERN).  Whitespace runs count
+    as one token each, like the real pre-tokenizer's `\\s+` branch."""
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """-> (id, n_chars, n_tokens, n_spaces, n_commas)."""
+    """-> (id, n_chars, n_tokens, n_tokens_bpe, n_spaces, n_commas)."""
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
         F.length(t).cast("long").alias("n_chars"),
         _n_tokens(text_col).cast("long").alias("n_tokens"),
+        n_tokens_bpe(text_col).cast("long").alias("n_tokens_bpe"),
         (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))))
         .cast("long")
         .alias("n_spaces"),

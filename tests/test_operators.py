@@ -240,3 +240,47 @@ def test_n_tokens_space_semantics(spark):
     )
     got = {r.doc_id: r.n_tokens for r in text_stats(df).collect()}
     assert got == {i: n for i, _, n in rows}
+
+
+def test_n_tokens_bpe_three_engine_agreement(spark):
+    """The BPE-ish pre-tokenizer count must agree across Spark (Java
+    regex), DuckDB (RE2) and Python `re` — all three are leftmost-first
+    and the pattern avoids every construct they disagree on."""
+    import re
+
+    import duckdb
+
+    from spatialjoincountovershells_spark.operators.text import (
+        BPE_TOKEN_PATTERN,
+        text_stats,
+    )
+
+    texts = [
+        "don't stop, won't  go 123!!",
+        "hello world",
+        "a.b.c's 42x  7",
+        "  leading and trailing  ",
+        "",
+        "tabs\tand\nnewlines\r\nmixed",
+        "unicode naïve café 東京",   # non-ASCII falls in the punct branch
+        "'' ''s '--' 3.14",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    got_spark = {
+        r.doc_id: r.n_tokens_bpe for r in text_stats(df).collect()
+    }
+    pat = re.compile(BPE_TOKEN_PATTERN)
+    want_py = {i: len(pat.findall(t)) for i, t in enumerate(texts)}
+    con = duckdb.connect()
+    want_duck = {
+        i: con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, BPE_TOKEN_PATTERN]
+        ).fetchone()[0]
+        for i, t in enumerate(texts)
+    }
+    assert got_spark == want_py == want_duck
+    # sanity: the counts are pre-tokenizer counts, not whitespace splits
+    assert got_spark[0] == len(pat.findall(texts[0]))
+    assert got_spark[4] == 0
