@@ -284,3 +284,41 @@ def test_n_tokens_bpe_three_engine_agreement(spark):
     # sanity: the counts are pre-tokenizer counts, not whitespace splits
     assert got_spark[0] == len(pat.findall(texts[0]))
     assert got_spark[4] == 0
+
+
+def test_n_tokens_bpe_seeded_fuzz_three_engines(spark):
+    """500 seeded-random strings over an adversarial alphabet (letters,
+    digits, apostrophes, punctuation, every ASCII whitespace INCLUDING
+    \\f and \\x0b — the two \\s would disagree on — and non-ASCII):
+    Spark, DuckDB and Python `re` must count identically on all of them."""
+    import random
+    import re
+
+    import duckdb
+
+    from spatialjoincountovershells_spark.operators.text import (
+        BPE_TOKEN_PATTERN,
+        text_stats,
+    )
+
+    rng = random.Random(0xBEEF)
+    alphabet = (
+        "abcXYZ019'’,.!-_ \t\n\r\f\x0b"  # noqa: W605 — raw control chars on purpose
+        "éß東 "
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    got_spark = {r.doc_id: r.n_tokens_bpe for r in text_stats(df).collect()}
+    pat = re.compile(BPE_TOKEN_PATTERN)
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want_py = len(pat.findall(t))
+        want_duck = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, BPE_TOKEN_PATTERN]
+        ).fetchone()[0]
+        assert got_spark[i] == want_py == want_duck, (i, repr(t))
