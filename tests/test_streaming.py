@@ -299,3 +299,84 @@ def test_stream_shell_counts_matches_batch(spark):
     finally:
         q.stop()
     assert got == want and len(want) > 0
+
+
+def test_stream_job_available_now_incremental(spark, tmp_path):
+    """jobs/sjcs_stream_job.py end-to-end: drain file 1 with
+    --available-now, add file 2, rerun with the same checkpoint — the
+    second run must process ONLY the new file and the totals view must
+    equal the batch shell_count over both files."""
+    import importlib.util
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spatialjoincountovershells_spark import shell_count
+
+    spec = importlib.util.spec_from_file_location(
+        "sjcs_stream_job",
+        os.path.join(os.path.dirname(__file__), "..", "jobs", "sjcs_stream_job.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    n_parts, n_halos = 300, 12
+    edges_spec = "30:200:4"
+
+    def pos(ids):
+        mults = (2654435761, 2246822519, 3266489917)
+        return {
+            c: ((ids * m) % 64000 / 64.0).astype(np.float32)
+            for c, m in zip("xyz", mults)
+        }
+
+    halos = spark.createDataFrame(
+        [
+            (int(i), *(float(pos(np.array([i + 15485863]))[c][0]) for c in "xyz"))
+            for i in range(n_halos)
+        ],
+        "halo_id long, x float, y float, z float",
+    )
+    halo_file = str(tmp_path / "halos")
+    halos.write.parquet(halo_file)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ids = np.arange(n_parts, dtype=np.int64)
+    pq.write_table(pa.table(pos(ids[:150])), src / "b1.parquet")
+
+    class Args:
+        particle_dir = str(src)
+        halo_file_ = halo_file
+        radius = edges_spec
+        output = str(tmp_path / "totals")
+        checkpoint = str(tmp_path / "ckpt")
+        stateful = True
+        available_now = True
+        box = 1000.0
+        dtype = "float32"
+
+    Args.halo_file = Args.halo_file_
+    out1 = job.run_stream_job(spark, Args)
+    assert out1["drained"] and out1["total_keys"] > 0
+
+    pq.write_table(pa.table(pos(ids[150:])), src / "b2.parquet")
+    out2 = job.run_stream_job(spark, Args)
+    assert out2["drained"]
+
+    got = {
+        (r.halo_id, r.shell_idx): r.cnt
+        for r in job.read_totals(spark, Args.output).collect()
+    }
+    pdf = spark.createDataFrame(
+        [tuple(map(float, r)) for r in np.column_stack(
+            [pos(ids)[c] for c in "xyz"])],
+        "x float, y float, z float",
+    )
+    edges = job.parse_radius(edges_spec)
+    want = {
+        (r.halo_id, r.shell_idx): r.cnt
+        for r in shell_count(halos, pdf, edges).collect()
+    }
+    assert got == want and len(got) > 0
