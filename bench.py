@@ -44,7 +44,8 @@ SHELL_PLANS = ("sql", "fused", "bcast", "dgrid")
 EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign", "point_in_polygon", "knn",
                  "minhash_lsh", "ann_cosine", "dedup_exact",
                  "simhash_pairs", "ann_ivf", "point_in_polygon_grid",
-                 "cosine_dedup")
+                 "cosine_dedup", "image_features", "video_frames",
+                 "audio_stats")
 
 
 def sf_of(sf_dir: str) -> float:
