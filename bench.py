@@ -41,6 +41,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 CACHE = "/tmp/sjcs_bench_cache"
 
 SHELL_PLANS = ("sql", "fused", "bcast", "dgrid")
+# the default bench also times plan='auto' (chooser overhead + did it
+# pick the winner?); the pinned --ref-shape section reports the choice
+# via choose_plan instead of re-running a duplicate measurement
+BENCH_PLANS = SHELL_PLANS + ("auto",)
 EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign", "point_in_polygon", "knn",
                  "minhash_lsh", "ann_cosine", "dedup_exact",
                  "simhash_pairs", "ann_ivf", "point_in_polygon_grid",
@@ -471,7 +475,7 @@ def main():
     ap.add_argument("--no-broadcast", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--scale-mult", type=float, default=1.0)
     ap.add_argument("--headline-only", action="store_true")
-    ap.add_argument("--plans", default=",".join(SHELL_PLANS),
+    ap.add_argument("--plans", default=",".join(BENCH_PLANS),
                     help="comma list of shell-count plans to time")
     ap.add_argument("--no-pairs", action="store_true",
                     help="skip the candidate-pair count job")
@@ -484,7 +488,7 @@ def main():
         # scaling contrasts one shuffle plan and the broadcast plans
         # (fused scales like sql and doubles the 1-core wall time)
         run_scaling(args.sf_dir, mult=max(args.scale_mult, 10.0),
-                    plans=args.plans if args.plans != ",".join(SHELL_PLANS)
+                    plans=args.plans if args.plans != ",".join(BENCH_PLANS)
                     else "sql,bcast,dgrid")
     elif args.ref_shape:
         run_ref_shape(args.sf_dir, mult=max(args.scale_mult, 10.0))

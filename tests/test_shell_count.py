@@ -72,6 +72,33 @@ def test_random_vs_oracle(spark, plan, seed, n_part, n_halo, spec):
     assert got.tolist() == want.tolist()
 
 
+@pytest.mark.parametrize("plan", ["sql", "fused", "bcast", "dgrid"])
+def test_skewed_clusters_vs_oracle(spark, plan):
+    """Heavily clustered data (the 100-TB failure mode the salting path
+    exists for): 80% of particles in one tight blob, halos half inside
+    the blob — every plan must match the numpy oracle, and the sql plan
+    must also match with salting enabled on the hot cells."""
+    rng = np.random.default_rng(42)
+    blob = (rng.normal(0, 4.0, size=(800, 3)) + 500.0) % 1000.0
+    bg = rng.uniform(0, 1000.0, size=(200, 3))
+    P = np.vstack([blob, bg]).astype(np.float32)
+    H = np.vstack([
+        (rng.normal(0, 4.0, size=(25, 3)) + 500.0) % 1000.0,
+        rng.uniform(0, 1000.0, size=(25, 3)),
+    ]).astype(np.float32)
+    edges = logspace_edges(1.0, 60.0, 6)
+    want = oracle_shell_counts(H, P, squared_edges(edges))
+    got = _run(spark, H, P, edges, plan)
+    assert got.tolist() == want.tolist()
+    if plan == "sql":
+        halos = _df_points(spark, H, id_col="halo_id")
+        parts = _df_points(spark, P)
+        salted = shell_count(halos, parts, edges, plan="sql",
+                             salt_threshold=50, max_salt=8)
+        rows = [(r.halo_id, r.shell_idx, r.cnt) for r in salted.collect()]
+        assert dense_from_long(rows, len(H), len(edges)).tolist() == want.tolist()
+
+
 @pytest.mark.parametrize("plan", ["bcast", "dgrid"])
 def test_broadcast_sparse_grid_fallback(spark, plan):
     """nc^3 > 16M disables the dense CSR offsets in _build_grid, so the
