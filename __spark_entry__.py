@@ -67,7 +67,10 @@ from spatialjoincountovershells_spark.operators.text import (  # noqa: E402
 )
 from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     image_tile_stats,
+    morton_sql_ctes,
     rasterize_points,
+    tile_cover,
+    tile_rollup,
 )
 from spatialjoincountovershells_spark.operators.media import (  # noqa: E402
     audio_window_stats,
@@ -214,6 +217,25 @@ def q_point_in_polygon_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_points(_parts(spark, sf_dir), res=16, box=BOX)
+
+
+def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution Z-order (Morton) count pyramid, levels 0..6."""
+    return tile_rollup(_parts(spark, sf_dir), max_level=6, box=BOX)
+
+
+def q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style bbox covering of the PIP polygons at level 5."""
+    verts = spark.createDataFrame(
+        [(pid, float(x), float(y))
+         for pid, vs in POLYGONS.items() for x, y in vs],
+        "poly_id long, x double, y double",
+    )
+    boxes = verts.groupBy("poly_id").agg(
+        F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+    )
+    return tile_cover(boxes, level=5, box=BOX, id_col="poly_id")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,6 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": q_point_in_polygon,
         "point_in_polygon_grid": q_point_in_polygon_grid,
         "tile_assign": q_tile_assign,
+        "tile_rollup": q_tile_rollup,
+        "tile_cover": q_tile_cover,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
@@ -954,6 +978,35 @@ SELECT least(greatest(CAST(floor(x / 62.5) AS BIGINT), 0), 15) * 16
      + least(greatest(CAST(floor(y / 62.5) AS BIGINT), 0), 15) AS tile_id,
      count(*) AS n_points
 FROM p GROUP BY tile_id
+""",
+        "tile_rollup": f"""
+WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),
+t AS (SELECT least(greatest(CAST(floor(x / 15.625) AS BIGINT), 0), 63) AS tx,
+             least(greatest(CAST(floor(y / 15.625) AS BIGINT), 0), 63) AS ty FROM p),
+{morton_sql_ctes("t", "tx", "ty")},
+f AS (SELECT tile_id, count(*) AS n FROM m5 GROUP BY tile_id),
+lv AS (SELECT unnest(generate_series(0, 6)) AS level)
+SELECT CAST(lv.level AS INTEGER) AS level,
+       f.tile_id >> (2 * (6 - lv.level)) AS tile_id,
+       CAST(sum(f.n) AS BIGINT) AS n_points
+FROM f, lv GROUP BY 1, 2
+""",
+        "tile_cover": f"""
+WITH v(poly_id, x, y) AS (VALUES {", ".join(
+    f"(CAST({pid} AS BIGINT), {float(x)}, {float(y)})"
+    for pid, vs in POLYGONS.items() for x, y in vs)}),
+b AS (SELECT poly_id, min(x) AS xmin, max(x) AS xmax,
+             min(y) AS ymin, max(y) AS ymax FROM v GROUP BY poly_id),
+r AS (SELECT poly_id,
+  least(greatest(CAST(floor(xmin / 31.25) AS BIGINT), 0), 31) AS tx0,
+  least(greatest(CAST(floor(xmax / 31.25) AS BIGINT), 0), 31) AS tx1,
+  least(greatest(CAST(floor(ymin / 31.25) AS BIGINT), 0), 31) AS ty0,
+  least(greatest(CAST(floor(ymax / 31.25) AS BIGINT), 0), 31) AS ty1 FROM b),
+g AS (SELECT poly_id, gx.tx AS tx, gy.ty AS ty FROM r,
+      unnest(generate_series(tx0, tx1)) AS gx(tx),
+      unnest(generate_series(ty0, ty1)) AS gy(ty)),
+{morton_sql_ctes("g", "tx", "ty")}
+SELECT poly_id, tile_id FROM m5
 """,
         "dedup_exact": """
 SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id, count(*) AS n_copies

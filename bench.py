@@ -45,7 +45,8 @@ SHELL_PLANS = ("sql", "fused", "bcast", "dgrid")
 # pick the winner?); the pinned --ref-shape section reports the choice
 # via choose_plan instead of re-running a duplicate measurement
 BENCH_PLANS = SHELL_PLANS + ("auto",)
-EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign", "point_in_polygon", "knn",
+EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign", "tile_rollup",
+                 "point_in_polygon", "knn",
                  "minhash_lsh", "ann_cosine", "dedup_exact",
                  "simhash_pairs", "ann_ivf", "point_in_polygon_grid",
                  "cosine_dedup", "image_features", "video_frames",

@@ -27,7 +27,15 @@ from .operators.shell_count import shell_count, range_join_pairs, shell_totals
 from .operators.semi_join import filter_halos
 from .operators.knn import knn
 from .operators.pip import point_in_polygon, polygon_edges
-from .operators.tiling import rasterize_points, image_tile_stats
+from .operators.tiling import (
+    rasterize_points,
+    image_tile_stats,
+    morton_tile_expr,
+    tile_rollup,
+    tile_cover,
+    tile_parent_expr,
+    tile_children,
+)
 from .operators.images import image_roundtrip_metrics, image_features, resize_nearest
 from .operators.media import sample_frames, frame_stats, audio_window_stats
 
@@ -51,6 +59,11 @@ __all__ = [
     "polygon_edges",
     "rasterize_points",
     "image_tile_stats",
+    "morton_tile_expr",
+    "tile_rollup",
+    "tile_cover",
+    "tile_parent_expr",
+    "tile_children",
     "image_roundtrip_metrics",
     "image_features",
     "resize_nearest",

@@ -7,6 +7,16 @@
   Arrow-batched ``mapInPandas``; the decode itself is numpy for
   fmt='raw' (RGB8), and stubbed for compressed formats (no image
   codecs in this environment — the Spark-side plumbing is real).
+* hierarchical tiles: S2-style quadtree Z-order (Morton) encoding —
+  ``morton_tile_expr`` (encode), ``tile_parent_expr`` /
+  ``tile_children`` (hierarchy), ``tile_rollup`` (multi-resolution
+  count pyramid in one big shuffle + one tiny pyramid shuffle) and
+  ``tile_cover`` (bbox -> covering tile set, the S2 "covering"
+  analog).  All pure JVM bit expressions with exact DuckDB SQL twins
+  (``morton_sql_ctes``) and numpy twins (``morton_np``) so the
+  contract gate hash-checks them.  The bit-spread interleave is the
+  classic public-domain "Interleave bits by Binary Magic Numbers"
+  pattern (Stanford Bit Twiddling Hacks).
 """
 
 from __future__ import annotations
@@ -25,6 +35,186 @@ def tile_id_expr(x, y, res: int, box: float = 1000.0):
     tx = F.least(F.greatest(F.floor(x / F.lit(ts)), F.lit(0)), F.lit(res - 1))
     ty = F.least(F.greatest(F.floor(y / F.lit(ts)), F.lit(0)), F.lit(res - 1))
     return (tx * res + ty).cast("long")
+
+
+# --- S2-style quadtree Z-order (Morton) tiles -------------------------
+#
+# Levels: level L has 2^L x 2^L tiles; a tile id is the bit-interleave
+# of (tx, ty) with tx in the odd (higher) bit positions.  Parent/child
+# moves are 2-bit shifts, so the whole hierarchy lives in one int64 for
+# L <= 16 (id < 2^32) — the same trick S2/H3 use for prefix-range
+# queries and rollups.
+
+_SPREAD_STEPS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+MAX_TILE_LEVEL = 16
+
+
+def _spread_expr(v):
+    """int64 Column with 16 significant bits -> bits spread to even positions."""
+    v = v.bitwiseAND(F.lit(0xFFFF))
+    for sh, m in _SPREAD_STEPS:
+        v = v.bitwiseOR(F.shiftleft(v, sh)).bitwiseAND(F.lit(m))
+    return v
+
+
+def morton_expr(tx, ty):
+    """Z-order id from integer tile coords (x odd bits, y even bits)."""
+    return F.shiftleft(_spread_expr(tx), 1).bitwiseOR(_spread_expr(ty))
+
+
+def _clamped_tile_coord(c, level: int, box: float):
+    res = 1 << level
+    ts = box / res  # box=1000 -> 125 * 2^(3-L), exact in binary for any L
+    return F.least(
+        F.greatest(F.floor(c.cast("double") / F.lit(ts)), F.lit(0)),
+        F.lit(res - 1),
+    )
+
+
+def morton_tile_expr(x, y, level: int, box: float = 1000.0):
+    """Z-order tile id at `level` for point columns (x, y) in [0, box)."""
+    if not 0 <= level <= MAX_TILE_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_TILE_LEVEL}]")
+    return morton_expr(
+        _clamped_tile_coord(x, level, box), _clamped_tile_coord(y, level, box)
+    )
+
+
+def tile_parent_expr(tile, steps: int = 1):
+    """Ancestor tile id `steps` levels up (quadtree prefix shift)."""
+    return F.shiftright(tile, 2 * steps)
+
+
+def tile_children(tile):
+    """array<long> of the 4 child tile ids one level down."""
+    base = F.shiftleft(tile, 2)
+    return F.array(*[base + F.lit(i) for i in range(4)])
+
+
+def spread_np(v: np.ndarray) -> np.ndarray:
+    """numpy twin of ``_spread_expr`` (tests / oracles)."""
+    v = v.astype(np.int64) & 0xFFFF
+    for sh, m in _SPREAD_STEPS:
+        v = (v | (v << sh)) & m
+    return v
+
+
+def morton_np(tx: np.ndarray, ty: np.ndarray) -> np.ndarray:
+    return (spread_np(tx) << 1) | spread_np(ty)
+
+
+def morton_decode_np(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of ``morton_np`` (tests only; the engine never decodes)."""
+    def compact(v):
+        v = v.astype(np.int64) & 0x55555555
+        for sh, m_ in ((1, 0x33333333), (2, 0x0F0F0F0F), (4, 0x00FF00FF),
+                       (8, 0x0000FFFF)):
+            v = (v | (v >> sh)) & m_
+        return v
+
+    return compact(m >> 1), compact(m)
+
+
+def morton_sql_ctes(src: str, tx_sql: str, ty_sql: str,
+                    out: str = "m") -> str:
+    """DuckDB CTE chain computing the identical Z-order id.
+
+    Emits CTEs ``{out}0..{out}5``; select ``tile_id`` (plus all other
+    columns of `src`, carried through) from ``{out}5``.
+    """
+    o = out
+    parts = [
+        f"{o}0 AS (SELECT *, CAST({tx_sql} AS BIGINT) & 65535 AS _ax, "
+        f"CAST({ty_sql} AS BIGINT) & 65535 AS _ay FROM {src})"
+    ]
+    for i, (sh, m) in enumerate(_SPREAD_STEPS, start=1):
+        parts.append(
+            f"{o}{i} AS (SELECT * REPLACE ((_ax | (_ax << {sh})) & {m} AS _ax, "
+            f"(_ay | (_ay << {sh})) & {m} AS _ay) FROM {o}{i - 1})"
+        )
+    parts.append(
+        f"{o}5 AS (SELECT * EXCLUDE (_ax, _ay), (_ax << 1) | _ay AS tile_id "
+        f"FROM {o}4)"
+    )
+    return ",\n".join(parts)
+
+
+def tile_rollup(
+    points: DataFrame,
+    max_level: int,
+    box: float = 1000.0,
+    coords: tuple[str, str] = ("x", "y"),
+) -> DataFrame:
+    """Multi-resolution count pyramid: (level, tile_id, n_points) for
+    every level in [0, max_level].
+
+    Scale shape: ONE full shuffle (groupBy finest tile over the point
+    table), then the pyramid is built from the already-reduced tile
+    table — each coarser level is a 2-bit prefix shift, so one more
+    tiny shuffle over <= 4^max_level rows covers all levels at once.
+    No per-level rescan of the input.
+    """
+    x, y = (F.col(c) for c in coords)
+    finest = (
+        points.select(morton_tile_expr(x, y, max_level, box).alias("tile_id"))
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    return (
+        finest.select(
+            "tile_id",
+            "n_points",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(max_level))
+            ).alias("level"),
+        )
+        .groupBy(
+            "level",
+            F.expr(f"shiftright(tile_id, 2 * ({max_level} - level))").alias(
+                "tile_id"
+            ),
+        )
+        .agg(F.sum("n_points").alias("n_points"))
+        .select("level", "tile_id", "n_points")
+    )
+
+
+def tile_cover(
+    boxes: DataFrame,
+    level: int,
+    box: float = 1000.0,
+    id_col: str = "box_id",
+    bounds: tuple[str, str, str, str] = ("xmin", "xmax", "ymin", "ymax"),
+) -> DataFrame:
+    """S2-style covering: (id, tile_id) for every level-`level` tile
+    intersecting each axis-aligned bbox.  Pure JVM sequence+explode;
+    output volume is bounded by the bbox area in tiles."""
+    xmin, xmax, ymin, ymax = (F.col(c) for c in bounds)
+    tx = F.explode(
+        F.sequence(
+            _clamped_tile_coord(xmin, level, box),
+            _clamped_tile_coord(xmax, level, box),
+        )
+    ).alias("_tx")
+    with_tx = boxes.select(F.col(id_col), ymin, ymax, tx)
+    ty = F.explode(
+        F.sequence(
+            _clamped_tile_coord(F.col(bounds[2]), level, box),
+            _clamped_tile_coord(F.col(bounds[3]), level, box),
+        )
+    ).alias("_ty")
+    return (
+        with_tx.select(F.col(id_col), F.col("_tx"), ty)
+        .select(
+            F.col(id_col),
+            morton_expr(F.col("_tx"), F.col("_ty")).alias("tile_id"),
+        )
+    )
 
 
 def rasterize_points(

@@ -1,0 +1,140 @@
+"""Hierarchical Z-order (Morton) tile ops: three-engine agreement and
+quadtree invariants (SURVEY §2.12 graft: raster<->vector / S2-style
+encoding; reference analog is the flat cell grid of astr_rcount —
+src/objects/MyStruct/MyStruct.h:24-52 — lifted to a multi-resolution
+quadtree, which the C engine has no equivalent of)."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatialjoincountovershells_spark.operators.tiling import (
+    morton_decode_np,
+    morton_expr,
+    morton_np,
+    morton_sql_ctes,
+    morton_tile_expr,
+    tile_children,
+    tile_cover,
+    tile_parent_expr,
+    tile_rollup,
+)
+
+
+def test_morton_three_engine_agreement(spark):
+    """Spark bit exprs, DuckDB CTE chain, and numpy produce the same
+    Z-order id on the full 16-bit coordinate range."""
+    rng = np.random.default_rng(7)
+    tx = rng.integers(0, 65536, 3000)
+    ty = rng.integers(0, 65536, 3000)
+    # corners / diagonals on top of the random sweep
+    tx = np.concatenate([tx, [0, 0, 65535, 65535, 1]])
+    ty = np.concatenate([ty, [0, 65535, 0, 65535, 1]])
+    want = morton_np(tx, ty)
+
+    df = spark.createDataFrame(
+        [(int(i), int(a), int(b)) for i, (a, b) in enumerate(zip(tx, ty))],
+        "i long, tx long, ty long",
+    )
+    got = (
+        df.select("i", morton_expr(F.col("tx"), F.col("ty")).alias("m"))
+        .orderBy("i")
+        .toPandas()["m"]
+        .to_numpy()
+    )
+    assert np.array_equal(got, want)
+
+    con = duckdb.connect()
+    con.register("src", __import__("pandas").DataFrame(
+        {"i": np.arange(len(tx)), "tx": tx, "ty": ty}))
+    sql = f"WITH {morton_sql_ctes('src', 'tx', 'ty')} " \
+          "SELECT tile_id FROM m5 ORDER BY i"
+    got_sql = con.sql(sql).fetchnumpy()["tile_id"]
+    assert np.array_equal(got_sql.astype(np.int64), want)
+
+
+def test_morton_decode_and_hierarchy():
+    rng = np.random.default_rng(11)
+    tx = rng.integers(0, 65536, 2000)
+    ty = rng.integers(0, 65536, 2000)
+    m = morton_np(tx, ty)
+    dx, dy = morton_decode_np(m)
+    assert np.array_equal(dx, tx) and np.array_equal(dy, ty)
+    # parent id is the morton of the halved coords (quadtree prefix)
+    assert np.array_equal(m >> 2, morton_np(tx >> 1, ty >> 1))
+
+
+def test_tile_parent_children_exprs(spark):
+    df = spark.createDataFrame([(t,) for t in range(64)], "tile long")
+    rows = df.select(
+        "tile",
+        tile_parent_expr(F.col("tile")).alias("parent"),
+        tile_children(F.col("tile")).alias("kids"),
+    ).collect()
+    for r in rows:
+        assert r.parent == r.tile >> 2
+        assert list(r.kids) == [r.tile * 4 + i for i in range(4)]
+        # every child's parent is the tile itself
+        assert all(k >> 2 == r.tile for k in r.kids)
+
+
+@pytest.mark.parametrize("max_level", [0, 3, 5])
+def test_tile_rollup_vs_bruteforce(spark, max_level):
+    rng = np.random.default_rng(13)
+    pts = rng.uniform(0, 1000.0, size=(4000, 2))
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    )
+    got = {
+        (r.level, r.tile_id): r.n_points
+        for r in tile_rollup(df, max_level=max_level).collect()
+    }
+    want = {}
+    for lvl in range(max_level + 1):
+        res = 1 << lvl
+        ts = 1000.0 / res
+        tx = np.clip(np.floor(pts[:, 0] / ts).astype(np.int64), 0, res - 1)
+        ty = np.clip(np.floor(pts[:, 1] / ts).astype(np.int64), 0, res - 1)
+        m = morton_np(tx, ty)
+        ids, counts = np.unique(m, return_counts=True)
+        for i, c in zip(ids, counts):
+            want[(lvl, int(i))] = int(c)
+    assert got == want
+    # conservation: every level sums to N
+    for lvl in range(max_level + 1):
+        assert sum(v for (l, _), v in got.items() if l == lvl) == len(pts)
+
+
+def test_tile_cover_vs_bruteforce(spark):
+    boxes = [
+        (1, 100.0, 300.0, 50.0, 60.0),
+        (2, 999.0, 999.5, 0.0, 1000.0),   # clamps at both borders
+        (3, 0.0, 0.0, 0.0, 0.0),          # degenerate -> single tile
+    ]
+    df = spark.createDataFrame(
+        boxes, "box_id long, xmin double, xmax double, ymin double, ymax double"
+    )
+    level, res = 4, 16
+    ts = 1000.0 / res
+    got = sorted((r.box_id, r.tile_id)
+                 for r in tile_cover(df, level=level).collect())
+    want = []
+    clamp = lambda v: min(max(int(np.floor(v / ts)), 0), res - 1)  # noqa: E731
+    for bid, x0, x1, y0, y1 in boxes:
+        for a in range(clamp(x0), clamp(x1) + 1):
+            for b in range(clamp(y0), clamp(y1) + 1):
+                want.append(
+                    (bid, int(morton_np(np.array([a]), np.array([b]))[0]))
+                )
+    assert got == sorted(want)
+
+
+def test_morton_tile_expr_level_bounds(spark):
+    df = spark.createDataFrame([(500.0, 500.0)], "x double, y double")
+    with pytest.raises(ValueError):
+        df.select(morton_tile_expr(F.col("x"), F.col("y"), 17))
+    # level 0 is the root tile for every in-box point
+    assert df.select(
+        morton_tile_expr(F.col("x"), F.col("y"), 0).alias("t")
+    ).first().t == 0
