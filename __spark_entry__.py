@@ -50,6 +50,7 @@ from spatialjoincountovershells_spark.operators.shell_count import (  # noqa: E4
 from spatialjoincountovershells_spark.operators.images import (  # noqa: E402
     image_features,
     image_roundtrip_metrics,
+    phash_near_dup,
     transcode,
 )
 from spatialjoincountovershells_spark.operators.similarity import (  # noqa: E402
@@ -236,6 +237,28 @@ def q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("ymin"), F.max("y").alias("ymax"),
     )
     return tile_cover(boxes, level=5, box=BOX, id_col="poly_id")
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs on a synth images table with
+    planted distance-1 and distance-2 variants (bit flips within the
+    48 populated phash bits).  Banded Hamming join, pigeonhole-exact
+    recall at max_hamming=2 < bands=3; oracle is the all-pairs
+    bit_count join in DuckDB over the identical splitmix64 phashes."""
+    base = synth_points(spark, 2000, seed=21, id_col="image_id")
+    flip1 = "phash ^ shiftleft(CAST(1 AS BIGINT), CAST(image_id % 16 AS INT))"
+    v1 = base.where(F.col("image_id") % 10 == 0).select(
+        (F.col("image_id") + F.lit(1000000)).alias("image_id"),
+        F.expr(flip1).alias("phash"),
+    )
+    v2 = base.where(F.col("image_id") % 25 == 0).select(
+        (F.col("image_id") + F.lit(2000000)).alias("image_id"),
+        F.expr(
+            f"({flip1}) ^ shiftleft(CAST(1 AS BIGINT), "
+            "CAST(16 + image_id % 16 AS INT))"
+        ).alias("phash"),
+    )
+    return phash_near_dup(base.unionByName(v1).unionByName(v2))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "phash_near_dup": q_phash_near_dup,
         "ann_cosine": q_ann_cosine,
         "doc_fingerprint": q_doc_fingerprint,
         "sjcs_images": q_sjcs_images,
@@ -1071,6 +1095,25 @@ FROM events GROUP BY bucket, event_type
         "minhash_lsh": _minhash_lsh_sql(),
         "simhash": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
+        "phash_near_dup": f"""
+WITH {_phash_cte("q", 2000, 21)},
+base AS (SELECT CAST(i AS BIGINT) AS image_id,
+  CAST((ax // 281474976710656) * 4294967296
+     + (ay // 281474976710656) * 65536
+     + (az // 281474976710656) AS BIGINT) AS phash FROM q_6),
+v1 AS (SELECT image_id + 1000000 AS image_id,
+  xor(phash, (CAST(1 AS BIGINT) << CAST(image_id % 16 AS INT))) AS phash
+  FROM base WHERE image_id % 10 = 0),
+v2 AS (SELECT image_id + 2000000 AS image_id,
+  xor(xor(phash, (CAST(1 AS BIGINT) << CAST(image_id % 16 AS INT))),
+      (CAST(1 AS BIGINT) << CAST(16 + image_id % 16 AS INT))) AS phash
+  FROM base WHERE image_id % 25 = 0),
+t AS (SELECT * FROM base UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT a.image_id AS image_a, b.image_id AS image_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM t a JOIN t b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+""",
         "doc_fingerprint": _doc_fingerprint_sql(),
         "ann_cosine": _ann_cosine_sql(),
         "embed_lsh_pairs": _embed_lsh_sql(),

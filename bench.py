@@ -48,7 +48,8 @@ BENCH_PLANS = SHELL_PLANS + ("auto",)
 EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign", "tile_rollup",
                  "point_in_polygon", "knn",
                  "minhash_lsh", "ann_cosine", "dedup_exact",
-                 "simhash_pairs", "ann_ivf", "point_in_polygon_grid",
+                 "simhash_pairs", "phash_near_dup", "ann_ivf",
+                 "point_in_polygon_grid",
                  "cosine_dedup", "image_features", "video_frames",
                  "audio_stats")
 

@@ -36,7 +36,12 @@ from .operators.tiling import (
     tile_parent_expr,
     tile_children,
 )
-from .operators.images import image_roundtrip_metrics, image_features, resize_nearest
+from .operators.images import (
+    image_roundtrip_metrics,
+    image_features,
+    resize_nearest,
+    phash_near_dup,
+)
 from .operators.media import sample_frames, frame_stats, audio_window_stats
 
 __all__ = [
@@ -67,6 +72,7 @@ __all__ = [
     "image_roundtrip_metrics",
     "image_features",
     "resize_nearest",
+    "phash_near_dup",
     "sample_frames",
     "frame_stats",
     "audio_window_stats",

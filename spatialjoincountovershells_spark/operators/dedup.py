@@ -228,55 +228,60 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return per.select(F.col(id_col), acc.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def hamming_pairs(
+    sig_df: DataFrame,
+    sig_col: str,
+    id_col: str,
     bands: int = 4,
     max_hamming: int = 3,
+    bits: int = 64,
+    out_cols: tuple[str, str] = ("doc_a", "doc_b"),
 ) -> DataFrame:
-    """Banded-SimHash near-dup pairs -> (doc_a, doc_b, hamming).
+    """Banded Hamming near-dup pairs over any int64 signature column
+    -> (out_a, out_b, hamming).
 
     The pigeonhole guarantee of banding: any pair within Hamming
     distance < `bands` must agree exactly on at least one of the
-    `bands` contiguous (64/bands)-bit slices of the signature, so
+    `bands` contiguous (bits/bands)-bit slices of the signature, so
     bucketing each slice as a groupBy key finds EVERY such pair without
-    an all-pairs join.  With the defaults (4 bands, max_hamming=3)
-    recall is exact; for max_hamming >= bands the candidate set is
-    banding-limited (documented approximation, same trade as LSH).
+    an all-pairs join.  `bits` is the populated signature width (64 for
+    SimHash; 48 for the packed 3x16-bit image phash — banding the
+    always-zero top bits would put every row in one bucket); recall is
+    exact for max_hamming < bands, banding-limited above (documented
+    approximation, same trade as LSH).
 
     The signature is carried INTO the bucket expansion
-    (collect_list of struct(id, simhash)) so the token-hash
-    aggregation executes exactly once and the Hamming distance —
+    (collect_list of struct(id, sig)) so the upstream signature
+    computation executes exactly once and the Hamming distance —
     bit_count(sig_a ^ sig_b), two's-complement 64-bit in both Spark
     and DuckDB — is a pure codegen expression on the expanded pairs.
-    doc_a < doc_b; pairs colliding in several bands are collapsed by a
+    out_a < out_b; pairs colliding in several bands are collapsed by a
     final groupBy.
     """
-    assert 64 % bands == 0
-    w = 64 // bands
+    assert bits % bands == 0 and bits <= 64
+    w = bits // bands
     mask = (1 << w) - 1
-    sig = simhash(df, text_col, id_col)
+    out_a, out_b = out_cols
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.expr(f"shiftright(simhash, {w * b}) & {mask}").alias("key"),
+            F.expr(f"shiftright({sig_col}, {w * b}) & {mask}").alias("key"),
         )
         for b in range(bands)
     ]
-    buckets = sig.select(
+    buckets = sig_df.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col),
         F.explode(F.array(*band_structs)).alias("bk"),
     ).select(
-        id_col, "simhash",
+        id_col, sig_col,
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
     g = (
         buckets.groupBy("band", "key")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(sig_col).alias("s")))
             ).alias("_ids")
         )
         .where(F.size("_ids") >= 2)
@@ -290,11 +295,24 @@ def simhash_pairs(
     return (
         g.select(pair)
         .select(
-            F.col("_p.x.i").alias("doc_a"),
-            F.col("_p.y.i").alias("doc_b"),
+            F.col("_p.x.i").alias(out_a),
+            F.col("_p.y.i").alias(out_b),
             F.expr("bit_count(_p.x.s ^ _p.y.s)").cast("long").alias("hamming"),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy(out_a, out_b)
         .agg(F.min("hamming").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded-SimHash near-dup pairs -> (doc_a, doc_b, hamming).
+    See ``hamming_pairs`` for the banding/recall contract."""
+    sig = simhash(df, text_col, id_col)
+    return hamming_pairs(sig, "simhash", id_col, bands, max_hamming)

@@ -206,3 +206,31 @@ def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield out
 
     return images.mapInPandas(op, images.schema)
+
+
+def phash_near_dup(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    bands: int = 3,
+    max_hamming: int = 2,
+    bits: int = 48,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs -> (image_a, image_b, hamming).
+
+    Banded Hamming join on the images table's ``phash`` column (the
+    image-payload analog of SimHash dedup on documents): bucket on
+    (bits/bands)-bit slices, exact bit_count re-rank, pigeonhole-exact
+    recall for hamming < bands.  The default ``bits=48`` matches the
+    packed 3x16-bit synth phash (sources/synth.py _phash); real 64-bit
+    perceptual hashes use bits=64, bands=4.  Scale shape: one groupBy
+    per band over the (id, phash) projection — the full image payload
+    is never shuffled.
+    """
+    from .dedup import hamming_pairs
+
+    return hamming_pairs(
+        images.select(id_col, phash_col), phash_col, id_col,
+        bands=bands, max_hamming=max_hamming, bits=bits,
+        out_cols=("image_a", "image_b"),
+    )

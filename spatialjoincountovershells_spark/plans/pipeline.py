@@ -71,6 +71,35 @@ def prepartition_particles(
     return path
 
 
+def cluster_by_tile(
+    images: DataFrame,
+    path: str,
+    level: int = 8,
+    box: float = 1000.0,
+    n_files: int | None = None,
+) -> str:
+    """Materialize the images table Z-order-clustered on the Morton
+    tile id: repartitionByRange + sortWithinPartitions, so spatially
+    close rows land in the same files and every file covers a disjoint
+    tile range.  Readers filtering on tile_id (range queries, covers
+    from tile_cover) then prune whole files/row-groups via parquet
+    min/max stats — the Iceberg sort-order / Z-order-clustering analog
+    built from plain Spark primitives.  Z-order matters over plain
+    (tx, ty) sort because Morton ranges stay 2-D-local, so a bbox query
+    touches O(perimeter) files instead of full row stripes."""
+    from ..operators.tiling import morton_tile_expr
+
+    pts = decode_phash(images)
+    t = pts.withColumn(
+        "tile_id", morton_tile_expr(F.col("x"), F.col("y"), level, box)
+    )
+    w = t.repartitionByRange(
+        n_files or t.sparkSession.sparkContext.defaultParallelism, "tile_id"
+    ).sortWithinPartitions("tile_id")
+    write_table(w, path)
+    return path
+
+
 def partition_metrics(df: DataFrame) -> DataFrame:
     """Per-partition lineage: (partition_id, n_rows) — cheap extra job."""
     return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(

@@ -281,3 +281,32 @@ def test_ann_l2_candidate_route(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_phash_near_dup_bruteforce_recall(spark):
+    """Banded Hamming join on the images phash column (bits=48, 3 bands)
+    finds exactly the brute-force pair set at max_hamming=2, stays
+    JVM-side, and the planted single-bit variant is recovered."""
+    import numpy as np
+
+    from spatialjoincountovershells_spark.operators.images import phash_near_dup
+
+    rng = np.random.default_rng(5)
+    ph = rng.integers(0, 1 << 48, 300, dtype=np.int64)
+    ph = np.concatenate([ph, ph[:20] ^ (1 << 7), ph[:5] ^ ((1 << 3) | (1 << 40))])
+    ids = np.arange(len(ph))
+    df = spark.createDataFrame(
+        [(int(i), int(p)) for i, p in zip(ids, ph)], "image_id long, phash long"
+    )
+    out = phash_near_dup(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    got = {(r.image_a, r.image_b): r.hamming for r in out.collect()}
+    want = {}
+    for i in range(len(ph)):
+        for j in range(i + 1, len(ph)):
+            h = int(bin((int(ph[i]) ^ int(ph[j])) & ((1 << 64) - 1)).count("1"))
+            if h <= 2:
+                want[(i, j)] = h
+    assert got == want
+    assert got[(0, 300)] == 1 and got[(0, 320)] == 2

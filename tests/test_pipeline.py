@@ -131,3 +131,30 @@ def test_tableio_iceberg_branch_plumbing():
     calls.clear()
     assert tableio.read_table(FakeSpark(), "sjcs.db.t", fmt="iceberg") == "DF"
     assert calls == [("table", "sjcs.db.t")]
+
+
+def test_cluster_by_tile_locality_and_pushdown(spark, tmp_path):
+    """Z-order clustering: files cover disjoint tile ranges (so min/max
+    stats prune file scans), and a tile_id range filter reaches the
+    parquet scan as a pushed filter."""
+    from pyspark.sql import functions as F
+
+    from spatialjoincountovershells_spark.plans.pipeline import cluster_by_tile
+
+    images = synth_images(spark, 4000, seed=9, with_payload=False)
+    path = cluster_by_tile(images, str(tmp_path / "zt"), level=8, n_files=8)
+    back = spark.read.parquet(path)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("tile_id").alias("lo"), F.max("tile_id").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) > 1
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a < lo_b, "file tile ranges must be disjoint"
+    # rows survive the round trip and the filter is pushed to the scan
+    assert back.count() == 4000
+    q = back.where((F.col("tile_id") >= 100) & (F.col("tile_id") < 200))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "tile_id" in plan.split("PushedFilters")[1][:200]
