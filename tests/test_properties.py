@@ -243,3 +243,30 @@ def test_pows_table_matches_modpow():
     assert POWS[0] == 1
     for j in range(1, MAXLEN):
         assert POWS[j] == pow(1_000_003, j, P)
+
+
+@given(
+    st.lists(st.integers(0, 65535), min_size=1, max_size=50),
+    st.lists(st.integers(0, 65535), min_size=1, max_size=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_morton_bijection_and_order(txs, tys):
+    """Z-order encode is a bijection on 16-bit pairs (decode inverts it),
+    the parent relation commutes with coordinate halving, and encoding
+    is monotone along each axis with the other fixed."""
+    from spatialjoincountovershells_spark.operators.tiling import (
+        morton_decode_np,
+        morton_np,
+    )
+
+    n = min(len(txs), len(tys))
+    tx = np.array(txs[:n], dtype=np.int64)
+    ty = np.array(tys[:n], dtype=np.int64)
+    m = morton_np(tx, ty)
+    dx, dy = morton_decode_np(m)
+    assert np.array_equal(dx, tx) and np.array_equal(dy, ty)
+    assert np.array_equal(m >> 2, morton_np(tx >> 1, ty >> 1))
+    # monotone in ty for fixed tx (interleave preserves per-axis order)
+    order = np.argsort(ty, kind="stable")
+    fixed = morton_np(np.full(n, int(tx[0]), dtype=np.int64), ty[order])
+    assert np.array_equal(np.sort(fixed), fixed)
