@@ -151,6 +151,43 @@ def _run_one(query: str, cores: int, sf_dir: str, mult: float,
         spark.stop()
         return out
 
+    if query.startswith("__layout_"):
+        # Z-order-clustered vs hash-shuffled layout: identical rows and
+        # file count, only the row->file assignment differs.  The probe
+        # is one level-4 ancestor tile's Morton range (1/256 of the key
+        # space): on the clustered layout parquet min/max row-group
+        # stats prune almost every file; the shuffled layout must scan
+        # all of them.
+        from pyspark.sql import functions as F
+        from spatialjoincountovershells_spark.operators.tiling import (
+            morton_np,
+            morton_tile_expr,
+        )
+
+        kind = query.removeprefix("__layout_")
+        level, n_files = 8, 64
+        ldir = f"{CACHE}/layout_{kind}_n{n_part}"
+        if not os.path.exists(os.path.join(ldir, "_SUCCESS")):
+            base = parts.select("particle_id", "x", "y").withColumn(
+                "tile_id", morton_tile_expr(F.col("x"), F.col("y"), level, 1000.0)
+            )
+            w = (
+                base.repartitionByRange(n_files, "tile_id")
+                .sortWithinPartitions("tile_id")
+                if kind == "zorder"
+                else base.repartition(n_files)
+            )
+            w.write.mode("overwrite").parquet(ldir)
+        t = spark.read.parquet(ldir)
+        anc = int(morton_np(np.array([7]), np.array([9]))[0])
+        lo, hi = anc * 256, (anc + 1) * 256
+        pred = (F.col("tile_id") >= lo) & (F.col("tile_id") < hi)
+        out["sec"] = timed(lambda: noop_write(t.where(pred)), repeat=repeat)
+        out["n_rows_hit"] = t.where(pred).count()
+        out["n_files"] = n_files
+        spark.stop()
+        return out
+
     if query.startswith("sjcs_shell_"):
         plan = query.removeprefix("sjcs_shell_")
         # phase-split timing, mirroring the reference's own accounting
@@ -364,6 +401,29 @@ def run_ref_shape(sf_dir: str, mult: float = 10.0, cores: int = 4) -> None:
     print(json.dumps(r))
 
 
+def run_layout(sf_dir: str, mult: float = 10.0, cores: int = 4) -> None:
+    """Measured evidence for the Z-order clustered layout
+    (plans/pipeline.py:cluster_by_tile): same rows, same file count,
+    same Morton-range probe — only the physical row->file assignment
+    differs.  CPU-pinned fresh subprocess per layout, min-of-2."""
+    res = {
+        kind: _spawn_one(f"__layout_{kind}", cores, sf_dir, mult, pin=True)
+        for kind in ("zorder", "shuffled")
+    }
+    assert res["zorder"]["n_rows_hit"] == res["shuffled"]["n_rows_hit"]
+    print(json.dumps({
+        "metric": "zorder_layout_speedup",
+        "value": round(res["shuffled"]["sec"] / res["zorder"]["sec"], 2),
+        "unit": "x",
+        "zorder_sec": round(res["zorder"]["sec"], 3),
+        "shuffled_sec": round(res["shuffled"]["sec"], 3),
+        "n_rows": res["zorder"]["n_particles"],
+        "n_rows_hit": res["zorder"]["n_rows_hit"],
+        "n_files": res["zorder"]["n_files"],
+        "cores": cores,
+    }))
+
+
 def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4),
                 plans: str = "sql,bcast") -> None:
     """Same job, same input, N vs 4N cores -> BENCH/BASELINE.md.
@@ -469,6 +529,8 @@ def main():
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--layout", action="store_true",
+                    help="measure Z-order clustered vs shuffled layout")
     ap.add_argument("--ref-shape", action="store_true",
                     help="CPU-pinned reference-matched radius shape -> BENCH/BASELINE.md")
     ap.add_argument("--one", default=None, help=argparse.SUPPRESS)
@@ -492,6 +554,8 @@ def main():
         run_scaling(args.sf_dir, mult=max(args.scale_mult, 10.0),
                     plans=args.plans if args.plans != ",".join(BENCH_PLANS)
                     else "sql,bcast,dgrid")
+    elif args.layout:
+        run_layout(args.sf_dir, mult=max(args.scale_mult, 10.0))
     elif args.ref_shape:
         run_ref_shape(args.sf_dir, mult=max(args.scale_mult, 10.0))
     else:
