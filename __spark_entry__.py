@@ -138,6 +138,28 @@ def q_shell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_autocorr_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-correlation pair counts DD(r): shell_count in big x big
+    SELF-join mode (both sides the same table — the 2-point correlation
+    estimator, the classic astro workload the reference's halo x particle
+    query generalizes to).  Ordered pairs; the N self-pairs (d=0, always
+    shell 0 since edges[0] > 0) are subtracted from shell 0.  Exercises
+    the sql plan's both-sides-large path: cell-grid equi-join, no
+    broadcast requirement on either side."""
+    p = _parts(spark, sf_dir, table="part", key="p_partkey")
+    h = p.select(F.col("particle_id").alias("halo_id"), "x", "y", "z")
+    sc = shell_count(h, p, EDGES, dtype="float64", plan="sql",
+                     id_col="halo_id")
+    n = p.count()
+    tot = sc.groupBy("shell_idx").agg(F.sum("cnt").alias("n_pairs"))
+    return tot.select(
+        "shell_idx",
+        F.when(F.col("shell_idx") == 0, F.col("n_pairs") - F.lit(n))
+        .otherwise(F.col("n_pairs")).cast("long").alias("n_pairs"),
+    ).where(F.col("n_pairs") > 0)  # a shell left with only self-pairs
+    # vanishes, matching the oracle's GROUP BY (which never sees them)
+
+
 def q_shell_count_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shell_count(
         _halos(spark, sf_dir), _parts(spark, sf_dir), EDGES,
@@ -863,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shell_count_bcast": q_shell_count_bcast,
         "shell_count_dgrid": q_shell_count_dgrid,
         "shell_totals": q_shell_totals,
+        "autocorr_shells": q_autocorr_shells,
         "range_pairs": q_range_pairs,
         "semi_filtered_shell_count": q_semi_filtered_shell_count,
         "cell_assign": q_cell_assign,
@@ -951,6 +974,13 @@ WITH pts AS (SELECT o_orderkey AS point_id, {sql_coord("o_orderkey", 0)} AS px,
         "shell_count_fused": shell_sql,
         "shell_count_bcast": shell_sql,
         "shell_count_dgrid": shell_sql,
+        "autocorr_shells": f"""
+WITH pp AS (SELECT p_partkey AS id, {sql_coord("p_partkey", 0)} AS x,
+      {sql_coord("p_partkey", 1)} AS y, {sql_coord("p_partkey", 2)} AS z FROM part),
+d AS (SELECT {_D2} AS d2 FROM pp h JOIN pp p ON h.id != p.id)
+SELECT {_SHELL_CASE} AS shell_idx, CAST(count(*) AS BIGINT) AS n_pairs
+FROM d WHERE d2 < {R2[-1]} GROUP BY shell_idx
+""",
         "shell_totals": f"""
 WITH base AS ({shell_sql})
 SELECT shell_idx, CAST(sum(cnt) AS BIGINT) AS total FROM base GROUP BY shell_idx
