@@ -159,25 +159,27 @@ def _run_one(query: str, cores: int, sf_dir: str, mult: float,
         # stats prune almost every file; the shuffled layout must scan
         # all of them.
         from pyspark.sql import functions as F
+        from spatialjoincountovershells_spark.functions.phash import decode_phash
         from spatialjoincountovershells_spark.operators.tiling import (
             morton_np,
             morton_tile_expr,
         )
+        from spatialjoincountovershells_spark.plans.pipeline import cluster_by_tile
 
         kind = query.removeprefix("__layout_")
         level, n_files = 8, 64
-        ldir = f"{CACHE}/layout_{kind}_n{n_part}"
+        ldir = f"{CACHE}/layoutv2_{kind}_n{n_part}"
         if not os.path.exists(os.path.join(ldir, "_SUCCESS")):
-            base = parts.select("particle_id", "x", "y").withColumn(
-                "tile_id", morton_tile_expr(F.col("x"), F.col("y"), level, 1000.0)
-            )
-            w = (
-                base.repartitionByRange(n_files, "tile_id")
-                .sortWithinPartitions("tile_id")
-                if kind == "zorder"
-                else base.repartition(n_files)
-            )
-            w.write.mode("overwrite").parquet(ldir)
+            base = parts.select("particle_id", "phash")
+            if kind == "zorder":
+                # the shipped function, not a re-implementation
+                cluster_by_tile(base, ldir, level=level, n_files=n_files)
+            else:
+                # control arm: identical columns, random row->file map
+                decode_phash(base).withColumn(
+                    "tile_id",
+                    morton_tile_expr(F.col("x"), F.col("y"), level, 1000.0),
+                ).repartition(n_files).write.mode("overwrite").parquet(ldir)
         t = spark.read.parquet(ldir)
         anc = int(morton_np(np.array([7]), np.array([9]))[0])
         lo, hi = anc * 256, (anc + 1) * 256
@@ -555,7 +557,9 @@ def main():
                     plans=args.plans if args.plans != ",".join(BENCH_PLANS)
                     else "sql,bcast,dgrid")
     elif args.layout:
-        run_layout(args.sf_dir, mult=max(args.scale_mult, 10.0))
+        # pinned measurement: clamp to CLAUDE.md's <=8 honest CPUs
+        run_layout(args.sf_dir, mult=max(args.scale_mult, 10.0),
+                   cores=min(args.cores, 8))
     elif args.ref_shape:
         run_ref_shape(args.sf_dir, mult=max(args.scale_mult, 10.0))
     else:

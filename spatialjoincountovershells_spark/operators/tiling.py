@@ -193,21 +193,23 @@ def tile_cover(
 ) -> DataFrame:
     """S2-style covering: (id, tile_id) for every level-`level` tile
     intersecting each axis-aligned bbox.  Pure JVM sequence+explode;
-    output volume is bounded by the bbox area in tiles."""
+    output volume is bounded by the bbox area in tiles.
+
+    An inverted extent (min > max, e.g. a periodic wrap-around box
+    passed unsplit) covers NOTHING — mirroring generate_series in the
+    SQL twin, where a descending range is empty.  Without the guard
+    Spark's F.sequence would silently emit a descending (full-span)
+    cover.  Callers with wrap-around boxes must split them at the
+    boundary first."""
     xmin, xmax, ymin, ymax = (F.col(c) for c in bounds)
-    tx = F.explode(
-        F.sequence(
-            _clamped_tile_coord(xmin, level, box),
-            _clamped_tile_coord(xmax, level, box),
-        )
-    ).alias("_tx")
+
+    def _span(lo, hi):
+        a, b = (_clamped_tile_coord(c, level, box) for c in (lo, hi))
+        return F.explode(F.when(a <= b, F.sequence(a, b)))
+
+    tx = _span(xmin, xmax).alias("_tx")
     with_tx = boxes.select(F.col(id_col), ymin, ymax, tx)
-    ty = F.explode(
-        F.sequence(
-            _clamped_tile_coord(F.col(bounds[2]), level, box),
-            _clamped_tile_coord(F.col(bounds[3]), level, box),
-        )
-    ).alias("_ty")
+    ty = _span(F.col(bounds[2]), F.col(bounds[3])).alias("_ty")
     return (
         with_tx.select(F.col(id_col), F.col("_tx"), ty)
         .select(

@@ -159,17 +159,17 @@ def test_plan_auto_matches_sql(spark):
 
 def test_self_join_autocorr_counts(spark):
     """shell_count with the same table on both sides (DD(r) estimator):
-    ordered pair counts match the numpy oracle once the d=0 self-pairs
-    (always shell 0 when edges[0] > 0) are removed."""
+    raw ordered pair counts match the numpy oracle, and every point's
+    d=0 self-pair lands in shell 0 (the premise that lets
+    q_autocorr_shells subtract exactly N from shell 0)."""
     rng = np.random.default_rng(3)
     P = rng.uniform(0, 1000.0, size=(300, 3)).astype(np.float32)
     edges = logspace_edges(40.0, 320.0, 4)
     want = oracle_shell_counts(P, P, squared_edges(edges))
-    want[:, 0] -= 1  # remove each point's self-pair from shell 0
+    assert (want[:, 0] >= 1).all(), "self-pair must bin to shell 0"
     parts = _df_points(spark, P)
     halos = _df_points(spark, P, id_col="halo_id")
     got = shell_count(halos, parts, edges, plan="sql", id_col="halo_id")
     rows = [(r.halo_id, r.shell_idx, r.cnt) for r in got.collect()]
     dense = dense_from_long(rows, len(P), len(edges))
-    dense[:, 0] -= 1
     assert dense.tolist() == want.tolist()

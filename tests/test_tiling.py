@@ -111,7 +111,8 @@ def test_tile_cover_vs_bruteforce(spark):
         (1, 100.0, 300.0, 50.0, 60.0),
         (2, 999.0, 999.5, 0.0, 1000.0),   # clamps at both borders
         (3, 0.0, 0.0, 0.0, 0.0),          # degenerate -> single tile
-    ]
+        (4, 900.0, 100.0, 0.0, 50.0),     # inverted (unsplit wrap) -> EMPTY,
+    ]                                      # mirroring generate_series
     df = spark.createDataFrame(
         boxes, "box_id long, xmin double, xmax double, ymin double, ymax double"
     )
@@ -128,6 +129,7 @@ def test_tile_cover_vs_bruteforce(spark):
                     (bid, int(morton_np(np.array([a]), np.array([b]))[0]))
                 )
     assert got == sorted(want)
+    assert not any(bid == 4 for bid, _ in got)
 
 
 def test_morton_tile_expr_level_bounds(spark):
