@@ -11,8 +11,12 @@ Spark DataFrame library:
   ArraySTR / Guttman R-tree (X1/X2),
 * kNN via iterative cell-ring widening, point-in-polygon tile
   assignment, raster<->vector tiling (graft scope),
+* S2-style quadtree Z-order (Morton) tiles: encode / parent /
+  children / multi-resolution rollup / bbox covering, plus a
+  Z-order-clustered table layout (plans/pipeline.py:cluster_by_tile),
+* auto-correlation pair counts DD(r) (shell_count self-joined),
 * dedup / similarity / text-analysis operators for training-data
-  pipelines.
+  pipelines, incl. perceptual-hash near-dup pairs on the images table.
 
 Design notes: SURVEY.md §7.  All hot kernels are either pure Spark SQL
 expressions (whole-stage codegen) or Arrow-batched pandas UDFs — no
