@@ -138,6 +138,17 @@ def q_shell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-weighted radial profiles: count AND integer weight sum per
+    (halo, shell) — shell_count(weight_col=) on the sql plan."""
+    h = _halos(spark, sf_dir)
+    p = _parts(spark, sf_dir).withColumn(
+        "w", (F.col("particle_id") % 97).cast("long")
+    )
+    return shell_count(h, p, EDGES, dtype="float64", plan="sql",
+                       id_col="halo_id", weight_col="w")
+
+
 def q_autocorr_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-correlation pair counts DD(r): shell_count in big x big
     SELF-join mode (both sides the same table — the 2-point correlation
@@ -886,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shell_count_dgrid": q_shell_count_dgrid,
         "shell_totals": q_shell_totals,
         "autocorr_shells": q_autocorr_shells,
+        "weighted_shells": q_weighted_shells,
         "range_pairs": q_range_pairs,
         "semi_filtered_shell_count": q_semi_filtered_shell_count,
         "cell_assign": q_cell_assign,
@@ -974,6 +986,15 @@ WITH pts AS (SELECT o_orderkey AS point_id, {sql_coord("o_orderkey", 0)} AS px,
         "shell_count_fused": shell_sql,
         "shell_count_bcast": shell_sql,
         "shell_count_dgrid": shell_sql,
+        "weighted_shells": f"""
+WITH h AS ({_halos_cte()}),
+p AS (SELECT o_orderkey % 97 AS w, {sql_coord("o_orderkey", 0)} AS x,
+      {sql_coord("o_orderkey", 1)} AS y, {sql_coord("o_orderkey", 2)} AS z FROM orders),
+d AS (SELECT h.halo_id, p.w, {_D2} AS d2 FROM h, p)
+SELECT halo_id, {_SHELL_CASE} AS shell_idx, count(*) AS cnt,
+       CAST(sum(w) AS BIGINT) AS wsum
+FROM d WHERE d2 < {R2[-1]} GROUP BY halo_id, shell_idx
+""",
         "autocorr_shells": f"""
 WITH pp AS (SELECT p_partkey AS id, {sql_coord("p_partkey", 0)} AS x,
       {sql_coord("p_partkey", 1)} AS y, {sql_coord("p_partkey", 2)} AS z FROM part),

@@ -227,8 +227,19 @@ def shell_count(
     n_halos_est: int | None = None,
     n_particles_est: int | None = None,
     bcast_cell_mult: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """J1+J2+A1: -> (id_col, shell_idx int, cnt long), nonzero rows only.
+
+    weight_col: optional integer weight column on the particle side —
+    the output gains `wsum long` = sum of weights per (halo, shell)
+    (mass-weighted radial profiles, the natural generalization of the
+    reference's count-only A1).  Supported by the join plans
+    ('sql'/'fused'), which aggregate arbitrary expressions for free;
+    the broadcast plans' unit-count sort-reduce kernel is count-only by
+    design and raises.  `plan='auto'` with a weight restricts the
+    choice to the join plans.  Keep weights integer for bit-exact
+    cross-engine sums.
 
     plan: 'sql' (codegen join), 'fused' (cogroup Arrow kernel), or
     'auto' — pick by estimated pairs/core (choose_plan).  'auto' needs
@@ -252,10 +263,18 @@ def shell_count(
         n_h = n_halos_est or halos.count()
         rmax = float(np.asarray(edges)[-1])
         plan = choose_plan(n_h, n_est, rmax, box, ncells)
+        if weight_col is not None and plan in ("bcast", "dgrid"):
+            plan = "sql"  # weighted agg needs a join plan
         if plan == "sql" and ncells is None:
             # execute on the same occupancy-capped grid the cost model
             # evaluated (ADVICE r2: chooser/plan grid mismatch)
             ncells = grid_ncells(rmax, box, n_hint=n_est)
+    if weight_col is not None and plan in ("bcast", "dgrid"):
+        raise ValueError(
+            "weight_col is supported by plan='sql'/'fused' only; the "
+            "broadcast plans' unit-count sort-reduce kernel is "
+            "count-only by design"
+        )
     if plan == "fused" and ncells is None:
         # the Arrow kernel amortizes per-group overhead over dense cells:
         # target ~128 particles/cell (measured sweet spot: the numpy
@@ -286,46 +305,58 @@ def shell_count(
             h_coords, p_coords, ring_k=ring_k,
         )
     h, p, nc, edges = _prep(
-        halos, particles, edges, box, id_col, h_coords, p_coords, ncells
+        halos, particles, edges, box, id_col, h_coords, p_coords, ncells,
+        extra_p=(weight_col,) if weight_col else (),
     )
     join_key = "cell_id"
     if salt_threshold is not None:
         h, p, join_key = apply_salting(h, p, salt_threshold, max_salt)
     r2 = squared_edges(edges)
     if plan == "fused":
-        return _fused_plan(h, p, r2, box, dtype, id_col, join_key)
+        return _fused_plan(h, p, r2, box, dtype, id_col, join_key,
+                           weight_col=weight_col)
     j = h.join(p, join_key)
     d2 = squared_distance_expr(_H, _P, box, dtype)
     # project d2 ONCE, then bin on the column reference — embedding the
     # distance expression inside every WHEN branch would re-evaluate it
     # per branch (and blow codegen limits at 40 shells)
-    proj = j.select(F.col(id_col), d2.alias("_d2")).where(
+    wcols = [F.col(weight_col)] if weight_col else []
+    proj = j.select(F.col(id_col), d2.alias("_d2"), *wcols).where(
         F.col("_d2") < F.lit(float(r2[-1]))
     )
     sh = shell_index_expr(F.col("_d2"), r2).alias("shell_idx")
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if weight_col:
+        aggs.append(F.sum(weight_col).cast("long").alias("wsum"))
     return (
-        proj.select(F.col(id_col), sh)
+        proj.select(F.col(id_col), sh, *wcols)
         .groupBy(id_col, "shell_idx")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(*aggs)
     )
 
 
-def _fused_plan(h, p, r2, box, dtype, id_col, join_key: str = "cell_id") -> DataFrame:
+def _fused_plan(h, p, r2, box, dtype, id_col, join_key: str = "cell_id",
+                weight_col: str | None = None) -> DataFrame:
     np_dtype = np.float32 if dtype == "float32" else np.float64
     r2k = np.asarray(r2, dtype=np_dtype)
     nr = len(r2k)
     bx = np_dtype(box)
+    out_cols = [id_col, "shell_idx", "cnt"] + (["wsum"] if weight_col else [])
 
     def kern(left: pd.DataFrame, right: pd.DataFrame):
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({id_col: [], "shell_idx": [], "cnt": []}).astype(
-                {id_col: "int64", "shell_idx": "int32", "cnt": "int64"}
+            return pd.DataFrame({c: [] for c in out_cols}).astype(
+                {c: ("int32" if c == "shell_idx" else "int64")
+                 for c in out_cols}
             )
         H = left[list(_H)].to_numpy(np_dtype)
         ids = left[id_col].to_numpy(np.int64)
         P = right[list(_P)].to_numpy(np_dtype)
         m, n = len(H), len(P)
         acc = np.zeros(m * nr, dtype=np.int64)
+        if weight_col:
+            w = right[weight_col].to_numpy(np.int64)
+            accw = np.zeros(m * nr, dtype=np.int64)
         # chunk the halo side so the (chunk x n) distance matrix stays small
         chunk = max(1, 4_000_000 // max(n, 1))
         for s in range(0, m, chunk):
@@ -336,23 +367,34 @@ def _fused_plan(h, p, r2, box, dtype, id_col, join_key: str = "cell_id") -> Data
             if not keep.any():
                 continue
             hidx = np.repeat(np.arange(s, s + len(HH)), n)[keep]
-            acc += np.bincount(hidx * nr + sh[keep], minlength=m * nr)
+            keys = hidx * nr + sh[keep]
+            acc += np.bincount(keys, minlength=m * nr)
+            if weight_col:
+                # exact int64 accumulation (bincount weights are f64)
+                np.add.at(accw, keys, np.tile(w, len(HH))[keep])
         nz = np.nonzero(acc)[0]
-        return pd.DataFrame(
-            {
-                id_col: ids[nz // nr],
-                "shell_idx": (nz % nr).astype(np.int32),
-                "cnt": acc[nz],
-            }
-        )
+        cols = {
+            id_col: ids[nz // nr],
+            "shell_idx": (nz % nr).astype(np.int32),
+            "cnt": acc[nz],
+        }
+        if weight_col:
+            cols["wsum"] = accw[nz]
+        return pd.DataFrame(cols)
 
+    schema = f"{id_col} long, shell_idx int, cnt long" + (
+        ", wsum long" if weight_col else ""
+    )
     out = (
         h.groupBy(join_key)
         .cogroup(p.groupBy(join_key))
-        .applyInPandas(kern, schema=f"{id_col} long, shell_idx int, cnt long")
+        .applyInPandas(kern, schema=schema)
     )
     # per-cell partials -> final agg (the map-side-combine analog)
-    return out.groupBy(id_col, "shell_idx").agg(F.sum("cnt").alias("cnt"))
+    aggs = [F.sum("cnt").alias("cnt")]
+    if weight_col:
+        aggs.append(F.sum("wsum").alias("wsum"))
+    return out.groupBy(id_col, "shell_idx").agg(*aggs)
 
 
 def _build_grid(

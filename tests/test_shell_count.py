@@ -173,3 +173,56 @@ def test_self_join_autocorr_counts(spark):
     rows = [(r.halo_id, r.shell_idx, r.cnt) for r in got.collect()]
     dense = dense_from_long(rows, len(P), len(edges))
     assert dense.tolist() == want.tolist()
+
+
+@pytest.mark.parametrize("plan", ["sql", "fused"])
+def test_weighted_shell_sums(spark, plan):
+    """weight_col: per-(halo, shell) integer weight sums (mass-weighted
+    radial profiles) match a float64 min-image brute force exactly, and
+    cnt stays identical to the unweighted run."""
+    rng = np.random.default_rng(8)
+    H = rng.uniform(0, 1000.0, size=(60, 3))
+    P = rng.uniform(0, 1000.0, size=(500, 3))
+    w = rng.integers(0, 1000, size=500)
+    edges = logspace_edges(30.0, 240.0, 4)
+    r2 = squared_edges(edges).astype(np.float64)
+    # float64 min-image brute force with exact integer weight sums
+    d = np.abs(H[:, None, :] - P[None, :, :])
+    d = np.minimum(d, 1000.0 - d)
+    d2 = (d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1]) + d[..., 2] * d[..., 2]
+    sh = np.searchsorted(r2, d2.ravel(), side="right").reshape(len(H), len(P))
+    want_c = np.zeros((len(H), len(r2)), dtype=np.int64)
+    want_w = np.zeros((len(H), len(r2)), dtype=np.int64)
+    for hi in range(len(H)):
+        for pi in range(len(P)):
+            s = sh[hi, pi]
+            if s < len(r2):
+                want_c[hi, s] += 1
+                want_w[hi, s] += w[pi]
+    halos = spark.createDataFrame(
+        [(i, float(x), float(y), float(z)) for i, (x, y, z) in enumerate(H)],
+        "halo_id long, x double, y double, z double",
+    )
+    parts = spark.createDataFrame(
+        [(float(x), float(y), float(z), int(wi)) for (x, y, z), wi in zip(P, w)],
+        "x double, y double, z double, w long",
+    )
+    got = shell_count(halos, parts, edges, dtype="float64", plan=plan,
+                      id_col="halo_id", weight_col="w")
+    gc = np.zeros_like(want_c)
+    gw = np.zeros_like(want_w)
+    for r in got.collect():
+        gc[r.halo_id, r.shell_idx] = r.cnt
+        gw[r.halo_id, r.shell_idx] = r.wsum
+    assert gc.tolist() == want_c.tolist()
+    assert gw.tolist() == want_w.tolist()
+
+
+def test_weight_col_rejected_on_broadcast_plans(spark):
+    from pyspark.sql import functions as F
+
+    halos = _df_points(spark, PB_HALOS, id_col="halo_id")
+    parts = _df_points(spark, PB_PARTICLES).withColumn("w", F.lit(1))
+    with pytest.raises(ValueError, match="count-only"):
+        shell_count(halos, parts, logspace_edges(1.0, 60.0, 6),
+                    plan="dgrid", weight_col="w")
