@@ -42,6 +42,9 @@ from spatialjoincountovershells_spark.operators.dedup import (  # noqa: E402
 from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
 from spatialjoincountovershells_spark.operators.pip import point_in_polygon  # noqa: E402
 from spatialjoincountovershells_spark.operators.semi_join import filter_halos  # noqa: E402
+from spatialjoincountovershells_spark.operators.correlation import (  # noqa: E402
+    landy_szalay_xi,
+)
 from spatialjoincountovershells_spark.operators.shell_count import (  # noqa: E402
     range_join_pairs,
     shell_count,
@@ -136,6 +139,19 @@ def q_shell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shell_count(
         _halos(spark, sf_dir), _parts(spark, sf_dir), EDGES, dtype="float64"
     )
+
+
+def q_two_point_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Landy-Szalay 2-point correlation workflow: DD/DR/RR shell
+    totals composed from shell_count, xi quantized to floor(xi*2^20).
+    Data = part table; randoms = 2000 deterministic splitmix64 points
+    (seed 31), both f64 — the oracle re-derives the randoms in SQL via
+    the same _phash_cte used by the sjcs_images_f64 twin."""
+    data = _parts(spark, sf_dir, table="part", key="p_partkey")
+    randoms = decode_phash(
+        synth_points(spark, 2000, seed=31, id_col="rid"), dtype="float64"
+    )
+    return landy_szalay_xi(data, randoms, EDGES, n_randoms=2000)
 
 
 def q_weighted_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -898,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shell_totals": q_shell_totals,
         "autocorr_shells": q_autocorr_shells,
         "weighted_shells": q_weighted_shells,
+        "two_point_xi": q_two_point_xi,
         "range_pairs": q_range_pairs,
         "semi_filtered_shell_count": q_semi_filtered_shell_count,
         "cell_assign": q_cell_assign,
@@ -986,6 +1003,31 @@ WITH pts AS (SELECT o_orderkey AS point_id, {sql_coord("o_orderkey", 0)} AS px,
         "shell_count_fused": shell_sql,
         "shell_count_bcast": shell_sql,
         "shell_count_dgrid": shell_sql,
+        "two_point_xi": f"""
+WITH dp AS (SELECT p_partkey AS id, {sql_coord("p_partkey", 0)} AS x,
+      {sql_coord("p_partkey", 1)} AS y, {sql_coord("p_partkey", 2)} AS z FROM part),
+{_phash_cte("rnd", 2000, 31)},
+nd AS (SELECT count(*) AS n FROM dp),
+ddt AS (SELECT {_SHELL_CASE} AS shell_idx, count(*) AS dd
+  FROM (SELECT {_D2} AS d2 FROM dp h JOIN dp p ON h.id != p.id)
+  WHERE d2 < {R2[-1]} GROUP BY shell_idx),
+drt AS (SELECT {_SHELL_CASE} AS shell_idx, count(*) AS dr
+  FROM (SELECT {_D2} AS d2 FROM dp h, rnd p)
+  WHERE d2 < {R2[-1]} GROUP BY shell_idx),
+rrt AS (SELECT {_SHELL_CASE} AS shell_idx, count(*) AS rr
+  FROM (SELECT {_D2} AS d2 FROM rnd h JOIN rnd p ON h.id != p.id)
+  WHERE d2 < {R2[-1]} GROUP BY shell_idx),
+j AS (SELECT COALESCE(a.shell_idx, b.shell_idx, c.shell_idx) AS shell_idx,
+      COALESCE(dd, 0) AS dd, COALESCE(dr, 0) AS dr, COALESCE(rr, 0) AS rr
+  FROM ddt a FULL JOIN drt b ON a.shell_idx = b.shell_idx
+  FULL JOIN rrt c ON COALESCE(a.shell_idx, b.shell_idx) = c.shell_idx)
+SELECT shell_idx, dd, dr, rr,
+  CAST(floor(((CAST(dd AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+    - 2.0 * (CAST(dr AS DOUBLE) / (CAST(n AS DOUBLE) * 2000.0))
+    + CAST(rr AS DOUBLE) / (2000.0 * 1999.0))
+    / (CAST(rr AS DOUBLE) / (2000.0 * 1999.0))) * 1048576.0) AS BIGINT) AS xi_q
+FROM j, nd WHERE rr > 0
+""",
         "weighted_shells": f"""
 WITH h AS ({_halos_cte()}),
 p AS (SELECT o_orderkey % 97 AS w, {sql_coord("o_orderkey", 0)} AS x,

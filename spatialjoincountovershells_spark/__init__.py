@@ -28,6 +28,7 @@ from .functions.shells import logspace_edges, squared_edges
 from .functions.phash import decode_phash, encode_phash_np, decode_phash_np
 from .operators.cells import grid_ncells, with_cell, explode_ring, ring_offsets
 from .operators.shell_count import shell_count, range_join_pairs, shell_totals
+from .operators.correlation import landy_szalay_xi
 from .operators.semi_join import filter_halos
 from .operators.knn import knn
 from .operators.pip import point_in_polygon, polygon_edges
@@ -62,6 +63,7 @@ __all__ = [
     "shell_count",
     "range_join_pairs",
     "shell_totals",
+    "landy_szalay_xi",
     "filter_halos",
     "knn",
     "point_in_polygon",

@@ -1,0 +1,108 @@
+"""Two-point correlation function (Landy-Szalay estimator) over shells.
+
+The complete astro workflow the reference's count-over-shells kernel
+exists to serve (its README motivates the query as correlation-function
+pair counting): xi(r) = (DD - 2DR + RR) / RR per radial shell, where
+DD/RR are the data/randoms auto-correlation ordered-pair totals
+(self-pairs removed) and DR the data x randoms cross totals — each one
+a `shell_count` + per-shell sum, i.e. pure compositions of the
+engine's primitives.
+
+Numerics contract (mirrors the similarity kernels' rule, CLAUDE.md):
+every float step is a fixed correctly-rounded IEEE-f64 tree —
+normalization `cnt / (na * nb)`, then `(ddn - 2.0*drn + rrn) / rrn` —
+reproduced verbatim in the DuckDB oracle, and the output is quantized
+to floor(xi * 2^20) int64 so the contract hash is bit-exact.  Shells
+with RR == 0 (the estimator is undefined there) are dropped on both
+sides.
+
+Scale shape: three shell_count jobs (the expensive parts, each with the
+full plan repertoire) + three nshell-row aggregates + one nshell-row
+join.  Reference analog: src/astr_rcount/main.c runs ONE side of this;
+the composition is driver-side arithmetic there too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .shell_count import shell_count
+
+XI_QUANT = 1 << 20
+
+
+def _pair_totals(
+    left: DataFrame,
+    right: DataFrame,
+    edges: np.ndarray,
+    box: float,
+    plan: str,
+    id_col: str,
+    subtract_self: int | None,
+) -> DataFrame:
+    """-> (shell_idx, n long): ordered-pair totals per shell; for an
+    auto-correlation pass `subtract_self=n_rows` removes the d=0
+    self-pairs (always shell 0 — edges[0] > 0 is asserted upstream)."""
+    h = left.select(F.monotonically_increasing_id().alias("_qid"), "x", "y", "z") \
+        if id_col is None else left
+    sc = shell_count(
+        h, right, edges, box=box, plan=plan,
+        id_col="_qid" if id_col is None else id_col,
+    )
+    tot = sc.groupBy("shell_idx").agg(F.sum("cnt").alias("n"))
+    if subtract_self is not None:
+        tot = tot.select(
+            "shell_idx",
+            F.when(F.col("shell_idx") == 0, F.col("n") - F.lit(subtract_self))
+            .otherwise(F.col("n")).alias("n"),
+        )
+    return tot
+
+
+def landy_szalay_xi(
+    data: DataFrame,
+    randoms: DataFrame,
+    edges: np.ndarray,
+    box: float = 1000.0,
+    plan: str = "sql",
+    id_col: str | None = None,
+    n_data: int | None = None,
+    n_randoms: int | None = None,
+) -> DataFrame:
+    """-> (shell_idx int, dd long, dr long, rr long, xi_q long).
+
+    `data`/`randoms` need (x, y, z) columns (+ `id_col` if given; else
+    a synthetic id is attached for the probe side).  `n_data` /
+    `n_randoms` skip the two count() jobs when the caller tracks table
+    stats.  xi_q = floor(xi * 2^20); rows with rr == 0 are dropped
+    (estimator undefined).
+    """
+    edges = np.asarray(edges)
+    if not float(edges[0]) > 0.0:
+        # self-pairs must be separable: d=0 bins strictly below edges[0]
+        raise ValueError("landy_szalay_xi needs edges[0] > 0")
+    nd = n_data if n_data is not None else data.count()
+    nr = n_randoms if n_randoms is not None else randoms.count()
+    dd = _pair_totals(data, data, edges, box, plan, id_col, nd) \
+        .withColumnRenamed("n", "dd")
+    dr = _pair_totals(data, randoms, edges, box, plan, id_col, None) \
+        .withColumnRenamed("n", "dr")
+    rr = _pair_totals(randoms, randoms, edges, box, plan, id_col, nr) \
+        .withColumnRenamed("n", "rr")
+    j = (
+        dd.join(dr, "shell_idx", "full")
+        .join(rr, "shell_idx", "full")
+        .na.fill(0, ["dd", "dr", "rr"])
+        .where(F.col("rr") > 0)
+    )
+    # fixed IEEE-f64 tree, mirrored verbatim in the oracle SQL
+    ddn = F.col("dd").cast("double") / F.lit(float(nd) * (nd - 1))
+    drn = F.col("dr").cast("double") / F.lit(float(nd) * nr)
+    rrn = F.col("rr").cast("double") / F.lit(float(nr) * (nr - 1))
+    xi = (ddn - F.lit(2.0) * drn + rrn) / rrn
+    return j.select(
+        "shell_idx", "dd", "dr", "rr",
+        F.floor(xi * F.lit(float(XI_QUANT))).cast("long").alias("xi_q"),
+    )

@@ -226,3 +226,47 @@ def test_weight_col_rejected_on_broadcast_plans(spark):
     with pytest.raises(ValueError, match="count-only"):
         shell_count(halos, parts, logspace_edges(1.0, 60.0, 6),
                     plan="dgrid", weight_col="w")
+
+
+def test_landy_szalay_xi_vs_bruteforce(spark):
+    """LS estimator composition: DD/DR/RR totals and the quantized xi
+    match an exact f64 brute force replicating the same IEEE tree."""
+    from spatialjoincountovershells_spark.operators.correlation import (
+        XI_QUANT,
+        landy_szalay_xi,
+    )
+
+    rng = np.random.default_rng(12)
+    D = rng.uniform(0, 1000.0, size=(120, 3))
+    R = rng.uniform(0, 1000.0, size=(150, 3))
+    edges = logspace_edges(60.0, 400.0, 4)
+    r2 = squared_edges(edges).astype(np.float64)
+
+    def totals(A, B, self_join):
+        d = np.abs(A[:, None, :] - B[None, :, :])
+        d = np.minimum(d, 1000.0 - d)
+        d2 = (d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1]) + d[..., 2] * d[..., 2]
+        sh = np.searchsorted(r2, d2.ravel(), side="right")
+        t = np.bincount(sh[sh < len(r2)], minlength=len(r2)).astype(np.int64)
+        if self_join:
+            t[0] -= len(A)  # d=0 self-pairs all bin to shell 0
+        return t
+
+    dd, dr, rr = totals(D, D, True), totals(D, R, False), totals(R, R, True)
+    nd, nr_ = len(D), len(R)
+    want = {}
+    for s in range(len(r2)):
+        if rr[s] <= 0:
+            continue
+        ddn = dd[s] / (float(nd) * (nd - 1))
+        drn = dr[s] / (float(nd) * nr_)
+        rrn = rr[s] / (float(nr_) * (nr_ - 1))
+        want[s] = (int(dd[s]), int(dr[s]), int(rr[s]),
+                   int(np.floor((ddn - 2.0 * drn + rrn) / rrn * XI_QUANT)))
+    mk = lambda A: spark.createDataFrame(  # noqa: E731
+        [(float(x), float(y), float(z)) for x, y, z in A],
+        "x double, y double, z double",
+    )
+    out = landy_szalay_xi(mk(D), mk(R), edges)
+    got = {r.shell_idx: (r.dd, r.dr, r.rr, r.xi_q) for r in out.collect()}
+    assert got == want
