@@ -45,8 +45,8 @@ SHELL_PLANS = ("sql", "fused", "bcast", "dgrid")
 # pick the winner?); the pinned --ref-shape section reports the choice
 # via choose_plan instead of re-running a duplicate measurement
 BENCH_PLANS = SHELL_PLANS + ("auto",)
-EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign", "tile_rollup",
-                 "point_in_polygon", "knn",
+EXTRA_QUERIES = ("sjcs_range_pairs", "weighted_shells", "tile_assign",
+                 "tile_rollup", "point_in_polygon", "knn",
                  "minhash_lsh", "ann_cosine", "dedup_exact",
                  "simhash_pairs", "phash_near_dup", "ann_ivf",
                  "point_in_polygon_grid",
