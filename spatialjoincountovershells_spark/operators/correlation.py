@@ -39,6 +39,7 @@ def _pair_totals(
     edges: np.ndarray,
     box: float,
     plan: str,
+    dtype: str,
     id_col: str,
     subtract_self: int | None,
 ) -> DataFrame:
@@ -48,7 +49,7 @@ def _pair_totals(
     h = left.select(F.monotonically_increasing_id().alias("_qid"), "x", "y", "z") \
         if id_col is None else left
     sc = shell_count(
-        h, right, edges, box=box, plan=plan,
+        h, right, edges, box=box, plan=plan, dtype=dtype,
         id_col="_qid" if id_col is None else id_col,
     )
     tot = sc.groupBy("shell_idx").agg(F.sum("cnt").alias("n"))
@@ -67,6 +68,7 @@ def landy_szalay_xi(
     edges: np.ndarray,
     box: float = 1000.0,
     plan: str = "sql",
+    dtype: str = "float64",
     id_col: str | None = None,
     n_data: int | None = None,
     n_randoms: int | None = None,
@@ -78,6 +80,12 @@ def landy_szalay_xi(
     `n_randoms` skip the two count() jobs when the caller tracks table
     stats.  xi_q = floor(xi * 2^20); rows with rr == 0 are dropped
     (estimator undefined).
+
+    dtype defaults to "float64" — unlike shell_count's f32 default —
+    because this module's oracle contract is the exact f64 tree; the
+    kernel plans (fused/bcast/dgrid) honor it via their numpy dtype,
+    and f32 there would bin edge-adjacent pairs differently than the
+    f64 oracle.
     """
     edges = np.asarray(edges)
     if not float(edges[0]) > 0.0:
@@ -85,11 +93,11 @@ def landy_szalay_xi(
         raise ValueError("landy_szalay_xi needs edges[0] > 0")
     nd = n_data if n_data is not None else data.count()
     nr = n_randoms if n_randoms is not None else randoms.count()
-    dd = _pair_totals(data, data, edges, box, plan, id_col, nd) \
+    dd = _pair_totals(data, data, edges, box, plan, dtype, id_col, nd) \
         .withColumnRenamed("n", "dd")
-    dr = _pair_totals(data, randoms, edges, box, plan, id_col, None) \
+    dr = _pair_totals(data, randoms, edges, box, plan, dtype, id_col, None) \
         .withColumnRenamed("n", "dr")
-    rr = _pair_totals(randoms, randoms, edges, box, plan, id_col, nr) \
+    rr = _pair_totals(randoms, randoms, edges, box, plan, dtype, id_col, nr) \
         .withColumnRenamed("n", "rr")
     j = (
         dd.join(dr, "shell_idx", "full")

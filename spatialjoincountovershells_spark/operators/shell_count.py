@@ -262,9 +262,13 @@ def shell_count(
         n_est = n_est or particles.count()
         n_h = n_halos_est or halos.count()
         rmax = float(np.asarray(edges)[-1])
-        plan = choose_plan(n_h, n_est, rmax, box, ncells)
-        if weight_col is not None and plan in ("bcast", "dgrid"):
-            plan = "sql"  # weighted agg needs a join plan
+        # a weight needs a join plan: zero the broadcast budget so the
+        # cost model runs its measured sql-vs-fused comparison instead
+        # of short-circuiting on the (ineligible) broadcast plans
+        plan = choose_plan(
+            n_h, n_est, rmax, box, ncells,
+            **({"max_broadcast_bytes": 0} if weight_col is not None else {}),
+        )
         if plan == "sql" and ncells is None:
             # execute on the same occupancy-capped grid the cost model
             # evaluated (ADVICE r2: chooser/plan grid mismatch)
@@ -370,8 +374,9 @@ def _fused_plan(h, p, r2, box, dtype, id_col, join_key: str = "cell_id",
             keys = hidx * nr + sh[keep]
             acc += np.bincount(keys, minlength=m * nr)
             if weight_col:
-                # exact int64 accumulation (bincount weights are f64)
-                np.add.at(accw, keys, np.tile(w, len(HH))[keep])
+                # exact int64 accumulation (bincount weights are f64);
+                # gather only surviving pairs (flat pair % n = particle)
+                np.add.at(accw, keys, w[np.nonzero(keep)[0] % n])
         nz = np.nonzero(acc)[0]
         cols = {
             id_col: ids[nz // nr],

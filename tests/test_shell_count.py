@@ -228,9 +228,12 @@ def test_weight_col_rejected_on_broadcast_plans(spark):
                     plan="dgrid", weight_col="w")
 
 
-def test_landy_szalay_xi_vs_bruteforce(spark):
+@pytest.mark.parametrize("ls_plan", ["sql", "fused"])
+def test_landy_szalay_xi_vs_bruteforce(spark, ls_plan):
     """LS estimator composition: DD/DR/RR totals and the quantized xi
-    match an exact f64 brute force replicating the same IEEE tree."""
+    match an exact f64 brute force replicating the same IEEE tree —
+    on the codegen join plan AND a numpy-kernel plan (which must honor
+    the f64 dtype default; f32 would bin edge-adjacent pairs off)."""
     from spatialjoincountovershells_spark.operators.correlation import (
         XI_QUANT,
         landy_szalay_xi,
@@ -267,6 +270,6 @@ def test_landy_szalay_xi_vs_bruteforce(spark):
         [(float(x), float(y), float(z)) for x, y, z in A],
         "x double, y double, z double",
     )
-    out = landy_szalay_xi(mk(D), mk(R), edges)
+    out = landy_szalay_xi(mk(D), mk(R), edges, plan=ls_plan)
     got = {r.shell_idx: (r.dd, r.dr, r.rr, r.xi_q) for r in out.collect()}
     assert got == want
