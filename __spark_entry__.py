@@ -44,6 +44,7 @@ from spatialjoincountovershells_spark.operators.pip import point_in_polygon  # n
 from spatialjoincountovershells_spark.operators.semi_join import filter_halos  # noqa: E402
 from spatialjoincountovershells_spark.operators.correlation import (  # noqa: E402
     landy_szalay_xi,
+    pair_totals,
 )
 from spatialjoincountovershells_spark.operators.shell_count import (  # noqa: E402
     range_join_pairs,
@@ -175,16 +176,13 @@ def q_autocorr_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast requirement on either side."""
     p = _parts(spark, sf_dir, table="part", key="p_partkey")
     h = p.select(F.col("particle_id").alias("halo_id"), "x", "y", "z")
-    sc = shell_count(h, p, EDGES, dtype="float64", plan="sql",
-                     id_col="halo_id")
-    n = p.count()
-    tot = sc.groupBy("shell_idx").agg(F.sum("cnt").alias("n_pairs"))
+    tot = pair_totals(h, p, EDGES, box=BOX, plan="sql", dtype="float64",
+                      id_col="halo_id", subtract_self=p.count())
+    # a shell left with only self-pairs vanishes, matching the
+    # oracle's GROUP BY (which never sees them)
     return tot.select(
-        "shell_idx",
-        F.when(F.col("shell_idx") == 0, F.col("n_pairs") - F.lit(n))
-        .otherwise(F.col("n_pairs")).cast("long").alias("n_pairs"),
-    ).where(F.col("n_pairs") > 0)  # a shell left with only self-pairs
-    # vanishes, matching the oracle's GROUP BY (which never sees them)
+        "shell_idx", F.col("n").cast("long").alias("n_pairs")
+    ).where(F.col("n_pairs") > 0)
 
 
 def q_shell_count_fused(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,19 +33,22 @@ from .shell_count import shell_count
 XI_QUANT = 1 << 20
 
 
-def _pair_totals(
+def pair_totals(
     left: DataFrame,
     right: DataFrame,
     edges: np.ndarray,
-    box: float,
-    plan: str,
-    dtype: str,
-    id_col: str,
-    subtract_self: int | None,
+    box: float = 1000.0,
+    plan: str = "sql",
+    dtype: str = "float64",
+    id_col: str | None = None,
+    subtract_self: int | None = None,
 ) -> DataFrame:
     """-> (shell_idx, n long): ordered-pair totals per shell; for an
     auto-correlation pass `subtract_self=n_rows` removes the d=0
-    self-pairs (always shell 0 — edges[0] > 0 is asserted upstream)."""
+    self-pairs.  The single enforcement point of the self-pair
+    invariant: d=0 bins to shell 0 only when edges[0] > 0."""
+    if subtract_self is not None and not float(np.asarray(edges)[0]) > 0.0:
+        raise ValueError("self-pair subtraction needs edges[0] > 0")
     h = left.select(F.monotonically_increasing_id().alias("_qid"), "x", "y", "z") \
         if id_col is None else left
     sc = shell_count(
@@ -88,16 +91,14 @@ def landy_szalay_xi(
     f64 oracle.
     """
     edges = np.asarray(edges)
-    if not float(edges[0]) > 0.0:
-        # self-pairs must be separable: d=0 bins strictly below edges[0]
-        raise ValueError("landy_szalay_xi needs edges[0] > 0")
     nd = n_data if n_data is not None else data.count()
     nr = n_randoms if n_randoms is not None else randoms.count()
-    dd = _pair_totals(data, data, edges, box, plan, dtype, id_col, nd) \
+    # edges[0] > 0 is enforced by pair_totals (subtract_self invariant)
+    dd = pair_totals(data, data, edges, box, plan, dtype, id_col, nd) \
         .withColumnRenamed("n", "dd")
-    dr = _pair_totals(data, randoms, edges, box, plan, dtype, id_col, None) \
+    dr = pair_totals(data, randoms, edges, box, plan, dtype, id_col, None) \
         .withColumnRenamed("n", "dr")
-    rr = _pair_totals(randoms, randoms, edges, box, plan, dtype, id_col, nr) \
+    rr = pair_totals(randoms, randoms, edges, box, plan, dtype, id_col, nr) \
         .withColumnRenamed("n", "rr")
     j = (
         dd.join(dr, "shell_idx", "full")

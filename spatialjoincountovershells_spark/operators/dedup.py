@@ -265,7 +265,9 @@ def hamming_pairs(
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.expr(f"shiftright({sig_col}, {w * b}) & {mask}").alias("key"),
+            F.shiftright(F.col(sig_col), w * b)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
         )
         for b in range(bands)
     ]

@@ -374,9 +374,18 @@ def _fused_plan(h, p, r2, box, dtype, id_col, join_key: str = "cell_id",
             keys = hidx * nr + sh[keep]
             acc += np.bincount(keys, minlength=m * nr)
             if weight_col:
-                # exact int64 accumulation (bincount weights are f64);
                 # gather only surviving pairs (flat pair % n = particle)
-                np.add.at(accw, keys, w[np.nonzero(keep)[0] % n])
+                wk = w[np.nonzero(keep)[0] % n]
+                if np.abs(wk).sum() < 2.0**53:
+                    # bincount's f64 partial sums are exact while every
+                    # intermediate stays under 2^53 — guaranteed by
+                    # sum|w| per chunk — and it is ~10x faster than the
+                    # unbuffered scatter
+                    accw += np.bincount(
+                        keys, weights=wk, minlength=m * nr
+                    ).astype(np.int64)
+                else:  # astronomically heavy chunk: exact fallback
+                    np.add.at(accw, keys, wk)
         nz = np.nonzero(acc)[0]
         cols = {
             id_col: ids[nz // nr],

@@ -209,7 +209,7 @@ def tile_cover(
 
     tx = _span(xmin, xmax).alias("_tx")
     with_tx = boxes.select(F.col(id_col), ymin, ymax, tx)
-    ty = _span(F.col(bounds[2]), F.col(bounds[3])).alias("_ty")
+    ty = _span(ymin, ymax).alias("_ty")
     return (
         with_tx.select(F.col(id_col), F.col("_tx"), ty)
         .select(
