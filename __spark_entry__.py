@@ -73,6 +73,7 @@ from spatialjoincountovershells_spark.operators.text import (  # noqa: E402
 from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     image_tile_stats,
     morton_sql_ctes,
+    morton_tile_expr,
     rasterize_points,
     tile_cover,
     tile_rollup,
@@ -841,6 +842,30 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synth_images(spark, 256, seed=14))
 
 
+def q_geo_tile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both graft axes in one query: decode the image payload into
+    per-image features (Arrow mapInPandas), decode the geo position
+    from phash, assign each image to a Morton tile, and aggregate the
+    integer-quantized features per tile.  At scale this is one pass
+    over the payload table (features + tile key are both per-row) and
+    one tile-key shuffle of the small feature rows — never the bytes."""
+    imgs = synth_images(spark, 256, seed=14)
+    feats = image_features(imgs)
+    pos = decode_phash(
+        imgs.select("image_id", "phash"), dtype="float64"
+    ).select("image_id", "x", "y")
+    t = feats.join(pos, "image_id").withColumn(
+        "tile_id", morton_tile_expr(F.col("x"), F.col("y"), 3, BOX)
+    )
+    return t.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("mean_r").alias("sum_mean_r"),
+        F.sum("mean_g").alias("sum_mean_g"),
+        F.sum("mean_b").alias("sum_mean_b"),
+        F.sum("std_luma").alias("sum_std_luma"),
+    )
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample + per-frame integer channel means over the rawv
     container (operators/media.py) — codec formats are stubbed, the
@@ -941,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tiles": q_image_tiles,
         "image_roundtrip": q_image_roundtrip,
         "image_features": q_image_features,
+        "geo_tile_features": q_geo_tile_features,
         "video_frames": q_video_frames,
         "audio_stats": q_audio_stats,
         "embed_lsh_pairs": q_embed_lsh_pairs,
@@ -1180,6 +1206,21 @@ FROM events GROUP BY bucket, event_type
 """,
         "sjcs_images_f64": _sjcs_images_f64_sql(),
         "image_features": _image_features_sql(),
+        "geo_tile_features": f"""
+WITH feats AS ({_image_features_sql(256, 14)}),
+{_phash_cte("pp", 256, 14)},
+pos AS (SELECT {_img_id_sql("id")} AS image_id, x, y FROM pp),
+b AS (SELECT f.*, least(greatest(CAST(floor(p.x / 125.0) AS BIGINT), 0), 7) AS tx,
+      least(greatest(CAST(floor(p.y / 125.0) AS BIGINT), 0), 7) AS ty
+      FROM feats f JOIN pos p USING (image_id)),
+{morton_sql_ctes("b", "tx", "ty")}
+SELECT tile_id, CAST(count(*) AS BIGINT) AS n_images,
+  CAST(sum(mean_r) AS BIGINT) AS sum_mean_r,
+  CAST(sum(mean_g) AS BIGINT) AS sum_mean_g,
+  CAST(sum(mean_b) AS BIGINT) AS sum_mean_b,
+  CAST(sum(std_luma) AS BIGINT) AS sum_std_luma
+FROM m5 GROUP BY tile_id
+""",
         "video_frames": _video_frames_sql(),
         "audio_stats": _audio_stats_sql(),
         "image_tiles": _image_tiles_sql(),
