@@ -362,10 +362,17 @@ def run_ref_shape(sf_dir: str, mult: float = 10.0, cores: int = 4) -> None:
     os.makedirs("BENCH", exist_ok=True)
     header = ("\n## Reference-matched shape (radius 1:5000, 40 shells, "
               "matched candidates/probe)\n\n")
-    existing = ""
+    # splice: keep everything before this section AND every later
+    # "## " section (correctness/stability/layout notes live after it)
+    existing = trailing = ""
     if os.path.exists("BENCH/BASELINE.md"):
         with open("BENCH/BASELINE.md") as f:
-            existing = f.read().split(header.strip("\n").splitlines()[0])[0]
+            parts = f.read().split(header.strip("\n").splitlines()[0])
+        existing = parts[0]
+        if len(parts) > 1:
+            nxt = parts[1].find("\n## ")
+            if nxt != -1:
+                trailing = parts[1][nxt:]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(existing)
         f.write(
@@ -400,6 +407,7 @@ def run_ref_shape(sf_dir: str, mult: float = 10.0, cores: int = 4) -> None:
             f"pairs); auto chooser picks '{r['auto_plan_choice']}' here.\n\n"
             f"```json\n{json.dumps(r)}\n```\n"
         )
+        f.write(trailing)
     print(json.dumps(r))
 
 
