@@ -45,7 +45,10 @@ SHELL_PLANS = ("sql", "fused", "bcast", "dgrid")
 # pick the winner?); the pinned --ref-shape section reports the choice
 # via choose_plan instead of re-running a duplicate measurement
 BENCH_PLANS = SHELL_PLANS + ("auto",)
-EXTRA_QUERIES = ("sjcs_range_pairs", "weighted_shells", "tile_assign",
+# weighted_shells is contract-checked but NOT benched: on the driver
+# tables its rmax=200 shape is a 7.8B-candidate job at sf0.1 (~42s)
+# that adds no plan signal beyond the benched shell plans
+EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign",
                  "tile_rollup", "point_in_polygon", "knn",
                  "minhash_lsh", "ann_cosine", "dedup_exact",
                  "simhash_pairs", "phash_near_dup", "ann_ivf",
