@@ -34,11 +34,13 @@ from spatialjoincountovershells_spark.functions.phash import decode_phash  # noq
 from spatialjoincountovershells_spark.operators.cells import cell_stats, with_cell  # noqa: E402
 from spatialjoincountovershells_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
+    dedup_clusters,
     minhash_lsh_pairs,
     simhash_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
+from spatialjoincountovershells_spark.operators.corpus import corpus_clean  # noqa: E402
 from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
 from spatialjoincountovershells_spark.operators.pip import point_in_polygon  # noqa: E402
 from spatialjoincountovershells_spark.operators.semi_join import filter_halos  # noqa: E402
@@ -347,6 +349,18 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_read(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the minhash-LSH near-dup pair graph."""
+    return dedup_clusters(minhash_lsh_pairs(_read(spark, sf_dir, "documents")))
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-survivor pipeline: quality + language + exact
+    dedup + near-dup cluster canonicalization, oracle-checked
+    end-to-end (recursive-CTE connected components on the DuckDB side)."""
+    return corpus_clean(_read(spark, sf_dir, "documents"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_read(spark, sf_dir, "documents"))
 
@@ -450,6 +464,57 @@ bands AS ({band_selects})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_hit
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+
+
+def _dedup_clusters_ctes() -> str:
+    """WITH-RECURSIVE body ending in clus(doc_id, cluster_id):
+    connected components over the minhash-LSH pair graph via
+    transitive closure + min reachable id — the declarative twin of
+    operators/dedup.py dedup_clusters' min-label propagation."""
+    mh = _minhash_lsh_sql()
+    return f"""
+p AS (SELECT doc_a, doc_b FROM ({mh}) mp),
+e AS (SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
+),
+clus AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)"""
+
+
+def _dedup_clusters_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_dedup_clusters_ctes()}\n"
+        "SELECT doc_id, cluster_id FROM clus"
+    )
+
+
+def _corpus_clean_sql(
+    tokens: str,
+    lang_case: str,
+    q_min: int = 175,
+    keep_langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+) -> str:
+    """Composed corpus-survivor oracle mirroring operators/corpus.py:
+    quality gate + language gate + exact-dup min-id (grouped by text
+    digest) + near-dup cluster min-id over the recursive-CTE components."""
+    langs = ", ".join(f"'{lang}'" for lang in keep_langs)
+    quality = (
+        f"CAST(floor(least((1000 * CAST({tokens} AS BIGINT)) / "
+        f"(CAST(length(text) AS BIGINT) + 1), 1000.0)) AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE {_dedup_clusters_ctes()},
+flags AS (SELECT doc_id, {quality} AS quality_1000, {lang_case} AS lang_pred,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS exact_min
+          FROM documents)
+SELECT f.doc_id, f.lang_pred, f.quality_1000
+FROM flags f LEFT JOIN clus c ON f.doc_id = c.doc_id
+WHERE f.quality_1000 >= {q_min} AND f.lang_pred IN ({langs})
+  AND f.exact_min = f.doc_id
+  AND (c.cluster_id IS NULL OR c.cluster_id = f.doc_id)
 """
 
 
@@ -956,6 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_l2": q_ann_l2,
         "event_window": q_event_window,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_clean": q_corpus_clean,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "phash_near_dup": q_phash_near_dup,
@@ -1225,6 +1292,8 @@ FROM m5 GROUP BY tile_id
         "audio_stats": _audio_stats_sql(),
         "image_tiles": _image_tiles_sql(),
         "minhash_lsh": _minhash_lsh_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
+        "corpus_clean": _corpus_clean_sql(tokens, lang_case),
         "simhash": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "phash_near_dup": f"""

@@ -48,8 +48,14 @@ from .operators.images import (
     phash_near_dup,
 )
 from .operators.media import sample_frames, frame_stats, audio_window_stats
+from .operators.dedup import dedup_clusters, exact_dedup, minhash_lsh_pairs
+from .operators.corpus import corpus_clean
 
 __all__ = [
+    "dedup_clusters",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "corpus_clean",
     "get_spark",
     "logspace_edges",
     "squared_edges",

@@ -1,0 +1,80 @@
+"""Composed training-corpus cleaning pipeline.
+
+The individual signals live in operators/text.py (quality, language)
+and operators/dedup.py (exact dedup, minhash-LSH near-dup pairs,
+connected-component clustering); `corpus_clean` composes them into the
+one query a 100 TB pretraining-data pipeline actually runs: "give me
+the surviving documents".  Everything stays declarative DataFrame ops
+(one narrow projection over the corpus, one window keyed by a text
+digest, one left join against the — sparse — near-dup cluster table),
+and every step has a bit-exact ANSI-SQL twin, so the whole composition
+is oracle-checked end-to-end, not just its parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import dedup_clusters, minhash_lsh_pairs
+from .text import lang_pred_expr, quality_expr
+
+
+def corpus_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_min: int = 175,
+    keep_langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    pairs: DataFrame | None = None,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 8,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Surviving documents after the four standard corpus gates ->
+    (id_col, lang_pred string, quality_1000 long), one row per survivor.
+
+    A document survives iff ALL of:
+      1. quality_1000 >= q_min          (length/density heuristic)
+      2. lang_pred in keep_langs        (stopword language id)
+      3. it is the min-id copy of its exact-duplicate group
+         (grouped by md5(text) — a 128-bit digest, so the shuffle key
+         is 32 bytes no matter how long the document is)
+      4. it is the min-id member of its near-dup cluster (connected
+         components over the minhash-LSH candidate pair graph), or it
+         is in no pair at all.
+
+    `pairs` overrides the near-dup candidate source (doc_a/doc_b
+    columns; e.g. simhash_pairs or a pre-materialized pair table);
+    default is minhash_lsh_pairs(docs) with the given LSH shape.
+
+    Scale shape: gate 1+2 are codegen'd expressions in one projection
+    of the corpus scan; gate 3 is one hash-partitioned window (min over
+    a digest group — partial agg both sides); gate 4 joins the corpus
+    against the cluster table, which has one row per PAIRED doc — a
+    tiny fraction of the corpus, broadcast-sized in practice (AQE
+    converts the join at runtime).  Nothing materializes O(corpus) on
+    the driver and the near-dup subgraph never touches unpaired rows.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, text_col, id_col, n_hashes, bands, shingle_n)
+    clusters = dedup_clusters(pairs, out_id="_cl_doc", max_iter=max_iter)
+    base = docs.select(
+        F.col(id_col),
+        quality_expr(text_col).alias("quality_1000"),
+        lang_pred_expr(text_col).alias("lang_pred"),
+        F.min(id_col)
+        .over(Window.partitionBy(F.md5(F.col(text_col).cast("binary"))))
+        .alias("_exact_min"),
+    )
+    return (
+        base.join(clusters, base[id_col] == clusters["_cl_doc"], "left")
+        .where(
+            (F.col("quality_1000") >= F.lit(int(q_min)))
+            & F.col("lang_pred").isin(*keep_langs)
+            & (F.col("_exact_min") == F.col(id_col))
+            & (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col)))
+        )
+        .select(F.col(id_col), F.col("lang_pred"), F.col("quality_1000"))
+    )

@@ -12,6 +12,8 @@ groupBy keys.  No Python in any per-row path.
 * minhash_lsh_pairs  — MinHash signatures + banded LSH candidate pairs
 * simhash            — 64-bit SimHash per document
 * simhash_pairs      — banded-SimHash near-dup pairs (Hamming <= t)
+* dedup_clusters     — connected components over a pair graph
+                       (iterative min-label propagation)
 """
 
 from __future__ import annotations
@@ -199,6 +201,84 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands_hit"))
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    out_id: str = "doc_id",
+    out_cluster: str = "cluster_id",
+    max_iter: int = 64,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph ->
+    (out_id, out_cluster long) where out_cluster = the minimum doc id
+    reachable from out_id (one row per doc appearing in >= 1 pair;
+    unpaired docs are their own trivial cluster and are left to the
+    caller — see corpus.corpus_clean for the composed survivor join).
+
+    Near-dup PAIRS are not a dedup decision: transitive variants
+    (A~B, B~C but never A~C in the candidate set) must collapse to one
+    cluster before picking survivors, which is a connected-components
+    problem.  Iterative min-label propagation:
+    label(n) <- min(label(n), min over neighbors label(m)), converging
+    in diameter(G) rounds.  Near-dup graphs are unions of overlapping
+    LSH cliques, so the diameter is small in practice; max_iter bounds
+    pathological chains and the loop RAISES rather than return a
+    half-converged labeling.
+
+    Scale shape: each round is one shuffle join (edges x labels, both
+    keyed small tables — one row per paired doc / per pair, NOT per
+    corpus row) plus one partial-agg min; the label table is
+    checkpointed per round (reliable when a checkpoint dir is
+    configured, executor-local otherwise) so lineage stays flat, and
+    the convergence probe is one tiny action per round — the same
+    loop discipline as operators/knn.py's ring widening.
+    """
+    spark = pairs.sparkSession
+    sym = pairs.select(
+        F.col(id_a).cast("long").alias("s"), F.col(id_b).cast("long").alias("d")
+    ).unionByName(
+        pairs.select(
+            F.col(id_b).cast("long").alias("s"), F.col(id_a).cast("long").alias("d")
+        )
+    )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if spark.sparkContext.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    # materialize the symmetric edge list ONCE — every round reuses it
+    # without re-running the (expensive) upstream LSH pair pipeline
+    edges = _ckpt(sym.distinct())
+    labels = _ckpt(
+        edges.select(F.col("s").alias("n")).distinct().withColumn("lbl", F.col("n"))
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["d"] == labels["n"]).select(
+            F.col("s").alias("n"), F.col("lbl")
+        )
+        new = _ckpt(
+            labels.unionByName(prop).groupBy("n").agg(F.min("lbl").alias("lbl"))
+        )
+        # min-label is monotone non-increasing: converged iff no label fell
+        changed = (
+            new.alias("a")
+            .join(labels.alias("b"), "n")
+            .where(F.col("a.lbl") < F.col("b.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters: not converged within max_iter={max_iter} rounds "
+            "(component diameter exceeds the bound; raise max_iter)"
+        )
+    return labels.select(F.col("n").alias(out_id), F.col("lbl").alias(out_cluster))
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

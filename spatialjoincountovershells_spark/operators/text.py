@@ -76,26 +76,36 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Integer quality heuristic in [0, 1000]:
-    1000 * n_tokens / (n_chars + 1), capped — a cheap length/density
-    signal; exact integer division so oracles agree."""
+def quality_expr(text_col: str):
+    """Integer quality heuristic in [0, 1000] as a column expression:
+    floor(min(1000 * n_tokens / (n_chars + 1), 1000)) — a cheap
+    length/density signal; exact integer arithmetic so oracles agree."""
     t = F.col(text_col)
     ntok = _n_tokens(text_col).cast("long")
     score = F.least(
         (F.lit(1000) * ntok) / (F.length(t).cast("long") + 1), F.lit(1000.0)
     )
-    return df.select(F.col(id_col), F.floor(score).cast("long").alias("quality_1000"))
+    return F.floor(score).cast("long")
 
 
-def lang_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """First-match stopword heuristic -> (id, lang_pred)."""
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """-> (id, quality_1000) — see quality_expr."""
+    return df.select(F.col(id_col), quality_expr(text_col).alias("quality_1000"))
+
+
+def lang_pred_expr(text_col: str):
+    """First-match stopword language heuristic as a column expression."""
     padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
     c = None
     for lang, marker in _LANG_MARKERS:
         cond = F.instr(padded, marker) > 0
         c = F.when(cond, lang) if c is None else c.when(cond, lang)
-    return df.select(F.col(id_col), c.otherwise("und").alias("lang_pred"))
+    return c.otherwise("und")
+
+
+def lang_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """First-match stopword heuristic -> (id, lang_pred)."""
+    return df.select(F.col(id_col), lang_pred_expr(text_col).alias("lang_pred"))
 
 
 def doc_fingerprint(

@@ -1,0 +1,106 @@
+"""dedup_clusters (connected components) + corpus_clean composition.
+
+The pair operators (minhash_lsh_pairs / simhash_pairs / phash_near_dup)
+emit candidate EDGES; turning edges into a dedup decision requires
+connected components (transitive variants A~B~C must collapse to one
+cluster) and a survivor rule.  These tests pin the label-propagation
+loop against planted graphs and a driver-side union-find, and the
+composed corpus_clean pipeline against hand-computed survivors.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatialjoincountovershells_spark.operators.corpus import corpus_clean
+from spatialjoincountovershells_spark.operators.dedup import dedup_clusters
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "doc_a long, doc_b long"
+    )
+
+
+def _clusters(spark, pairs, **kw):
+    out = dedup_clusters(_pairs_df(spark, pairs), **kw).collect()
+    return {r["doc_id"]: r["cluster_id"] for r in out}
+
+
+def test_dedup_clusters_path_graph(spark):
+    # a 12-node chain has diameter 11 — the min label must walk the
+    # whole path, exercising many propagation rounds, not just one
+    chain = [(i, i + 1) for i in range(1, 12)]
+    got = _clusters(spark, chain + [(100, 101)])
+    assert got == {**{i: 1 for i in range(1, 13)}, 100: 100, 101: 100}
+
+
+def test_dedup_clusters_merges_cliques_on_shared_node(spark):
+    # two LSH cliques overlapping in one doc are ONE cluster
+    got = _clusters(spark, [(2, 3), (2, 4), (3, 4), (4, 8), (4, 9), (8, 9)])
+    assert set(got.values()) == {2}
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    df = dedup_clusters(_pairs_df(spark, []))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["doc_id", "cluster_id"]
+
+
+def test_dedup_clusters_raises_past_max_iter(spark):
+    chain = [(i, i + 1) for i in range(1, 12)]
+    with pytest.raises(RuntimeError, match="not converged"):
+        _clusters(spark, chain, max_iter=3)
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    rng = np.random.RandomState(7)
+    n = 120
+    edges = {tuple(sorted(p)) for p in rng.randint(0, n, size=(150, 2)) if p[0] != p[1]}
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = sorted({x for e in edges for x in e})
+    want = {}
+    for x in touched:
+        root = find(x)
+        want[x] = min(y for y in touched if find(y) == root)
+    assert _clusters(spark, sorted(edges)) == want
+
+
+def test_corpus_clean_planted_survivors(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),     # en, survives
+            (2, "the cat sat on the mat"),     # exact dup of 1 -> dropped
+            (3, "le chat noir dort ici bien"),  # fr, survives
+            (4, "the " + "x" * 200),            # en but quality ~9 -> dropped
+            (5, "the dog sat on the log"),      # en, near-dup rep -> survives
+            (6, "the dog sat on the fog"),      # near-dup of 5 -> dropped
+            (7, "palabras sin marcadores conocidos aqui"),  # und -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus_clean(docs, pairs=_pairs_df(spark, [(5, 6)]))
+    rows = {r["doc_id"]: (r["lang_pred"], r["quality_1000"]) for r in out.collect()}
+    assert set(rows) == {1, 3, 5}
+    assert rows[1][0] == "en" and rows[3][0] == "fr"
+    assert all(q >= 175 for _, q in rows.values())
+
+
+def test_corpus_clean_keep_langs_and_qmin_knobs(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "le chat noir dort ici bien")],
+        "doc_id long, text string",
+    )
+    only_fr = corpus_clean(docs, keep_langs=("fr",), pairs=_pairs_df(spark, []))
+    assert [r["doc_id"] for r in only_fr.collect()] == [2]
+    none = corpus_clean(docs, q_min=1000, pairs=_pairs_df(spark, []))
+    assert none.count() == 0
