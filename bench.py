@@ -53,8 +53,8 @@ EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign",
                  "minhash_lsh", "ann_cosine", "dedup_exact",
                  "simhash_pairs", "phash_near_dup", "ann_ivf",
                  "point_in_polygon_grid",
-                 "cosine_dedup", "image_features", "video_frames",
-                 "audio_stats")
+                 "cosine_dedup", "corpus_clean", "image_features",
+                 "video_frames", "audio_stats")
 
 
 def sf_of(sf_dir: str) -> float:

@@ -9,6 +9,8 @@ groupBy keys.  No Python in any per-row path.
 * exact_dedup        — hash-groupBy canonicalization
 * ngram_jaccard_pairs— exact n-gram Jaccard on candidate pairs, with a
                        document-frequency cap on join shingles (skew)
+* minhash_band_buckets — per-row (shuffle-free) LSH band bucket rows;
+                       stateless, so streaming-capable
 * minhash_lsh_pairs  — MinHash signatures + banded LSH candidate pairs
 * simhash            — 64-bit SimHash per document
 * simhash_pairs      — banded-SimHash near-dup pairs (Hamming <= t)
@@ -167,6 +169,62 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """LSH bucket rows (id, band int, key long) computed PER ROW —
+    zero shuffles before the bucket table exists.
+
+    The grouped path (shingles explode -> distinct -> groupBy min) pays
+    two shuffles to build signatures; but each signature stream is
+    mh_i = min over the row's OWN shingles, so it folds into pure array
+    exprs evaluated inside one codegen projection:
+    array_min(transform(shingles(text), s -> affine_i(poly(s)))).
+    min over the shingle multiset == min over its distinct set, so the
+    values are bit-identical to minhash_signatures' (pinned by
+    test_minhash_rowwise_buckets_match_grouped).  The base hash array
+    is materialized once per row and every affine stream re-scans it.
+
+    Because this is stateless column arithmetic, it also works on
+    STREAMING DataFrames — see streaming/stream_dedup.py, which
+    stream-static joins these buckets against a precomputed corpus
+    bucket table for append-safe near-dup flagging.
+    """
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sh_arr = (
+        f"transform(sequence(1, greatest(length({text_col}) - {shingle_n - 1}, 1)), "
+        f"i -> substring({text_col}, i, {shingle_n}))"
+    )
+    bases = f"transform({sh_arr}, s -> {poly_hash_fixed_spark('s', shingle_n)})"
+    sig = df.select(F.col(id_col), F.expr(bases).alias("_bases")).select(
+        F.col(id_col),
+        *[
+            F.expr(f"array_min(transform(_bases, b -> {affine_sql('b', i)}))").alias(
+                f"mh_{i}"
+            )
+            for i in range(n_hashes)
+        ],
+    )
+    band_cols = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(band_key_sql(cols)).alias("key"),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -179,23 +237,11 @@ def minhash_lsh_pairs(
 
     Docs colliding in >=1 band are candidates; verify with
     ngram_jaccard_pairs on the candidate set if exactness is needed.
+    Buckets come from the shuffle-free per-row derivation
+    (minhash_band_buckets), so the whole operator is ONE aggregation
+    (bucket_pairs' groupBy) plus the final pair count.
     """
-    assert n_hashes % bands == 0
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
-    band_cols = []
-    for b in range(bands):
-        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(band_key_sql(cols)).alias("key"),
-            )
-        )
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # one aggregation over the signature plan (no self-join recompute)
+    buckets = minhash_band_buckets(df, text_col, id_col, n_hashes, bands, shingle_n)
     return (
         bucket_pairs(buckets, ["band", "key"], id_col)
         .groupBy("doc_a", "doc_b")

@@ -310,3 +310,41 @@ def test_phash_near_dup_bruteforce_recall(spark):
                 want[(i, j)] = h
     assert got == want
     assert got[(0, 300)] == 1 and got[(0, 320)] == 2
+
+
+def test_minhash_rowwise_buckets_match_grouped(spark):
+    """The shuffle-free per-row bucket derivation (minhash_band_buckets)
+    must be bit-identical to the grouped signature path
+    (minhash_signatures -> band keys): min over the shingle multiset
+    equals min over its distinct set.  Includes repeated-shingle,
+    sub-shingle-length, empty and unicode texts."""
+    from spatialjoincountovershells_spark.functions.texthash import band_key_sql
+    from spatialjoincountovershells_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+
+    texts = SAMPLES + ["abababababababab", "the the the the the", "tiny"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n_hashes, bands = 32, 8
+    r = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes=n_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(band_key_sql([f"mh_{b * r + j}" for j in range(r)])).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    grouped = sig.select(
+        F.col("doc_id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    rowwise = minhash_band_buckets(docs)
+    got = {tuple(x) for x in rowwise.collect()}
+    want = {tuple(x) for x in grouped.collect()}
+    assert got == want
+    # and the per-row path stays pure JVM (no Python eval in the plan)
+    plan = rowwise._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan

@@ -380,3 +380,72 @@ def test_stream_job_available_now_incremental(spark, tmp_path):
         for r in shell_count(halos, pdf, edges).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_near_dup_matches_batch_join(spark):
+    """Arriving docs flagged against a static corpus: the streaming
+    stream-static band join must emit exactly the rows the same join
+    produces in batch (identical per-row bucket exprs on both sides —
+    exact replays collide in all 8 bands, unrelated text in none)."""
+    from spatialjoincountovershells_spark.operators.dedup import (
+        minhash_band_buckets,
+    )
+    from spatialjoincountovershells_spark.streaming.stream_dedup import (
+        stream_near_dup,
+    )
+
+    corpus_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump",
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    corpus_buckets = minhash_band_buckets(corpus)
+    stream_texts = [
+        corpus_texts[1],
+        "a completely unrelated sequence of words xyzzy plugh",
+        corpus_texts[0],
+    ]
+    arr = F.array(*[F.lit(t) for t in stream_texts])
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "100")
+        .load()
+        .where(F.col("value") < len(stream_texts))
+        .select(
+            (F.col("value") + 1000).alias("doc_id"),
+            F.element_at(arr, F.col("value").cast("int") + 1).alias("text"),
+        )
+    )
+    out = stream_near_dup(stream, corpus_buckets)
+    batch_docs = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(stream_texts)],
+        "doc_id long, text string",
+    )
+    want = {
+        (r.doc_id, r.corpus_doc_id, r.band)
+        for r in stream_near_dup(batch_docs, corpus_buckets).collect()
+    }
+    assert want  # the replayed docs must collide (exact dup -> all bands)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ndup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        got = set()
+        while time.time() < deadline and len(got) < len(want):
+            q.processAllAvailable()
+            got = {
+                (r.doc_id, r.corpus_doc_id, r.band)
+                for r in spark.sql(
+                    "SELECT doc_id, corpus_doc_id, band FROM ndup"
+                ).collect()
+            }
+    finally:
+        q.stop()
+    assert got == want
