@@ -266,12 +266,18 @@ def dedup_clusters(
     Near-dup PAIRS are not a dedup decision: transitive variants
     (A~B, B~C but never A~C in the candidate set) must collapse to one
     cluster before picking survivors, which is a connected-components
-    problem.  Iterative min-label propagation:
-    label(n) <- min(label(n), min over neighbors label(m)), converging
-    in diameter(G) rounds.  Near-dup graphs are unions of overlapping
-    LSH cliques, so the diameter is small in practice; max_iter bounds
-    pathological chains and the loop RAISES rather than return a
-    half-converged labeling.
+    problem.  Each round does min-label propagation PLUS pointer
+    jumping:
+      label(n) <- min(label(n), min over neighbors label(m))
+      label(n) <- min(label(n), label(label(n)))
+    The jump is sound (label(n)=m certifies m reachable from n, so
+    anything reachable from m is reachable from n) and doubles the
+    certified distance per round, so convergence is O(log diameter)
+    rounds instead of O(diameter) — a 1M-link chain collapses in ~20
+    rounds, not 1M.  Near-dup graphs are unions of overlapping LSH
+    cliques (small diameter) in practice; max_iter bounds adversarial
+    shapes and the loop RAISES rather than return a half-converged
+    labeling.
 
     Scale shape: each round is one shuffle join (edges x labels, both
     keyed small tables — one row per paired doc / per pair, NOT per
@@ -305,8 +311,26 @@ def dedup_clusters(
         prop = edges.join(labels, edges["d"] == labels["n"]).select(
             F.col("s").alias("n"), F.col("lbl")
         )
+        stepped = labels.unionByName(prop).groupBy("n").agg(
+            F.min("lbl").alias("lbl")
+        )
+        # pointer jump through the PREVIOUS round's (checkpointed)
+        # table: label(label(n)) is defined for every n — labels are
+        # min-reduced node ids and every node keeps a label row — and
+        # any label row certifies reachability, so jumping via the
+        # stale table is sound and still doubles certified distance
+        # per round.  (Jumping via `stepped` itself would self-join an
+        # unmaterialized union plan, which trips Catalyst constraint
+        # rewriting; the checkpointed side is a clean scan.)
+        jump = stepped.join(
+            labels.select(F.col("n").alias("_jn"), F.col("lbl").alias("_jlbl")),
+            stepped["lbl"] == F.col("_jn"),
+        )
         new = _ckpt(
-            labels.unionByName(prop).groupBy("n").agg(F.min("lbl").alias("lbl"))
+            jump.select(
+                stepped["n"].alias("n"),
+                F.least(stepped["lbl"], F.col("_jlbl")).alias("lbl"),
+            )
         )
         # min-label is monotone non-increasing: converged iff no label fell
         changed = (

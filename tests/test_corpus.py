@@ -28,11 +28,11 @@ def _clusters(spark, pairs, **kw):
 
 
 def test_dedup_clusters_path_graph(spark):
-    # a 12-node chain has diameter 11 — the min label must walk the
-    # whole path, exercising many propagation rounds, not just one
-    chain = [(i, i + 1) for i in range(1, 12)]
+    # a 40-node chain has diameter 39 — the min label must cross the
+    # whole path (multiple propagation+jump rounds, not just one)
+    chain = [(i, i + 1) for i in range(1, 40)]
     got = _clusters(spark, chain + [(100, 101)])
-    assert got == {**{i: 1 for i in range(1, 13)}, 100: 100, 101: 100}
+    assert got == {**{i: 1 for i in range(1, 41)}, 100: 100, 101: 100}
 
 
 def test_dedup_clusters_merges_cliques_on_shared_node(spark):
@@ -48,9 +48,12 @@ def test_dedup_clusters_empty_pairs(spark):
 
 
 def test_dedup_clusters_raises_past_max_iter(spark):
-    chain = [(i, i + 1) for i in range(1, 12)]
+    # pointer jumping certifies distance ~2^rounds; a 600-link chain
+    # cannot converge in 2 rounds, so the loop must raise, not return
+    # a half-converged labeling
+    chain = [(i, i + 1) for i in range(1, 600)]
     with pytest.raises(RuntimeError, match="not converged"):
-        _clusters(spark, chain, max_iter=3)
+        _clusters(spark, chain, max_iter=2)
 
 
 def test_dedup_clusters_matches_union_find(spark):
