@@ -40,7 +40,10 @@ from spatialjoincountovershells_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash,
 )
-from spatialjoincountovershells_spark.operators.corpus import corpus_clean  # noqa: E402
+from spatialjoincountovershells_spark.operators.corpus import (  # noqa: E402
+    corpus_clean,
+    corpus_clean_stats,
+)
 from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
 from spatialjoincountovershells_spark.operators.pip import point_in_polygon  # noqa: E402
 from spatialjoincountovershells_spark.operators.semi_join import filter_halos  # noqa: E402
@@ -361,6 +364,12 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_clean(_read(spark, sf_dir, "documents"))
 
 
+def q_corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning funnel as one row: independent per-gate drop counts
+    plus the surviving-document count."""
+    return corpus_clean_stats(_read(spark, sf_dir, "documents"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_read(spark, sf_dir, "documents"))
 
@@ -515,6 +524,40 @@ FROM flags f LEFT JOIN clus c ON f.doc_id = c.doc_id
 WHERE f.quality_1000 >= {q_min} AND f.lang_pred IN ({langs})
   AND f.exact_min = f.doc_id
   AND (c.cluster_id IS NULL OR c.cluster_id = f.doc_id)
+"""
+
+
+def _corpus_clean_stats_sql(
+    tokens: str,
+    lang_case: str,
+    q_min: int = 175,
+    keep_langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+) -> str:
+    """Funnel-summary oracle mirroring corpus_clean_stats: independent
+    per-gate drop counts + the surviving conjunction, one row."""
+    langs = ", ".join(f"'{lang}'" for lang in keep_langs)
+    quality = (
+        f"CAST(floor(least((1000 * CAST({tokens} AS BIGINT)) / "
+        f"(CAST(length(text) AS BIGINT) + 1), 1000.0)) AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE {_dedup_clusters_ctes()},
+flags AS (SELECT doc_id, {quality} AS q, {lang_case} AS lang_pred,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS exact_min
+          FROM documents),
+g AS (SELECT f.doc_id,
+      (f.q >= {q_min}) AS q_ok,
+      (f.lang_pred IN ({langs})) AS lang_ok,
+      (f.exact_min = f.doc_id) AS exact_ok,
+      (c.cluster_id IS NULL OR c.cluster_id = f.doc_id) AS near_ok
+      FROM flags f LEFT JOIN clus c ON f.doc_id = c.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       CAST(sum(CASE WHEN NOT lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_lang,
+       CAST(sum(CASE WHEN NOT exact_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       CAST(sum(CASE WHEN NOT near_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       CAST(sum(CASE WHEN q_ok AND lang_ok AND exact_ok AND near_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+FROM g
 """
 
 
@@ -1023,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "corpus_clean": q_corpus_clean,
+        "corpus_clean_stats": q_corpus_clean_stats,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "phash_near_dup": q_phash_near_dup,
@@ -1294,6 +1338,7 @@ FROM m5 GROUP BY tile_id
         "minhash_lsh": _minhash_lsh_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "corpus_clean": _corpus_clean_sql(tokens, lang_case),
+        "corpus_clean_stats": _corpus_clean_stats_sql(tokens, lang_case),
         "simhash": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "phash_near_dup": f"""

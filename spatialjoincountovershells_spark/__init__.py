@@ -49,13 +49,14 @@ from .operators.images import (
 )
 from .operators.media import sample_frames, frame_stats, audio_window_stats
 from .operators.dedup import dedup_clusters, exact_dedup, minhash_lsh_pairs
-from .operators.corpus import corpus_clean
+from .operators.corpus import corpus_clean, corpus_clean_stats
 
 __all__ = [
     "dedup_clusters",
     "exact_dedup",
     "minhash_lsh_pairs",
     "corpus_clean",
+    "corpus_clean_stats",
     "get_spark",
     "logspace_edges",
     "squared_edges",

@@ -9,6 +9,10 @@ the surviving documents".  Everything stays declarative DataFrame ops
 digest, one left join against the — sparse — near-dup cluster table),
 and every step has a bit-exact ANSI-SQL twin, so the whole composition
 is oracle-checked end-to-end, not just its parts.
+
+* corpus_clean       — the surviving documents
+* corpus_clean_stats — the drop funnel as one summary row (how much
+                       each gate bites), same gated projection
 """
 
 from __future__ import annotations
@@ -57,6 +61,31 @@ def corpus_clean(
     converts the join at runtime).  Nothing materializes O(corpus) on
     the driver and the near-dup subgraph never touches unpaired rows.
     """
+    base = _gated(
+        docs, text_col, id_col, q_min, keep_langs, pairs,
+        n_hashes, bands, shingle_n, max_iter,
+    )
+    return base.where(
+        F.col("_q_ok") & F.col("_lang_ok") & F.col("_exact_ok") & F.col("_near_ok")
+    ).select(F.col(id_col), F.col("lang_pred"), F.col("quality_1000"))
+
+
+def _gated(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    q_min: int,
+    keep_langs: tuple[str, ...],
+    pairs: DataFrame | None,
+    n_hashes: int,
+    bands: int,
+    shingle_n: int,
+    max_iter: int,
+) -> DataFrame:
+    """One row per doc with the four gate verdicts as boolean columns
+    (id, quality_1000, lang_pred, _q_ok, _lang_ok, _exact_ok, _near_ok)
+    — shared by corpus_clean (conjunction) and corpus_clean_stats
+    (per-gate funnel counts)."""
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, text_col, id_col, n_hashes, bands, shingle_n)
     clusters = dedup_clusters(pairs, out_id="_cl_doc", max_iter=max_iter)
@@ -68,13 +97,54 @@ def corpus_clean(
         .over(Window.partitionBy(F.md5(F.col(text_col).cast("binary"))))
         .alias("_exact_min"),
     )
-    return (
-        base.join(clusters, base[id_col] == clusters["_cl_doc"], "left")
-        .where(
-            (F.col("quality_1000") >= F.lit(int(q_min)))
-            & F.col("lang_pred").isin(*keep_langs)
-            & (F.col("_exact_min") == F.col(id_col))
-            & (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col)))
-        )
-        .select(F.col(id_col), F.col("lang_pred"), F.col("quality_1000"))
+    return base.join(clusters, base[id_col] == clusters["_cl_doc"], "left").select(
+        F.col(id_col),
+        F.col("quality_1000"),
+        F.col("lang_pred"),
+        (F.col("quality_1000") >= F.lit(int(q_min))).alias("_q_ok"),
+        F.col("lang_pred").isin(*keep_langs).alias("_lang_ok"),
+        (F.col("_exact_min") == F.col(id_col)).alias("_exact_ok"),
+        (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col))).alias(
+            "_near_ok"
+        ),
+    )
+
+
+def corpus_clean_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_min: int = 175,
+    keep_langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    pairs: DataFrame | None = None,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 8,
+    max_iter: int = 64,
+) -> DataFrame:
+    """The cleaning funnel as ONE summary row -> (n_docs, n_low_quality,
+    n_wrong_lang, n_exact_dup, n_near_dup, n_survivors), all long.
+
+    Gate counts are INDEPENDENT (a doc failing two gates increments
+    both), so the columns answer "how much does each gate bite on this
+    corpus" directly; n_survivors is the conjunction and equals
+    count(corpus_clean(...)) with the same knobs.  This is the
+    observability row a production pipeline logs per input partition —
+    one tiny full aggregation over the same gated projection
+    corpus_clean runs, nothing extra materialized.
+    """
+    g = _gated(
+        docs, text_col, id_col, q_min, keep_langs, pairs,
+        n_hashes, bands, shingle_n, max_iter,
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cnt(~F.col("_q_ok")).alias("n_low_quality"),
+        cnt(~F.col("_lang_ok")).alias("n_wrong_lang"),
+        cnt(~F.col("_exact_ok")).alias("n_exact_dup"),
+        cnt(~F.col("_near_ok")).alias("n_near_dup"),
+        cnt(
+            F.col("_q_ok") & F.col("_lang_ok") & F.col("_exact_ok") & F.col("_near_ok")
+        ).alias("n_survivors"),
     )

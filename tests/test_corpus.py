@@ -107,3 +107,38 @@ def test_corpus_clean_keep_langs_and_qmin_knobs(spark):
     assert [r["doc_id"] for r in only_fr.collect()] == [2]
     none = corpus_clean(docs, q_min=1000, pairs=_pairs_df(spark, []))
     assert none.count() == 0
+
+
+def test_corpus_clean_stats_funnel(spark):
+    """Independent per-gate drop counts on the planted corpus: one low
+    quality, one wrong lang, one exact dup, one near dup, 3 survivors —
+    and n_survivors equals count(corpus_clean) with the same knobs."""
+    from spatialjoincountovershells_spark.operators.corpus import (
+        corpus_clean_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "le chat noir dort ici bien"),
+            (4, "the " + "x" * 200),
+            (5, "the dog sat on the log"),
+            (6, "the dog sat on the fog"),
+            (7, "palabras sin marcadores conocidos aqui"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = _pairs_df(spark, [(5, 6)])
+    row = corpus_clean_stats(docs, pairs=pairs).collect()[0]
+    assert row.asDict() == {
+        "n_docs": 7,
+        # gates count INDEPENDENTLY: doc 7 fails quality (128 < 175)
+        # AND language, so it appears in both drop columns
+        "n_low_quality": 2,   # docs 4 and 7
+        "n_wrong_lang": 1,    # doc 7 (und)
+        "n_exact_dup": 1,     # doc 2 (non-min copy)
+        "n_near_dup": 1,      # doc 6 (non-rep cluster member)
+        "n_survivors": 3,     # docs 1, 3, 5
+    }
+    assert row.n_survivors == corpus_clean(docs, pairs=pairs).count()
