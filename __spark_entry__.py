@@ -476,12 +476,12 @@ GROUP BY 1, 2
 """
 
 
-def _dedup_clusters_ctes() -> str:
+def _dedup_clusters_ctes(pairs_sql: str | None = None) -> str:
     """WITH-RECURSIVE body ending in clus(doc_id, cluster_id):
-    connected components over the minhash-LSH pair graph via
-    transitive closure + min reachable id — the declarative twin of
-    operators/dedup.py dedup_clusters' min-label propagation."""
-    mh = _minhash_lsh_sql()
+    connected components over a pair graph (default: the minhash-LSH
+    pairs) via transitive closure + min reachable id — the declarative
+    twin of operators/dedup.py dedup_clusters' min-label propagation."""
+    mh = pairs_sql if pairs_sql is not None else _minhash_lsh_sql()
     return f"""
 p AS (SELECT doc_a, doc_b FROM ({mh}) mp),
 e AS (SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p),
@@ -497,6 +497,16 @@ def _dedup_clusters_sql() -> str:
     return (
         f"WITH RECURSIVE {_dedup_clusters_ctes()}\n"
         "SELECT doc_id, cluster_id FROM clus"
+    )
+
+
+def _embed_dedup_clusters_sql() -> str:
+    """Connected components over the embedding cosine near-dup graph —
+    the same recursive-CTE twin, pair source swapped for the
+    LSH-candidates + exact-cosine re-rank pairs."""
+    return (
+        f"WITH RECURSIVE {_dedup_clusters_ctes(_cosine_dedup_sql())}\n"
+        "SELECT doc_id AS vec_id, cluster_id FROM clus"
     )
 
 
@@ -995,6 +1005,15 @@ def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dedup_pairs(emb, min_sim_1e6=200_000, dim=64)
 
 
+def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters generalizes to ANY pair graph: connected
+    components over the embedding cosine near-dup pairs."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return dedup_clusters(
+        cosine_dedup_pairs(emb, min_sim_1e6=200_000, dim=64), out_id="vec_id"
+    )
+
+
 def q_embed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidates via banded hyperplane LSH."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -1084,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_l2_lsh": q_ann_l2_lsh,
         "ann_ivf": q_ann_ivf,
         "cosine_dedup": q_cosine_dedup,
+        "embed_dedup_clusters": q_embed_dedup_clusters,
     }
 
 
@@ -1366,4 +1386,5 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 2
         "ann_l2_lsh": _ann_l2_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "cosine_dedup": _cosine_dedup_sql(),
+        "embed_dedup_clusters": _embed_dedup_clusters_sql(),
     }

@@ -16,7 +16,12 @@ Spark DataFrame library:
   Z-order-clustered table layout (plans/pipeline.py:cluster_by_tile),
 * auto-correlation pair counts DD(r) (shell_count self-joined),
 * dedup / similarity / text-analysis operators for training-data
-  pipelines, incl. perceptual-hash near-dup pairs on the images table.
+  pipelines, incl. perceptual-hash near-dup pairs on the images table,
+  connected-component clustering of near-dup pairs (dedup_clusters,
+  pointer-jumping min-label propagation), the composed corpus_clean
+  survivor pipeline + its corpus_clean_stats drop funnel, and
+  streaming near-dup flagging against a static corpus
+  (streaming/stream_dedup.py).
 
 Design notes: SURVEY.md §7.  All hot kernels are either pure Spark SQL
 expressions (whole-stage codegen) or Arrow-batched pandas UDFs — no

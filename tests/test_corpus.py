@@ -10,7 +10,6 @@ composed corpus_clean pipeline against hand-computed survivors.
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from spatialjoincountovershells_spark.operators.corpus import corpus_clean
 from spatialjoincountovershells_spark.operators.dedup import dedup_clusters
