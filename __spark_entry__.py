@@ -43,6 +43,7 @@ from spatialjoincountovershells_spark.operators.dedup import (  # noqa: E402
 from spatialjoincountovershells_spark.operators.corpus import (  # noqa: E402
     corpus_clean,
     corpus_clean_stats,
+    stratified_sample,
 )
 from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
 from spatialjoincountovershells_spark.operators.pip import point_in_polygon  # noqa: E402
@@ -70,6 +71,7 @@ from spatialjoincountovershells_spark.operators.similarity import (  # noqa: E40
     lsh_cosine_pairs,
 )
 from spatialjoincountovershells_spark.operators.text import (  # noqa: E402
+    chunk_documents,
     doc_fingerprint,
     lang_guess,
     quality_score,
@@ -388,6 +390,19 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage extraction (128-char chunks, 16 overlap)."""
+    return chunk_documents(_read(spark, sf_dir, "documents"),
+                           chunk_chars=128, overlap=16)
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 50% of predicted-en docs,
+    25% of everything else — the data-mixing step, RNG-free."""
+    return stratified_sample(_read(spark, sf_dir, "documents"),
+                             {"en": 500_000}, default_rate_1e6=250_000)
+
+
 def q_sjcs_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship graft pipeline on the synthetic images table."""
     parts = decode_phash(synth_images(spark, 20000, seed=7, with_payload=False))
@@ -534,6 +549,50 @@ FROM flags f LEFT JOIN clus c ON f.doc_id = c.doc_id
 WHERE f.quality_1000 >= {q_min} AND f.lang_pred IN ({langs})
   AND f.exact_min = f.doc_id
   AND (c.cluster_id IS NULL OR c.cluster_id = f.doc_id)
+"""
+
+
+def _doc_chunks_sql(chunk_chars: int = 128, overlap: int = 16) -> str:
+    """Sliding-window chunk oracle mirroring operators/text.py
+    chunk_documents: same ceil/stride arithmetic, same substr bounds."""
+    stride = chunk_chars - overlap
+    nck = (
+        f"CAST(ceil(greatest(length(text) - {overlap}, 1) / {stride}.0) AS INT)"
+    )
+    piece = f"substr(text, k * {stride} + 1, {chunk_chars})"
+    return f"""
+WITH c AS (SELECT doc_id, text,
+  unnest(generate_series(0, {nck} - 1)) AS k FROM documents)
+SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx, {piece} AS chunk_text,
+       CAST(length({piece}) AS BIGINT) AS n_chars
+FROM c
+"""
+
+
+def _corpus_sample_sql(
+    lang_case: str,
+    rates_1e6: dict[str, int] | None = None,
+    default_rate_1e6: int = 250_000,
+    stream: int = 97,
+) -> str:
+    """Stratified-sample oracle: identical affine hash of (doc_id % P)
+    and identical per-language rate CASE."""
+    from spatialjoincountovershells_spark.functions.texthash import (
+        P,
+        affine_consts,
+    )
+
+    rates_1e6 = rates_1e6 if rates_1e6 is not None else {"en": 500_000}
+    a, c = affine_consts(stream)
+    h = f"((({a} * (doc_id % {P}) + {c}) % {P}) % 1000000)"
+    whens = " ".join(
+        f"WHEN ({lang_case}) = '{lg}' THEN {int(r)}"
+        for lg, r in sorted(rates_1e6.items())
+    )
+    rate = f"(CASE {whens} ELSE {int(default_rate_1e6)} END)"
+    return f"""
+SELECT doc_id, {lang_case} AS lang_pred
+FROM documents WHERE {h} < {rate}
 """
 
 
@@ -1091,6 +1150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,
         "ann_cosine": q_ann_cosine,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_chunks": q_doc_chunks,
+        "corpus_sample": q_corpus_sample,
         "sjcs_images": q_sjcs_images,
         "sjcs_images_f64": q_sjcs_images_f64,
         "image_tiles": q_image_tiles,
@@ -1359,6 +1420,8 @@ FROM m5 GROUP BY tile_id
         "dedup_clusters": _dedup_clusters_sql(),
         "corpus_clean": _corpus_clean_sql(tokens, lang_case),
         "corpus_clean_stats": _corpus_clean_stats_sql(tokens, lang_case),
+        "doc_chunks": _doc_chunks_sql(),
+        "corpus_sample": _corpus_sample_sql(lang_case),
         "simhash": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "phash_near_dup": f"""

@@ -54,7 +54,8 @@ from .operators.images import (
 )
 from .operators.media import sample_frames, frame_stats, audio_window_stats
 from .operators.dedup import dedup_clusters, exact_dedup, minhash_lsh_pairs
-from .operators.corpus import corpus_clean, corpus_clean_stats
+from .operators.corpus import corpus_clean, corpus_clean_stats, stratified_sample
+from .operators.text import chunk_documents
 
 __all__ = [
     "dedup_clusters",
@@ -62,6 +63,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "corpus_clean",
     "corpus_clean_stats",
+    "stratified_sample",
+    "chunk_documents",
     "get_spark",
     "logspace_edges",
     "squared_edges",

@@ -13,6 +13,8 @@ is oracle-checked end-to-end, not just its parts.
 * corpus_clean       — the surviving documents
 * corpus_clean_stats — the drop funnel as one summary row (how much
                        each gate bites), same gated projection
+* stratified_sample  — deterministic per-language sampling (the
+                       data-mixing step of corpus assembly)
 """
 
 from __future__ import annotations
@@ -147,4 +149,49 @@ def corpus_clean_stats(
         cnt(
             F.col("_q_ok") & F.col("_lang_ok") & F.col("_exact_ok") & F.col("_near_ok")
         ).alias("n_survivors"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_1e6: dict[str, int],
+    default_rate_1e6: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stream: int = 97,
+) -> DataFrame:
+    """Deterministic per-language corpus sampling -> kept rows
+    (id_col, lang_pred string), the data-mixing step of corpus
+    assembly: keep a document iff hash(doc_id) % 10^6 < rate for its
+    predicted language (rates_1e6 maps lang -> parts-per-million;
+    languages absent from the map use default_rate_1e6).
+
+    The keep decision is a pure function of doc_id (universal affine
+    hash, stream index `stream`, from functions/texthash.py — the id is
+    reduced mod P FIRST so the multiply never overflows int64 even at
+    10^12-row id ranges), so sampling is partition-independent,
+    reproducible across runs/engines, and trivially SQL-twinned; there
+    is no RNG state and no per-partition seed to misplace.  One narrow
+    codegen projection + filter over the corpus scan — no shuffle.
+    """
+    from ..functions.texthash import P, affine_sql
+
+    h = f"({affine_sql(f'({id_col} % {P})', stream)} % 1000000)"
+    lang = lang_pred_expr(text_col)
+    rate = None
+    for lg, r in sorted(rates_1e6.items()):
+        cond = lang == lg
+        rate = F.when(cond, int(r)) if rate is None else rate.when(cond, int(r))
+    rate = (
+        rate.otherwise(int(default_rate_1e6))
+        if rate is not None
+        else F.lit(int(default_rate_1e6))
+    )
+    return (
+        docs.select(
+            F.col(id_col), lang.alias("lang_pred"), F.expr(h).alias("_h"),
+            rate.alias("_rate"),
+        )
+        .where(F.col("_h") < F.col("_rate"))
+        .select(F.col(id_col), F.col("lang_pred"))
     )

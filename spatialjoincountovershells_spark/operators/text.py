@@ -131,3 +131,40 @@ def doc_fingerprint(
         f"u -> ({terms}) % {P}))"
     )
     return df.select(F.col(id_col), F.expr(fp).alias("fingerprint"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window passage extraction -> (id, chunk_idx int,
+    chunk_text string, n_chars long), ordered windows of `chunk_chars`
+    characters advancing by `chunk_chars - overlap` — the
+    fixed-context-window chunking step of a pretraining/RAG pipeline.
+
+    Chunk k covers [k*stride, k*stride + chunk_chars); the last chunk
+    may be shorter, and a chunk is emitted only if it starts inside the
+    text, so a document of length L yields ceil(max(L - overlap, 1) /
+    stride) chunks and an empty document yields one empty chunk.  Pure
+    codegen (sequence + transform + posexplode) — the corpus scan fans
+    out to chunks with no shuffle and no Python.
+    """
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(f"need 0 <= overlap={overlap} < chunk_chars={chunk_chars}")
+    stride = chunk_chars - overlap
+    arr = (
+        f"transform(sequence(0, CAST(ceil(greatest(length({text_col}) - {overlap}, 1)"
+        f" / {stride}.0) AS INT) - 1), "
+        f"k -> substring({text_col}, k * {stride} + 1, {chunk_chars}))"
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(F.expr(arr)).alias("chunk_idx", "chunk_text")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_text"),
+        F.length("chunk_text").cast("long").alias("n_chars"),
+    )

@@ -10,6 +10,7 @@ composed corpus_clean pipeline against hand-computed survivors.
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from spatialjoincountovershells_spark.operators.corpus import corpus_clean
 from spatialjoincountovershells_spark.operators.dedup import dedup_clusters
@@ -141,3 +142,46 @@ def test_corpus_clean_stats_funnel(spark):
         "n_survivors": 3,     # docs 1, 3, 5
     }
     assert row.n_survivors == corpus_clean(docs, pairs=pairs).count()
+
+
+def test_chunk_documents_edges(spark):
+    """Window/stride arithmetic pinned: full windows, short tail, text
+    shorter than one chunk, empty text -> one empty chunk."""
+    from spatialjoincountovershells_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, "abc"), (4, "abcd")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chars)
+        for r in chunk_documents(docs, chunk_chars=4, overlap=1).collect()
+    }
+    assert got == {
+        (1, 0): ("abcd", 4), (1, 1): ("defg", 4), (1, 2): ("ghij", 4),
+        (2, 0): ("", 0),
+        (3, 0): ("abc", 3),
+        (4, 0): ("abcd", 4),
+    }
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_chars=4, overlap=4)
+
+
+def test_stratified_sample_deterministic_and_partition_independent(spark):
+    """The keep set is a pure function of doc_id: identical across two
+    runs AND across a repartition; observed rates track the requested
+    parts-per-million."""
+    from spatialjoincountovershells_spark.operators.corpus import stratified_sample
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "the word here").otherwise("mot sans marqueur").alias("text"),
+    )
+    rates = {"en": 500_000}
+    a = {r.doc_id for r in stratified_sample(docs, rates, 250_000).collect()}
+    b = {r.doc_id for r in stratified_sample(docs.repartition(13), rates, 250_000).collect()}
+    assert a == b and a
+    n_en = sum(1 for i in a if i % 2 == 0)
+    n_other = len(a) - n_en
+    assert abs(n_en / 1000 - 0.5) < 0.06      # en rate 50%
+    assert abs(n_other / 1000 - 0.25) < 0.06  # default rate 25%
