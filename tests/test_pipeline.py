@@ -158,3 +158,44 @@ def test_cluster_by_tile_locality_and_pushdown(spark, tmp_path):
     q = back.where((F.col("tile_id") >= 100) & (F.col("tile_id") < 200))
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "tile_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_corpus_job_stages_and_resume(tmp_path):
+    """jobs/corpus_job.py end-to-end in a subprocess (the spark-submit
+    analog): clean -> sample -> chunk, all stages checkpointed; a second
+    identical run must RESUME every stage (markers untouched) and print
+    the same funnel."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "corpus")
+    args = [
+        sys.executable, "jobs/corpus_job.py",
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--sample", "en=500000", "--sample-default", "250000",
+        "--chunk-chars", "64", "--chunk-overlap", "8",
+    ]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run():
+        r = subprocess.run(args, capture_output=True, text=True, cwd=repo,
+                           timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [_json.loads(l) for l in r.stdout.splitlines()
+                if l.startswith('{"stage"')]
+
+    first = run()
+    stages = {s["stage"]: s for s in first}
+    assert set(stages) == {"funnel", "sampled", "chunks", "done"}
+    assert stages["done"]["survivors"] == stages["funnel"]["n_survivors"] > 0
+    markers = {
+        d: os.path.getmtime(os.path.join(out, d, "_SJCS_DONE.json"))
+        for d in ("funnel", "survivors", "sampled", "chunks")
+    }
+    second = run()
+    assert second == first  # identical stage reports
+    for d, t in markers.items():  # no stage recomputed/rewritten
+        assert os.path.getmtime(os.path.join(out, d, "_SJCS_DONE.json")) == t
