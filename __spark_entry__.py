@@ -316,6 +316,16 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup(base.unionByName(v1).unionByName(v2))
 
 
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third pair source through the same clustering: connected
+    components over the phash near-dup graph (planted variants collapse
+    onto their base image's cluster)."""
+    return dedup_clusters(
+        q_phash_near_dup(spark, sf_dir),
+        id_a="image_a", id_b="image_b", out_id="image_id",
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -594,6 +604,44 @@ def _corpus_sample_sql(
 SELECT doc_id, {lang_case} AS lang_pred
 FROM documents WHERE {h} < {rate}
 """
+
+
+def _phash_near_dup_sql() -> str:
+    """All-pairs bit_count Hamming oracle over the identical splitmix64
+    phashes + planted 1/2-bit variants (mirrors q_phash_near_dup)."""
+    return f"""
+WITH {_phash_cte("q", 2000, 21)},
+base AS (SELECT CAST(i AS BIGINT) AS image_id,
+  CAST((ax // 281474976710656) * 4294967296
+     + (ay // 281474976710656) * 65536
+     + (az // 281474976710656) AS BIGINT) AS phash FROM q_6),
+v1 AS (SELECT image_id + 1000000 AS image_id,
+  xor(phash, (CAST(1 AS BIGINT) << CAST(image_id % 16 AS INT))) AS phash
+  FROM base WHERE image_id % 10 = 0),
+v2 AS (SELECT image_id + 2000000 AS image_id,
+  xor(xor(phash, (CAST(1 AS BIGINT) << CAST(image_id % 16 AS INT))),
+      (CAST(1 AS BIGINT) << CAST(16 + image_id % 16 AS INT))) AS phash
+  FROM base WHERE image_id % 25 = 0),
+t AS (SELECT * FROM base UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT a.image_id AS image_a, b.image_id AS image_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM t a JOIN t b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+"""
+
+
+def _image_dedup_clusters_sql() -> str:
+    """Connected components over the phash near-dup graph — third pair
+    source (text minhash / embedding cosine / image phash) through the
+    same recursive-CTE twin."""
+    pairs = (
+        "SELECT image_a AS doc_a, image_b AS doc_b FROM "
+        f"({_phash_near_dup_sql()}) pp"
+    )
+    return (
+        f"WITH RECURSIVE {_dedup_clusters_ctes(pairs)}\n"
+        "SELECT doc_id AS image_id, cluster_id FROM clus"
+    )
 
 
 def _corpus_clean_stats_sql(
@@ -1148,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "phash_near_dup": q_phash_near_dup,
+        "image_dedup_clusters": q_image_dedup_clusters,
         "ann_cosine": q_ann_cosine,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_chunks": q_doc_chunks,
@@ -1424,25 +1473,8 @@ FROM m5 GROUP BY tile_id
         "corpus_sample": _corpus_sample_sql(lang_case),
         "simhash": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
-        "phash_near_dup": f"""
-WITH {_phash_cte("q", 2000, 21)},
-base AS (SELECT CAST(i AS BIGINT) AS image_id,
-  CAST((ax // 281474976710656) * 4294967296
-     + (ay // 281474976710656) * 65536
-     + (az // 281474976710656) AS BIGINT) AS phash FROM q_6),
-v1 AS (SELECT image_id + 1000000 AS image_id,
-  xor(phash, (CAST(1 AS BIGINT) << CAST(image_id % 16 AS INT))) AS phash
-  FROM base WHERE image_id % 10 = 0),
-v2 AS (SELECT image_id + 2000000 AS image_id,
-  xor(xor(phash, (CAST(1 AS BIGINT) << CAST(image_id % 16 AS INT))),
-      (CAST(1 AS BIGINT) << CAST(16 + image_id % 16 AS INT))) AS phash
-  FROM base WHERE image_id % 25 = 0),
-t AS (SELECT * FROM base UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
-SELECT a.image_id AS image_a, b.image_id AS image_b,
-       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-FROM t a JOIN t b ON a.image_id < b.image_id
-WHERE bit_count(xor(a.phash, b.phash)) <= 2
-""",
+        "phash_near_dup": _phash_near_dup_sql(),
+        "image_dedup_clusters": _image_dedup_clusters_sql(),
         "doc_fingerprint": _doc_fingerprint_sql(),
         "ann_cosine": _ann_cosine_sql(),
         "embed_lsh_pairs": _embed_lsh_sql(),
