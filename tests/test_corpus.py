@@ -185,3 +185,16 @@ def test_stratified_sample_deterministic_and_partition_independent(spark):
     n_other = len(a) - n_en
     assert abs(n_en / 1000 - 0.5) < 0.06      # en rate 50%
     assert abs(n_other / 1000 - 0.25) < 0.06  # default rate 25%
+
+
+def test_corpus_clean_idempotent(spark):
+    """Cleaning the survivors drops nothing: band keys are per-doc, so
+    the survivor set's pair graph is a subset of the original graph
+    restricted to survivors — every survivor is its own cluster rep
+    there, and the quality/lang/exact gates are doc-local."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    first = corpus_clean(docs)
+    ids1 = {r.doc_id for r in first.collect()}
+    surv_docs = docs.join(first.select("doc_id"), "doc_id").select("doc_id", "text")
+    ids2 = {r.doc_id for r in corpus_clean(surv_docs).collect()}
+    assert ids1 == ids2 and ids1
