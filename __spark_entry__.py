@@ -465,14 +465,23 @@ from spatialjoincountovershells_spark.functions.texthash import (  # noqa: E402
 )
 
 
-def _shingle_cte(shingle_n: int = 8, max_df: int | None = None) -> str:
+def _shingle_cte(
+    shingle_n: int = 8, max_df: int | None = None, min_len: int | None = None
+) -> str:
     """sh(doc_id, shingle) — distinct char n-grams, mirroring
-    operators/dedup.py shingles(); optional document-frequency cap."""
+    operators/dedup.py shingles(); optional document-frequency cap and
+    optional min-length doc guard (mirrors minhash_lsh_pairs' exclusion
+    of NULL/sub-shingle docs)."""
+    guard = (
+        f"WHERE text IS NOT NULL AND length(text) >= {min_len}"
+        if min_len is not None
+        else ""
+    )
     base = f"""
 sh0 AS (SELECT DISTINCT doc_id, substr(text, u, {shingle_n}) AS shingle
   FROM (SELECT doc_id, text,
         unnest(generate_series(1, greatest(length(text) - {shingle_n - 1}, 1))) AS u
-        FROM documents))"""
+        FROM documents {guard}))"""
     if max_df is None:
         return base + ",\nsh AS (SELECT * FROM sh0)"
     return base + f""",
@@ -491,7 +500,7 @@ def _minhash_lsh_sql(n_hashes: int = 32, bands: int = 8, shingle_n: int = 8) -> 
         for b in range(bands)
     )
     return f"""
-WITH {_shingle_cte(shingle_n)},
+WITH {_shingle_cte(shingle_n, min_len=shingle_n)},
 hb AS (SELECT doc_id, {poly_hash_fixed_duck("shingle", shingle_n)} AS base FROM sh),
 sig AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id),
 bands AS ({band_selects})
@@ -535,6 +544,39 @@ def _embed_dedup_clusters_sql() -> str:
     )
 
 
+def _corpus_gated_ctes(
+    tokens: str,
+    lang_case: str,
+    q_min: int = 175,
+    keep_langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+) -> str:
+    """CTE chain ending in g(doc_id, quality_1000, lang_pred,
+    cluster_id, q_ok, lang_ok, exact_ok, rep) — the declarative twin of
+    operators/corpus.py _gated: NULL text coalesced to empty (fails the
+    quality gate instead of vanishing from the funnel), and the
+    near-dup representative = min id among the cluster's ELIGIBLE
+    (q+lang+exact) members."""
+    langs = ", ".join(f"'{lang}'" for lang in keep_langs)
+    quality = (
+        f"CAST(floor(least((1000 * CAST({tokens} AS BIGINT)) / "
+        f"(CAST(length(text) AS BIGINT) + 1), 1000.0)) AS BIGINT)"
+    )
+    return f"""{_dedup_clusters_ctes()},
+norm AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+flags AS (SELECT doc_id, {quality} AS quality_1000, {lang_case} AS lang_pred,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS exact_min
+          FROM norm),
+g0 AS (SELECT f.doc_id, f.quality_1000, f.lang_pred, c.cluster_id,
+       (f.quality_1000 >= {q_min}) AS q_ok,
+       (f.lang_pred IN ({langs})) AS lang_ok,
+       (f.exact_min = f.doc_id) AS exact_ok
+       FROM flags f LEFT JOIN clus c ON f.doc_id = c.doc_id),
+g AS (SELECT *,
+      min(CASE WHEN q_ok AND lang_ok AND exact_ok THEN doc_id END)
+        OVER (PARTITION BY coalesce(cluster_id, doc_id)) AS rep
+      FROM g0)"""
+
+
 def _corpus_clean_sql(
     tokens: str,
     lang_case: str,
@@ -543,22 +585,13 @@ def _corpus_clean_sql(
 ) -> str:
     """Composed corpus-survivor oracle mirroring operators/corpus.py:
     quality gate + language gate + exact-dup min-id (grouped by text
-    digest) + near-dup cluster min-id over the recursive-CTE components."""
-    langs = ", ".join(f"'{lang}'" for lang in keep_langs)
-    quality = (
-        f"CAST(floor(least((1000 * CAST({tokens} AS BIGINT)) / "
-        f"(CAST(length(text) AS BIGINT) + 1), 1000.0)) AS BIGINT)"
-    )
+    digest) + eligible-representative near-dup gate over the
+    recursive-CTE components."""
     return f"""
-WITH RECURSIVE {_dedup_clusters_ctes()},
-flags AS (SELECT doc_id, {quality} AS quality_1000, {lang_case} AS lang_pred,
-          min(doc_id) OVER (PARTITION BY md5(text)) AS exact_min
-          FROM documents)
-SELECT f.doc_id, f.lang_pred, f.quality_1000
-FROM flags f LEFT JOIN clus c ON f.doc_id = c.doc_id
-WHERE f.quality_1000 >= {q_min} AND f.lang_pred IN ({langs})
-  AND f.exact_min = f.doc_id
-  AND (c.cluster_id IS NULL OR c.cluster_id = f.doc_id)
+WITH RECURSIVE {_corpus_gated_ctes(tokens, lang_case, q_min, keep_langs)}
+SELECT doc_id, lang_pred, quality_1000 FROM g
+WHERE q_ok AND lang_ok AND exact_ok
+  AND (cluster_id IS NULL OR rep IS NULL OR rep = doc_id)
 """
 
 
@@ -652,28 +685,15 @@ def _corpus_clean_stats_sql(
 ) -> str:
     """Funnel-summary oracle mirroring corpus_clean_stats: independent
     per-gate drop counts + the surviving conjunction, one row."""
-    langs = ", ".join(f"'{lang}'" for lang in keep_langs)
-    quality = (
-        f"CAST(floor(least((1000 * CAST({tokens} AS BIGINT)) / "
-        f"(CAST(length(text) AS BIGINT) + 1), 1000.0)) AS BIGINT)"
-    )
+    near_ok = "(cluster_id IS NULL OR rep IS NULL OR rep = doc_id)"
     return f"""
-WITH RECURSIVE {_dedup_clusters_ctes()},
-flags AS (SELECT doc_id, {quality} AS q, {lang_case} AS lang_pred,
-          min(doc_id) OVER (PARTITION BY md5(text)) AS exact_min
-          FROM documents),
-g AS (SELECT f.doc_id,
-      (f.q >= {q_min}) AS q_ok,
-      (f.lang_pred IN ({langs})) AS lang_ok,
-      (f.exact_min = f.doc_id) AS exact_ok,
-      (c.cluster_id IS NULL OR c.cluster_id = f.doc_id) AS near_ok
-      FROM flags f LEFT JOIN clus c ON f.doc_id = c.doc_id)
+WITH RECURSIVE {_corpus_gated_ctes(tokens, lang_case, q_min, keep_langs)}
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN NOT q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
        CAST(sum(CASE WHEN NOT lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_lang,
        CAST(sum(CASE WHEN NOT exact_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
-       CAST(sum(CASE WHEN NOT near_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
-       CAST(sum(CASE WHEN q_ok AND lang_ok AND exact_ok AND near_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+       CAST(sum(CASE WHEN NOT {near_ok} THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       CAST(sum(CASE WHEN q_ok AND lang_ok AND exact_ok AND {near_ok} THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
 FROM g
 """
 

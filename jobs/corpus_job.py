@@ -14,6 +14,7 @@ a restarted run skips completed work.
       [--chunk-chars 256 --chunk-overlap 32]
 
 Outputs under --output:
+  clusters/    (doc_id, cluster_id) near-dup components — always
   survivors/   (doc_id, lang_pred, quality_1000)   — always
   sampled/     (doc_id, lang_pred)                 — with --sample
   chunks/      (doc_id, chunk_idx, chunk_text, n_chars) — with --chunk-chars
@@ -26,7 +27,6 @@ changing a knob recomputes exactly the stages it affects.
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import sys
@@ -35,12 +35,6 @@ try:  # under spark-submit --py-files the zip is already on the path
     import spatialjoincountovershells_spark  # noqa: F401
 except ModuleNotFoundError:  # direct `python jobs/corpus_job.py` from a checkout
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def _token(*parts) -> str:
-    return hashlib.sha256(
-        json.dumps(parts, sort_keys=True).encode()
-    ).hexdigest()[:16]
 
 
 def parse_rates(spec: str | None) -> dict[str, int]:
@@ -68,42 +62,61 @@ def main(argv=None) -> int:
     ap.add_argument("--chunk-overlap", type=int, default=32)
     args = ap.parse_args(argv)
 
-    from pyspark.sql import functions as F
+    from pyspark.sql import functions as F  # noqa: F401
 
     from spatialjoincountovershells_spark import (
         chunk_documents,
         corpus_clean,
         corpus_clean_stats,
+        dedup_clusters,
         get_spark,
+        minhash_lsh_pairs,
         stratified_sample,
     )
-    from spatialjoincountovershells_spark.plans.pipeline import resume_or_compute
+    from spatialjoincountovershells_spark.plans.pipeline import (
+        resume_or_compute,
+        resume_token,
+    )
 
     spark = get_spark(app="corpus_job")
     docs = spark.read.parquet(*args.documents)
     keep = tuple(s.strip() for s in args.keep_langs.split(","))
     base = [sorted(args.documents), args.q_min, sorted(keep)]
 
+    # the expensive iterative stage runs ONCE (and is itself resumable);
+    # both the survivor table and the funnel row derive from it
+    clusters = resume_or_compute(
+        spark, os.path.join(args.output, "clusters"),
+        resume_token(sorted(args.documents), "clusters"),
+        lambda: dedup_clusters(minhash_lsh_pairs(docs)),
+    )
     surv = resume_or_compute(
-        spark, os.path.join(args.output, "survivors"), _token(*base),
-        lambda: corpus_clean(docs, q_min=args.q_min, keep_langs=keep),
+        spark, os.path.join(args.output, "survivors"), resume_token(*base),
+        lambda: corpus_clean(
+            docs, q_min=args.q_min, keep_langs=keep, clusters=clusters
+        ),
     )
     funnel_df = resume_or_compute(
-        spark, os.path.join(args.output, "funnel"), _token(*base, "funnel"),
-        lambda: corpus_clean_stats(docs, q_min=args.q_min, keep_langs=keep),
+        spark, os.path.join(args.output, "funnel"),
+        resume_token(*base, "funnel"),
+        lambda: corpus_clean_stats(
+            docs, q_min=args.q_min, keep_langs=keep, clusters=clusters
+        ),
     )
     funnel = funnel_df.collect()[0].asDict()
     print(json.dumps({"stage": "funnel", **funnel}))
 
     kept = surv
+    sample_knobs = []
     if args.sample:
         rates = parse_rates(args.sample)
+        sample_knobs = [sorted(rates.items()), args.sample_default]
         sampled_ids = stratified_sample(
             docs, rates, default_rate_1e6=args.sample_default
         ).select("doc_id")
         kept = resume_or_compute(
             spark, os.path.join(args.output, "sampled"),
-            _token(*base, sorted(rates.items()), args.sample_default),
+            resume_token(*base, *sample_knobs),
             lambda: surv.join(sampled_ids, "doc_id").select(
                 "doc_id", "lang_pred"
             ),
@@ -111,10 +124,13 @@ def main(argv=None) -> int:
         print(json.dumps({"stage": "sampled", "rows": kept.count()}))
 
     if args.chunk_chars > 0:
+        # the chunks token carries the SAMPLE knobs too: chunks are cut
+        # from the post-sample doc set, so a rate change must invalidate
+        # this stage, not resume a checkpoint of the old sample
         chunks = resume_or_compute(
             spark, os.path.join(args.output, "chunks"),
-            _token(*base, bool(args.sample), args.chunk_chars,
-                   args.chunk_overlap),
+            resume_token(*base, *sample_knobs, args.chunk_chars,
+                         args.chunk_overlap),
             lambda: chunk_documents(
                 docs.join(kept.select("doc_id"), "doc_id").select(
                     "doc_id", "text"

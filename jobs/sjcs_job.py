@@ -24,7 +24,6 @@ token derived from the inputs, so a restarted run skips completed work.
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import sys
@@ -109,13 +108,12 @@ def main(argv=None) -> int:
     if args.filter_file:
         halos = filter_halos(halos, read_filter_ids(spark, args.filter_file))
 
-    token = hashlib.sha256(
-        json.dumps(
-            [sorted(args.particle_files), args.halo_file, args.radius,
-             args.plan, args.filter_file, args.box],
-            sort_keys=True,
-        ).encode()
-    ).hexdigest()[:16]
+    from spatialjoincountovershells_spark.plans.pipeline import resume_token
+
+    token = resume_token(
+        sorted(args.particle_files), args.halo_file, args.radius,
+        args.plan, args.filter_file, args.box,
+    )
 
     # key by file-order ordinal when the source provides one: the
     # reference supports duplicate halo ids (TestData4PB has two id-0

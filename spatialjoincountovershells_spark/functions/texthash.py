@@ -107,6 +107,20 @@ def poly_hash_np(strings, max_len: int = MAXLEN) -> np.ndarray:
     return out
 
 
+def shingle_array_sql(col: str, n: int) -> str:
+    """All character n-gram shingles of `col` as one SQL array expr —
+    the single source of truth for the shingle window (note the
+    greatest(..., 1) pinning: an empty/short string yields exactly ONE
+    possibly-short shingle).  Shared by dedup.shingles (grouped path),
+    dedup.minhash_band_buckets (per-row path) and, in spirit, the
+    oracle _shingle_cte — three places that MUST stay in lockstep for
+    the grouped/per-row parity test and the DuckDB hash checks."""
+    return (
+        f"transform(sequence(1, greatest(length({col}) - {n - 1}, 1)), "
+        f"i -> substring({col}, i, {n}))"
+    )
+
+
 # ------------------------------------------------------------------ band keys
 
 def band_key_sql(cols: list[str]) -> str:

@@ -37,6 +37,7 @@ def corpus_clean(
     bands: int = 8,
     shingle_n: int = 8,
     max_iter: int = 64,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Surviving documents after the four standard corpus gates ->
     (id_col, lang_pred string, quality_1000 long), one row per survivor.
@@ -47,13 +48,20 @@ def corpus_clean(
       3. it is the min-id copy of its exact-duplicate group
          (grouped by md5(text) — a 128-bit digest, so the shuffle key
          is 32 bytes no matter how long the document is)
-      4. it is the min-id member of its near-dup cluster (connected
+      4. it is the near-dup representative of its cluster (connected
          components over the minhash-LSH candidate pair graph), or it
-         is in no pair at all.
+         is in no pair at all.  The representative is the min-id member
+         AMONG docs passing gates 1-3 — picking the unconditional min
+         id would delete a cluster's entire content whenever its lowest
+         id happens to be a low-quality/wrong-language copy.
 
     `pairs` overrides the near-dup candidate source (doc_a/doc_b
     columns; e.g. simhash_pairs or a pre-materialized pair table);
     default is minhash_lsh_pairs(docs) with the given LSH shape.
+    `clusters` short-circuits clustering entirely with a precomputed
+    (id_col, cluster_id) table (dedup_clusters output) — pass it when
+    the caller also needs the funnel, so the iterative clustering runs
+    once, not once per consumer (see jobs/corpus_job.py).
 
     Scale shape: gate 1+2 are codegen'd expressions in one projection
     of the corpus scan; gate 3 is one hash-partitioned window (min over
@@ -65,7 +73,7 @@ def corpus_clean(
     """
     base = _gated(
         docs, text_col, id_col, q_min, keep_langs, pairs,
-        n_hashes, bands, shingle_n, max_iter,
+        n_hashes, bands, shingle_n, max_iter, clusters,
     )
     return base.where(
         F.col("_q_ok") & F.col("_lang_ok") & F.col("_exact_ok") & F.col("_near_ok")
@@ -83,14 +91,27 @@ def _gated(
     bands: int,
     shingle_n: int,
     max_iter: int,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc with the four gate verdicts as boolean columns
     (id, quality_1000, lang_pred, _q_ok, _lang_ok, _exact_ok, _near_ok)
     — shared by corpus_clean (conjunction) and corpus_clean_stats
     (per-gate funnel counts)."""
-    if pairs is None:
-        pairs = minhash_lsh_pairs(docs, text_col, id_col, n_hashes, bands, shingle_n)
-    clusters = dedup_clusters(pairs, out_id="_cl_doc", max_iter=max_iter)
+    if clusters is not None:
+        clusters = clusters.select(
+            F.col(id_col).alias("_cl_doc"), F.col("cluster_id")
+        )
+    else:
+        if pairs is None:
+            pairs = minhash_lsh_pairs(
+                docs, text_col, id_col, n_hashes, bands, shingle_n
+            )
+        clusters = dedup_clusters(pairs, out_id="_cl_doc", max_iter=max_iter)
+    # NULL text = empty text for gating: it then fails the quality gate
+    # (and groups with other empties for exact dedup) instead of
+    # evaluating every gate to NULL and vanishing from the funnel's
+    # drop columns while still being dropped
+    docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     base = docs.select(
         F.col(id_col),
         quality_expr(text_col).alias("quality_1000"),
@@ -99,16 +120,36 @@ def _gated(
         .over(Window.partitionBy(F.md5(F.col(text_col).cast("binary"))))
         .alias("_exact_min"),
     )
-    return base.join(clusters, base[id_col] == clusters["_cl_doc"], "left").select(
+    g0 = base.join(clusters, base[id_col] == clusters["_cl_doc"], "left").select(
         F.col(id_col),
         F.col("quality_1000"),
         F.col("lang_pred"),
+        F.col("cluster_id"),
         (F.col("quality_1000") >= F.lit(int(q_min))).alias("_q_ok"),
         F.col("lang_pred").isin(*keep_langs).alias("_lang_ok"),
         (F.col("_exact_min") == F.col(id_col)).alias("_exact_ok"),
-        (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col))).alias(
-            "_near_ok"
-        ),
+    )
+    # near-dup representative = min id among the cluster's ELIGIBLE
+    # (gates 1-3) members; a cluster with no eligible member has no rep
+    # and drops on the other gates alone, never on this one.  Singleton
+    # docs (cluster_id null) group by their own id — ids are unique, so
+    # no singleton can collide with a cluster's key.
+    elig = F.col("_q_ok") & F.col("_lang_ok") & F.col("_exact_ok")
+    rep = F.min(F.when(elig, F.col(id_col))).over(
+        Window.partitionBy(F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    )
+    return g0.select(
+        F.col(id_col),
+        F.col("quality_1000"),
+        F.col("lang_pred"),
+        F.col("_q_ok"),
+        F.col("_lang_ok"),
+        F.col("_exact_ok"),
+        (
+            F.col("cluster_id").isNull()
+            | rep.isNull()
+            | (rep == F.col(id_col))
+        ).alias("_near_ok"),
     )
 
 
@@ -123,6 +164,7 @@ def corpus_clean_stats(
     bands: int = 8,
     shingle_n: int = 8,
     max_iter: int = 64,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """The cleaning funnel as ONE summary row -> (n_docs, n_low_quality,
     n_wrong_lang, n_exact_dup, n_near_dup, n_survivors), all long.
@@ -137,7 +179,7 @@ def corpus_clean_stats(
     """
     g = _gated(
         docs, text_col, id_col, q_min, keep_langs, pairs,
-        n_hashes, bands, shingle_n, max_iter,
+        n_hashes, bands, shingle_n, max_iter, clusters,
     )
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
     return g.agg(
@@ -177,21 +219,20 @@ def stratified_sample(
     from ..functions.texthash import P, affine_sql
 
     h = f"({affine_sql(f'({id_col} % {P})', stream)} % 1000000)"
-    lang = lang_pred_expr(text_col)
+    # lang_pred is computed ONCE in the first projection; the rate CASE
+    # branches on the column, not on R copies of the marker scan
+    base = docs.select(
+        F.col(id_col),
+        lang_pred_expr(text_col).alias("lang_pred"),
+        F.expr(h).alias("_h"),
+    )
     rate = None
     for lg, r in sorted(rates_1e6.items()):
-        cond = lang == lg
+        cond = F.col("lang_pred") == lg
         rate = F.when(cond, int(r)) if rate is None else rate.when(cond, int(r))
     rate = (
         rate.otherwise(int(default_rate_1e6))
         if rate is not None
         else F.lit(int(default_rate_1e6))
     )
-    return (
-        docs.select(
-            F.col(id_col), lang.alias("lang_pred"), F.expr(h).alias("_h"),
-            rate.alias("_rate"),
-        )
-        .where(F.col("_h") < F.col("_rate"))
-        .select(F.col(id_col), F.col("lang_pred"))
-    )
+    return base.where(F.col("_h") < rate).select(F.col(id_col), F.col("lang_pred"))

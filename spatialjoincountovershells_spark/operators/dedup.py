@@ -28,6 +28,7 @@ from ..functions.texthash import (
     band_key_sql,
     poly_hash_fixed_spark,
     poly_hash_spark,
+    shingle_array_sql,
 )
 
 
@@ -80,12 +81,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     return (
         df.select(
             F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
-                    f" i -> substring({text_col}, i, {n}))"
-                )
-            ).alias("shingle"),
+            F.explode(F.expr(shingle_array_sql(text_col, n))).alias("shingle"),
         )
         .distinct()
     )
@@ -197,10 +193,7 @@ def minhash_band_buckets(
     """
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
-    sh_arr = (
-        f"transform(sequence(1, greatest(length({text_col}) - {shingle_n - 1}, 1)), "
-        f"i -> substring({text_col}, i, {shingle_n}))"
-    )
+    sh_arr = shingle_array_sql(text_col, shingle_n)
     bases = f"transform({sh_arr}, s -> {poly_hash_fixed_spark('s', shingle_n)})"
     sig = df.select(F.col(id_col), F.expr(bases).alias("_bases")).select(
         F.col(id_col),
@@ -240,7 +233,18 @@ def minhash_lsh_pairs(
     Buckets come from the shuffle-free per-row derivation
     (minhash_band_buckets), so the whole operator is ONE aggregation
     (bucket_pairs' groupBy) plus the final pair count.
+
+    Docs with NULL text or fewer than shingle_n characters are
+    EXCLUDED: a NULL text hashes to a NULL band key and every
+    sub-shingle doc to the hash of its padded fragment, so at corpus
+    scale millions of null/trivial rows would pile into one degenerate
+    bucket per band (a single reducer collecting the whole bucket and
+    emitting C(n,2) spurious pairs).  Trivial docs are exact-dedup's
+    job, not LSH's; the DuckDB oracle applies the same guard.
     """
+    df = df.where(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= int(shingle_n))
+    )
     buckets = minhash_band_buckets(df, text_col, id_col, n_hashes, bands, shingle_n)
     return (
         bucket_pairs(buckets, ["band", "key"], id_col)
@@ -258,10 +262,13 @@ def dedup_clusters(
     max_iter: int = 64,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph ->
-    (out_id, out_cluster long) where out_cluster = the minimum doc id
+    (out_id, out_cluster) where out_cluster = the minimum doc id
     reachable from out_id (one row per doc appearing in >= 1 pair;
     unpaired docs are their own trivial cluster and are left to the
     caller — see corpus.corpus_clean for the composed survivor join).
+    Integral ids are widened to long; any other id type (e.g. string)
+    keeps its own type and its own min ordering — NEVER silently cast
+    (a lossy cast would null every id and return an empty clustering).
 
     Near-dup PAIRS are not a dedup decision: transitive variants
     (A~B, B~C but never A~C in the candidate set) must collapse to one
@@ -288,12 +295,21 @@ def dedup_clusters(
     loop discipline as operators/knn.py's ring widening.
     """
     spark = pairs.sparkSession
-    sym = pairs.select(
-        F.col(id_a).cast("long").alias("s"), F.col(id_b).cast("long").alias("d")
-    ).unionByName(
-        pairs.select(
-            F.col(id_b).cast("long").alias("s"), F.col(id_a).cast("long").alias("d")
+    ta = pairs.schema[id_a].dataType
+    tb = pairs.schema[id_b].dataType
+    integral = {"byte", "short", "integer", "long"}
+    if ta.typeName() in integral and tb.typeName() in integral:
+        ca, cb = F.col(id_a).cast("long"), F.col(id_b).cast("long")
+    elif ta == tb:
+        ca, cb = F.col(id_a), F.col(id_b)
+    else:
+        raise TypeError(
+            f"dedup_clusters: pair id columns must be integral or of one "
+            f"identical type; got {id_a}:{ta.simpleString()} vs "
+            f"{id_b}:{tb.simpleString()}"
         )
+    sym = pairs.select(ca.alias("s"), cb.alias("d")).unionByName(
+        pairs.select(cb.alias("s"), ca.alias("d"))
     )
 
     def _ckpt(df: DataFrame) -> DataFrame:

@@ -107,6 +107,17 @@ def partition_metrics(df: DataFrame) -> DataFrame:
     )
 
 
+def resume_token(*parts) -> str:
+    """Canonical resume-token derivation (sort_keys JSON -> sha256 ->
+    16 hex chars) shared by every job so a change to the convention
+    cannot silently diverge one job's resume semantics from another's."""
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(parts, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
 def _marker(path: str) -> str:
     return os.path.join(path, "_SJCS_DONE.json")
 

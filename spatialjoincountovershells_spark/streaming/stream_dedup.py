@@ -47,12 +47,34 @@ def stream_near_dup(
     hash family to the batch operators, so a doc flagged here is
     exactly a doc that minhash_lsh_pairs would pair with the corpus.
     """
-    if "band" not in corpus_buckets.columns or "key" not in corpus_buckets.columns:
+    def _guard(df: DataFrame) -> DataFrame:
+        # same exclusion as minhash_lsh_pairs: NULL/sub-shingle docs
+        # would pile into one degenerate bucket per band
+        return df.where(
+            F.col(text_col).isNotNull() & (F.length(text_col) >= int(shingle_n))
+        )
+
+    if "band" in corpus_buckets.columns or "key" in corpus_buckets.columns:
+        # pre-bucketed: require EXACTLY the bucket schema so a raw
+        # table that merely contains a 'band'/'key' column is rejected
+        # loudly instead of joined as garbage.  The caller owns shape
+        # consistency — the bucket table must have been built with the
+        # SAME (n_hashes, bands, shingle_n) as this call.
+        want = {id_col, "band", "key"}
+        if set(corpus_buckets.columns) != want:
+            raise ValueError(
+                f"corpus_buckets looks pre-bucketed but has columns "
+                f"{sorted(corpus_buckets.columns)}; expected exactly "
+                f"{sorted(want)} (minhash_band_buckets output)"
+            )
+    else:
         corpus_buckets = minhash_band_buckets(
-            corpus_buckets, text_col, id_col, n_hashes, bands, shingle_n
+            _guard(corpus_buckets), text_col, id_col, n_hashes, bands, shingle_n
         )
     c = corpus_buckets.withColumnRenamed(id_col, corpus_id_col)
-    s = minhash_band_buckets(stream, text_col, id_col, n_hashes, bands, shingle_n)
+    s = minhash_band_buckets(
+        _guard(stream), text_col, id_col, n_hashes, bands, shingle_n
+    )
     return s.join(c, ["band", "key"]).select(
         F.col(id_col), F.col(corpus_id_col), F.col("band")
     )

@@ -88,12 +88,18 @@ def test_corpus_clean_planted_survivors(spark):
             (5, "the dog sat on the log"),      # en, near-dup rep -> survives
             (6, "the dog sat on the fog"),      # near-dup of 5 -> dropped
             (7, "palabras sin marcadores conocidos aqui"),  # und -> dropped
+            (8, "the " + "y" * 200),            # low-quality near-dup of 9
+            (9, "the owl sat on the bough"),    # eligible rep -> SURVIVES:
+            #    the cluster's min id (8) fails quality, so the rep is
+            #    the min ELIGIBLE member — one spammy near-copy must not
+            #    delete the good page
+            (10, None),                         # null text -> quality 0 -> dropped
         ],
         "doc_id long, text string",
     )
-    out = corpus_clean(docs, pairs=_pairs_df(spark, [(5, 6)]))
+    out = corpus_clean(docs, pairs=_pairs_df(spark, [(5, 6), (8, 9)]))
     rows = {r["doc_id"]: (r["lang_pred"], r["quality_1000"]) for r in out.collect()}
-    assert set(rows) == {1, 3, 5}
+    assert set(rows) == {1, 3, 5, 9}
     assert rows[1][0] == "en" and rows[3][0] == "fr"
     assert all(q >= 175 for _, q in rows.values())
 
@@ -126,20 +132,25 @@ def test_corpus_clean_stats_funnel(spark):
             (5, "the dog sat on the log"),
             (6, "the dog sat on the fog"),
             (7, "palabras sin marcadores conocidos aqui"),
+            (8, "the " + "y" * 200),
+            (9, "the owl sat on the bough"),
+            (10, None),
         ],
         "doc_id long, text string",
     )
-    pairs = _pairs_df(spark, [(5, 6)])
+    pairs = _pairs_df(spark, [(5, 6), (8, 9)])
     row = corpus_clean_stats(docs, pairs=pairs).collect()[0]
     assert row.asDict() == {
-        "n_docs": 7,
+        "n_docs": 10,
         # gates count INDEPENDENTLY: doc 7 fails quality (128 < 175)
-        # AND language, so it appears in both drop columns
-        "n_low_quality": 2,   # docs 4 and 7
-        "n_wrong_lang": 1,    # doc 7 (und)
+        # AND language; the NULL-text doc 10 gates as empty text
+        # (quality 0, lang 'und') instead of vanishing from the funnel
+        "n_low_quality": 4,   # docs 4, 7, 8, 10
+        "n_wrong_lang": 2,    # docs 7 and 10 (und)
         "n_exact_dup": 1,     # doc 2 (non-min copy)
-        "n_near_dup": 1,      # doc 6 (non-rep cluster member)
-        "n_survivors": 3,     # docs 1, 3, 5
+        "n_near_dup": 2,      # doc 6 (non-rep) and 8 (rep is 9, the
+                              # min ELIGIBLE member of its cluster)
+        "n_survivors": 4,     # docs 1, 3, 5, 9
     }
     assert row.n_survivors == corpus_clean(docs, pairs=pairs).count()
 
@@ -198,3 +209,32 @@ def test_corpus_clean_idempotent(spark):
     surv_docs = docs.join(first.select("doc_id"), "doc_id").select("doc_id", "text")
     ids2 = {r.doc_id for r in corpus_clean(surv_docs).collect()}
     assert ids1 == ids2 and ids1
+
+
+def test_dedup_clusters_string_ids(spark):
+    """Non-integral ids keep their own type and min ordering — never a
+    silent lossy cast (which would null the ids and return empty)."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "doc_a string, doc_b string"
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a"}
+    with pytest.raises(TypeError, match="id columns"):
+        dedup_clusters(
+            spark.createDataFrame([(1, "x")], "doc_a long, doc_b string")
+        )
+
+
+def test_minhash_lsh_excludes_null_and_trivial_docs(spark):
+    """NULL-text and sub-shingle docs are excluded from LSH: a corpus
+    with many of them must produce NO degenerate-bucket pairs, while a
+    genuine duplicate pair is still found."""
+    from spatialjoincountovershells_spark.operators.dedup import minhash_lsh_pairs
+
+    long_text = "the quick brown fox jumps over the lazy dog again"
+    rows = [(1, long_text), (2, long_text)]
+    rows += [(100 + i, None) for i in range(20)]
+    rows += [(200 + i, "ab") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert got == {(1, 2)}
