@@ -58,6 +58,7 @@ from spatialjoincountovershells_spark.operators.shell_count import (  # noqa: E4
     shell_totals,
 )
 from spatialjoincountovershells_spark.operators.images import (  # noqa: E402
+    crossmodal_dup_pairs,
     image_features,
     image_roundtrip_metrics,
     phash_near_dup,
@@ -90,7 +91,9 @@ from spatialjoincountovershells_spark.operators.media import (  # noqa: E402
     frame_stats,
 )
 from spatialjoincountovershells_spark.sources.synth import (  # noqa: E402
+    _caption_word_key,
     synth_audio,
+    synth_captioned_points,
     synth_images,
     synth_points,
     synth_videos,
@@ -326,6 +329,40 @@ def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crossmodal_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint caption+image near-dup classification on a captioned
+    images table with three planted variant families:
+      v1 (+1e6, every 10th): 1-bit phash flip, SAME caption  -> 'both'
+      v2 (+2e6, every 25th): 2-bit phash flip, OTHER caption -> 'image_only'
+      v3 (+3e6, every 20th): unrelated phash,  SAME caption  -> 'caption_only'
+    Oracle: the identical splitmix64 caption/phash CTEs, the
+    minhash-band SQL over captions, the all-pairs bit_count join over
+    phashes, FULL OUTER joined the same way."""
+    base = synth_captioned_points(spark, 2000, seed=21)
+    flip1 = "phash ^ shiftleft(CAST(1 AS BIGINT), CAST(image_id % 16 AS INT))"
+    cols = ["image_id", "phash", "caption"]
+    v1 = base.where(F.col("image_id") % 10 == 0).select(
+        (F.col("image_id") + F.lit(1_000_000)).alias("image_id"),
+        F.expr(flip1).alias("phash"),
+        "caption",
+    )
+    v2 = base.where(F.col("image_id") % 25 == 0).select(
+        (F.col("image_id") + F.lit(2_000_000)).alias("image_id"),
+        F.expr(
+            f"({flip1}) ^ shiftleft(CAST(1 AS BIGINT), "
+            "CAST(16 + image_id % 16 AS INT))"
+        ).alias("phash"),
+        F.col("caption_alt").alias("caption"),
+    )
+    v3 = base.where(F.col("image_id") % 20 == 0).select(
+        (F.col("image_id") + F.lit(3_000_000)).alias("image_id"),
+        F.col("phash_alt").alias("phash"),
+        "caption",
+    )
+    t = base.select(*cols).unionByName(v1).unionByName(v2).unionByName(v3)
+    return crossmodal_dup_pairs(t)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -466,12 +503,16 @@ from spatialjoincountovershells_spark.functions.texthash import (  # noqa: E402
 
 
 def _shingle_cte(
-    shingle_n: int = 8, max_df: int | None = None, min_len: int | None = None
+    shingle_n: int = 8,
+    max_df: int | None = None,
+    min_len: int | None = None,
+    src: str = "documents",
 ) -> str:
     """sh(doc_id, shingle) — distinct char n-grams, mirroring
     operators/dedup.py shingles(); optional document-frequency cap and
     optional min-length doc guard (mirrors minhash_lsh_pairs' exclusion
-    of NULL/sub-shingle docs)."""
+    of NULL/sub-shingle docs).  `src` is any table/CTE exposing
+    (doc_id, text) — the crossmodal oracle passes its caption CTE."""
     guard = (
         f"WHERE text IS NOT NULL AND length(text) >= {min_len}"
         if min_len is not None
@@ -481,7 +522,7 @@ def _shingle_cte(
 sh0 AS (SELECT DISTINCT doc_id, substr(text, u, {shingle_n}) AS shingle
   FROM (SELECT doc_id, text,
         unnest(generate_series(1, greatest(length(text) - {shingle_n - 1}, 1))) AS u
-        FROM documents {guard}))"""
+        FROM {src} {guard}))"""
     if max_df is None:
         return base + ",\nsh AS (SELECT * FROM sh0)"
     return base + f""",
@@ -489,7 +530,10 @@ rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {max_df}),
 sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle))"""
 
 
-def _minhash_lsh_sql(n_hashes: int = 32, bands: int = 8, shingle_n: int = 8) -> str:
+def _minhash_lsh_sql(
+    n_hashes: int = 32, bands: int = 8, shingle_n: int = 8,
+    src: str = "documents",
+) -> str:
     r = n_hashes // bands
     mins = ",\n  ".join(
         f"min({affine_sql('base', i)}) AS mh_{i}" for i in range(n_hashes)
@@ -500,7 +544,7 @@ def _minhash_lsh_sql(n_hashes: int = 32, bands: int = 8, shingle_n: int = 8) -> 
         for b in range(bands)
     )
     return f"""
-WITH {_shingle_cte(shingle_n, min_len=shingle_n)},
+WITH {_shingle_cte(shingle_n, min_len=shingle_n, src=src)},
 hb AS (SELECT doc_id, {poly_hash_fixed_duck("shingle", shingle_n)} AS base FROM sh),
 sig AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id),
 bands AS ({band_selects})
@@ -675,6 +719,90 @@ def _image_dedup_clusters_sql() -> str:
         f"WITH RECURSIVE {_dedup_clusters_ctes(pairs)}\n"
         "SELECT doc_id AS image_id, cluster_id FROM clus"
     )
+
+
+def _caption_ctes(name: str, n: int, seed: int) -> str:
+    """CTE chain -> {name}(image_id BIGINT, caption, caption_alt):
+    the pure-SQL mirror of sources/synth.py synth_captioned_points'
+    caption columns — six splitmix64 word streams (xor keys inlined
+    as compile-time literals via _caption_word_key), rendered as
+    decimal, three words per text."""
+    parts = [
+        f"{name}_ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, {n}))"
+    ]
+    prev = f"{name}_ids"
+    carried: list[str] = ["i"]
+    for j in range(6):
+        cj = _caption_word_key(seed, j)
+        cy = ", ".join(carried)
+        parts.append(
+            f"{name}_w{j}_0 AS (SELECT {cy}, xor(i, {cj}) AS w{j} FROM {prev}),"
+            + _sm64_cte(f"{name}_w{j}", f"{name}_w{j}_0", list(carried), f"w{j}")
+        )
+        carried.append(f"w{j}")
+        prev = f"{name}_w{j}"
+
+    def words(tag: str, js: list[int]) -> str:
+        body = " || ' ' || ".join(f"CAST(w{j} AS VARCHAR)" for j in js)
+        return f"'{tag} ' || {body}"
+
+    parts.append(
+        f"{name} AS (SELECT CAST(i AS BIGINT) AS image_id, "
+        f"{words('cap', [0, 1, 2])} AS caption, "
+        f"{words('alt', [3, 4, 5])} AS caption_alt FROM {prev})"
+    )
+    return ",".join(parts)
+
+
+def _crossmodal_dup_sql(n: int = 2000, seed: int = 21) -> str:
+    """Joint caption+image near-dup oracle (mirrors q_crossmodal_dup):
+    identical splitmix64 caption/phash CTEs + planted v1/v2/v3
+    variants, minhash-band SQL over captions, all-pairs bit_count join
+    over phashes, FULL OUTER joined on the ordered pair key."""
+    pack = (
+        "CAST((ax // 281474976710656) * 4294967296"
+        " + (ay // 281474976710656) * 65536"
+        " + (az // 281474976710656) AS BIGINT)"
+    )
+    bit = "(CAST(1 AS BIGINT) << CAST(image_id % 16 AS INT))"
+    bit16 = "(CAST(1 AS BIGINT) << CAST(16 + image_id % 16 AS INT))"
+    return f"""
+WITH {_phash_cte("q", n, seed)},
+{_phash_cte("r", n, seed + 1)},
+{_caption_ctes("capt", n, seed)},
+base_p AS (SELECT CAST(i AS BIGINT) AS image_id, {pack} AS phash FROM q_6),
+alt_p AS (SELECT CAST(i AS BIGINT) AS image_id, {pack} AS phash FROM r_6),
+base AS (SELECT b.image_id, b.phash, c.caption, c.caption_alt
+  FROM base_p b JOIN capt c USING (image_id)),
+v1 AS (SELECT image_id + 1000000 AS image_id,
+  xor(phash, {bit}) AS phash, caption
+  FROM base WHERE image_id % 10 = 0),
+v2 AS (SELECT image_id + 2000000 AS image_id,
+  xor(xor(phash, {bit}), {bit16}) AS phash, caption_alt AS caption
+  FROM base WHERE image_id % 25 = 0),
+v3 AS (SELECT b.image_id + 3000000 AS image_id, a.phash, b.caption
+  FROM base b JOIN alt_p a USING (image_id) WHERE b.image_id % 20 = 0),
+t AS (SELECT image_id, phash, caption FROM base
+  UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+  UNION ALL SELECT * FROM v3),
+ip AS (SELECT a.image_id AS image_a, b.image_id AS image_b,
+  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+  FROM t a JOIN t b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+caps AS (SELECT image_id AS doc_id, caption AS text FROM t),
+cp AS (SELECT doc_a AS image_a, doc_b AS image_b,
+  CAST(n_bands_hit AS BIGINT) AS n_caption_bands
+  FROM ({_minhash_lsh_sql(src="caps")}) m)
+SELECT coalesce(cp.image_a, ip.image_a) AS image_a,
+       coalesce(cp.image_b, ip.image_b) AS image_b,
+       coalesce(cp.n_caption_bands, 0) AS n_caption_bands,
+       coalesce(ip.hamming, -1) AS hamming,
+       CASE WHEN cp.image_a IS NOT NULL AND ip.image_a IS NOT NULL THEN 'both'
+            WHEN cp.image_a IS NOT NULL THEN 'caption_only'
+            ELSE 'image_only' END AS match_kind
+FROM cp FULL OUTER JOIN ip
+  ON cp.image_a = ip.image_a AND cp.image_b = ip.image_b
+"""
 
 
 def _corpus_clean_stats_sql(
@@ -1217,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "phash_near_dup": q_phash_near_dup,
         "image_dedup_clusters": q_image_dedup_clusters,
+        "crossmodal_dup": q_crossmodal_dup,
         "ann_cosine": q_ann_cosine,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_chunks": q_doc_chunks,
@@ -1495,6 +1624,7 @@ FROM m5 GROUP BY tile_id
         "simhash_pairs": _simhash_pairs_sql(),
         "phash_near_dup": _phash_near_dup_sql(),
         "image_dedup_clusters": _image_dedup_clusters_sql(),
+        "crossmodal_dup": _crossmodal_dup_sql(),
         "doc_fingerprint": _doc_fingerprint_sql(),
         "ann_cosine": _ann_cosine_sql(),
         "embed_lsh_pairs": _embed_lsh_sql(),

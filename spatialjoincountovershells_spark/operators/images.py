@@ -33,6 +33,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .tiling import decode_image_np
 
@@ -233,4 +234,69 @@ def phash_near_dup(
         images.select(id_col, phash_col), phash_col, id_col,
         bands=bands, max_hamming=max_hamming, bits=bits,
         out_cols=("image_a", "image_b"),
+    )
+
+
+def crossmodal_dup_pairs(
+    images: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 8,
+    phash_bands: int = 3,
+    max_hamming: int = 2,
+    bits: int = 48,
+) -> DataFrame:
+    """Cross-modal near-duplicate pairs over (image, caption) rows ->
+    (image_a, image_b, n_caption_bands, hamming, match_kind).
+
+    The dedup decision a 10^12-image+caption corpus actually needs is
+    JOINT: a pair that is near-dup in BOTH modalities ('both') is a
+    true duplicate; caption-dup with unrelated images
+    ('caption_only') is caption spam / boilerplate alt-text; image-dup
+    with a different caption ('image_only') is a re-captioned repost -
+    each gets a different cleaning policy.  Composition of the two
+    existing candidate generators, FULL OUTER joined on the ordered
+    pair key (both emit a < b):
+
+      captions -> minhash banded LSH   (operators/dedup.py)
+      phash    -> banded Hamming join  (phash_near_dup above)
+
+    ``n_caption_bands`` is 0 and ``hamming`` is -1 on the side that
+    did not fire.  Scale shape: each side is one aggregation over an
+    (id, caption|phash) projection - the image payload is never read,
+    and the final join is pair-table x pair-table (tiny vs corpus).
+    """
+    from .dedup import minhash_lsh_pairs
+
+    cap = minhash_lsh_pairs(
+        images.select(id_col, caption_col),
+        text_col=caption_col, id_col=id_col,
+        n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+    ).select(
+        F.col("doc_a").alias("image_a"),
+        F.col("doc_b").alias("image_b"),
+        F.col("n_bands_hit").cast("long").alias("n_caption_bands"),
+    )
+    img = phash_near_dup(
+        images, id_col, phash_col,
+        bands=phash_bands, max_hamming=max_hamming, bits=bits,
+    )
+    j = cap.join(img, ["image_a", "image_b"], "full_outer")
+    match_kind = (
+        F.when(
+            F.col("n_caption_bands").isNotNull() & F.col("hamming").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("n_caption_bands").isNotNull(), F.lit("caption_only"))
+        .otherwise(F.lit("image_only"))
+    )
+    return j.select(
+        "image_a",
+        "image_b",
+        F.coalesce("n_caption_bands", F.lit(0)).cast("long").alias("n_caption_bands"),
+        F.coalesce("hamming", F.lit(-1)).cast("long").alias("hamming"),
+        match_kind.alias("match_kind"),
     )

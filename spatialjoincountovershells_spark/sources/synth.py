@@ -202,6 +202,70 @@ def synth_points(
     return rng.mapInPandas(gen, schema=f"{id_col} long, phash long")
 
 
+def _caption_word_key(seed: int, j: int) -> int:
+    """Compile-time xor constant for caption word stream j — a plain
+    int both the numpy generator and the DuckDB oracle inline as a
+    literal (so the SQL twin needs only ONE sm64 chain per word)."""
+    return int(splitmix64(np.uint64(seed * 8 + j)))
+
+
+def _caption_words(seed: int, ids: np.ndarray, j: int) -> np.ndarray:
+    """uint64 word stream j per row: splitmix64(id ^ key(seed, j))."""
+    return splitmix64(
+        ids.astype(np.uint64) ^ np.uint64(_caption_word_key(seed, j))
+    )
+
+
+def synth_captioned_points(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    id_col: str = "image_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(image_id, phash, phash_alt, caption, caption_alt) — the
+    cross-modal dedup fixture table (operators/images.py
+    crossmodal_dup_pairs).
+
+    ``caption`` is three decimal splitmix64 words ('cap w0 w1 w2'):
+    long enough to shingle, and pairwise DISSIMILAR across ids so
+    minhash bands only fire on planted duplicates; ``caption_alt``
+    ('alt w3 w4 w5') is an unrelated second text per id for planting
+    image-dup-with-different-caption rows.  ``phash_alt`` is the
+    seed+1 phash — an independent 48-bit value for planting
+    caption-dup-with-unrelated-image rows.  Everything is a pure
+    function of (seed, id): partition-independent, and mirrored
+    verbatim by the __spark_entry__ oracle CTEs.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            ws = [_caption_words(seed, ids, j) for j in range(6)]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "phash": _phash(seed, ids),
+                    "phash_alt": _phash(seed + 1, ids),
+                    "caption": [
+                        f"cap {a} {b} {c}" for a, b, c in zip(ws[0], ws[1], ws[2])
+                    ],
+                    "caption_alt": [
+                        f"alt {a} {b} {c}" for a, b, c in zip(ws[3], ws[4], ws[5])
+                    ],
+                }
+            )
+
+    rng = spark.range(n, numPartitions=partitions)
+    return rng.mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} long, phash long, phash_alt long, "
+            "caption string, caption_alt string"
+        ),
+    )
+
+
 def synth_points_np(n: int, seed: int) -> np.ndarray:
     """(n,3) float32 positions — numpy oracle mirror of synth_points."""
     from ..functions.phash import decode_phash_np

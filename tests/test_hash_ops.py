@@ -348,3 +348,62 @@ def test_minhash_rowwise_buckets_match_grouped(spark):
     # and the per-row path stays pure JVM (no Python eval in the plan)
     plan = rowwise._jdf.queryExecution().executedPlan().toString()
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_crossmodal_dup_planted_classification(spark):
+    """crossmodal_dup_pairs classifies planted variants correctly:
+    same-caption + 1-bit phash flip -> 'both' (8/8 caption bands,
+    hamming 1); different-caption + 2-bit flip -> 'image_only'
+    (hamming 2, bands coalesced to 0); same-caption + unrelated
+    phash -> 'caption_only' (hamming coalesced to -1)."""
+    import numpy as np
+
+    from spatialjoincountovershells_spark.operators.images import (
+        crossmodal_dup_pairs,
+    )
+    from spatialjoincountovershells_spark.sources.synth import splitmix64
+
+    n = 60
+    ids = np.arange(n, dtype=np.uint64)
+    cap = [
+        f"cap {splitmix64(i ^ np.uint64(11))} {splitmix64(i ^ np.uint64(12))}"
+        for i in ids
+    ]
+    alt = [
+        f"alt {splitmix64(i ^ np.uint64(13))} {splitmix64(i ^ np.uint64(14))}"
+        for i in ids
+    ]
+    ph = splitmix64(ids ^ np.uint64(15)).astype(np.int64) & ((1 << 48) - 1)
+    ph_alt = splitmix64(ids ^ np.uint64(16)).astype(np.int64) & ((1 << 48) - 1)
+    rows = [(int(i), int(ph[i]), cap[i]) for i in range(n)]
+    rows += [  # v1: both
+        (int(i) + 1000, int(ph[i] ^ (1 << (i % 16))), cap[i])
+        for i in range(0, n, 10)
+    ]
+    rows += [  # v2: image_only
+        (int(i) + 2000, int(ph[i] ^ (1 << (i % 16)) ^ (1 << (16 + i % 16))), alt[i])
+        for i in range(0, n, 15)
+    ]
+    rows += [  # v3: caption_only
+        (int(i) + 3000, int(ph_alt[i]), cap[i]) for i in range(0, n, 20)
+    ]
+    df = spark.createDataFrame(rows, "image_id long, phash long, caption string")
+    got = {
+        (r.image_a, r.image_b): (r.n_caption_bands, r.hamming, r.match_kind)
+        for r in crossmodal_dup_pairs(df).collect()
+    }
+    for i in range(0, n, 10):
+        assert got[(i, i + 1000)] == (8, 1, "both")
+    for i in range(0, n, 15):
+        bands, ham, kind = got[(i, i + 2000)]
+        assert (ham, kind) == (2, "image_only") and bands == 0
+    for i in range(0, n, 20):
+        bands, ham, kind = got[(i, i + 3000)]
+        assert (bands, ham, kind) == (8, -1, "caption_only")
+    for (a, b), (bands, ham, kind) in got.items():
+        if kind == "caption_only":
+            assert ham == -1 and bands > 0
+        elif kind == "image_only":
+            assert 0 <= ham <= 2 and bands == 0
+        else:
+            assert 0 <= ham <= 2 and bands > 0
