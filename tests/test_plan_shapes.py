@@ -89,3 +89,23 @@ def test_fused_plan_cogroups_without_exploding_particles(sides):
     assert "FlatMapCoGroupsInPandas" in p or "CoGroup" in p
     # exactly one Generate: the ring explode of the SMALL (halo) side
     assert n_nodes(p, "Generate") == 1
+
+
+def test_crossmodal_plan_stays_jvm_after_source(spark):
+    """crossmodal_dup_pairs' scale story: beyond the data SOURCE, the
+    whole pair pipeline (caption shingle->minhash bands, phash band
+    slices, both pair expansions, the full-outer join) is JVM
+    expressions — no Python eval nodes.  Built from an in-memory
+    DataFrame so the plan contains no MapInPandas source at all."""
+    from spatialjoincountovershells_spark.operators.images import (
+        crossmodal_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 977, f"caption text number {i} padded out") for i in range(50)],
+        "image_id long, phash long, caption string",
+    )
+    out = crossmodal_dup_pairs(df)
+    plan = plan_of(out)
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
