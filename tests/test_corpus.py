@@ -238,3 +238,72 @@ def test_minhash_lsh_excludes_null_and_trivial_docs(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
     assert got == {(1, 2)}
+
+
+def test_corpus_clean_composes_with_crossmodal_pairs(spark):
+    """The captioned-image corpus clean is a composition the public API
+    already expresses: corpus_clean(images, text_col='caption',
+    pairs=<crossmodal 'both' pairs>).  True duplicates (near-dup in
+    BOTH modalities) collapse to their min-id representative; an
+    image-only near-dup (re-captioned repost) is NOT dropped by this
+    policy — exactly the per-category cleaning crossmodal_dup_pairs
+    exists to enable."""
+    import numpy as np
+
+    from spatialjoincountovershells_spark.operators.corpus import corpus_clean
+    from spatialjoincountovershells_spark.operators.images import (
+        crossmodal_dup_pairs,
+    )
+    from spatialjoincountovershells_spark.sources.synth import splitmix64
+
+    n = 40
+    ids = np.arange(n, dtype=np.uint64)
+    cap = [
+        f"cap {splitmix64(i ^ np.uint64(31))} {splitmix64(i ^ np.uint64(32))}"
+        f" {splitmix64(i ^ np.uint64(33))}"
+        for i in ids
+    ]
+    ph = splitmix64(ids ^ np.uint64(34)).astype(np.int64) & ((1 << 48) - 1)
+    rows = [(int(i), int(ph[i]), cap[i]) for i in range(n)]
+    # v1: near-dup caption (one char appended -> not an exact-md5 dup)
+    # + 1-bit phash flip -> crossmodal 'both' -> must collapse
+    both_ids = list(range(0, n, 10))
+    rows += [
+        (i + 1000, int(ph[i] ^ (1 << (i % 16))), cap[i] + "x") for i in both_ids
+    ]
+    # v2: 1-bit phash flip but an unrelated caption -> 'image_only'
+    # -> must SURVIVE this caption-centric policy
+    img_only_ids = [5]
+    rows += [
+        (
+            i + 2000,
+            int(ph[i] ^ (1 << (i % 16))),
+            f"alt {splitmix64(np.uint64(i) ^ np.uint64(35))} padded out longer",
+        )
+        for i in img_only_ids
+    ]
+    df = spark.createDataFrame(rows, "image_id long, phash long, caption string")
+
+    cm = crossmodal_dup_pairs(df)
+    kinds = {
+        (r.image_a, r.image_b): r.match_kind for r in cm.collect()
+    }
+    for i in both_ids:
+        assert kinds[(i, i + 1000)] == "both"
+    assert kinds[(5, 2005)] == "image_only"
+
+    pairs = cm.where(cm.match_kind == "both").select(
+        cm.image_a.alias("doc_a"), cm.image_b.alias("doc_b")
+    )
+    survivors = {
+        r.image_id
+        for r in corpus_clean(
+            df, text_col="caption", id_col="image_id",
+            q_min=0, keep_langs=("und",), pairs=pairs,
+        ).collect()
+    }
+    # every base row survives; each 'both' variant collapses onto its
+    # min-id base; the image-only repost survives
+    assert set(range(n)) <= survivors
+    assert not survivors & {i + 1000 for i in both_ids}
+    assert 2005 in survivors
