@@ -43,6 +43,7 @@ from spatialjoincountovershells_spark.operators.dedup import (  # noqa: E402
 from spatialjoincountovershells_spark.operators.corpus import (  # noqa: E402
     corpus_clean,
     corpus_clean_stats,
+    decontaminate,
     stratified_sample,
 )
 from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
@@ -76,6 +77,7 @@ from spatialjoincountovershells_spark.operators.text import (  # noqa: E402
     doc_fingerprint,
     lang_guess,
     quality_score,
+    repetition_stats,
     text_stats,
 )
 from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
@@ -448,6 +450,24 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     25% of everything else — the data-mixing step, RNG-free."""
     return stratified_sample(_read(spark, sf_dir, "documents"),
                              {"en": 500_000}, default_rate_1e6=250_000)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with id % 20 == 7 play the eval
+    set; every remaining (training) doc gets its distinct-8-gram
+    overlap count vs that set and a contaminated flag at >= 128
+    (threshold chosen so the tiny-vocabulary synthetic corpus splits
+    into both classes; the operator default is 2)."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 7)
+    train = docs.where(F.col("doc_id") % 20 != 7)
+    return decontaminate(train, bench, min_overlap=128)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (word/bigram
+    duplication fractions, integer per-mille)."""
+    return repetition_stats(_read(spark, sf_dir, "documents"))
 
 
 def q_sjcs_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1350,6 +1370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_chunks": q_doc_chunks,
         "corpus_sample": q_corpus_sample,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
         "sjcs_images": q_sjcs_images,
         "sjcs_images_f64": q_sjcs_images_f64,
         "image_tiles": q_image_tiles,
@@ -1620,6 +1642,47 @@ FROM m5 GROUP BY tile_id
         "corpus_clean_stats": _corpus_clean_stats_sql(tokens, lang_case),
         "doc_chunks": _doc_chunks_sql(),
         "corpus_sample": _corpus_sample_sql(lang_case),
+        "decontaminate": """
+WITH sh0 AS (SELECT DISTINCT doc_id, substr(text, u, 8) AS shingle
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, greatest(length(text) - 7, 1))) AS u
+        FROM documents)),
+bsh AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id % 20 = 7),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM sh0 JOIN bsh USING (shingle)
+         WHERE sh0.doc_id % 20 <> 7 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_shingles,
+       CAST(CASE WHEN coalesce(h.n_hit, 0) >= 128 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 20 <> 7
+""",
+        "repetition_stats": """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, 'w' AS kind, unnest(w) AS gram FROM ws
+  UNION ALL
+  SELECT doc_id, 'b' AS kind,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM ws WHERE len(w) >= 2
+),
+c AS (SELECT doc_id, kind, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+p AS (SELECT doc_id,
+  sum(CASE WHEN kind = 'w' THEN cnt END) AS n_words,
+  sum(CASE WHEN kind = 'w' THEN 1 END) AS n_distinct_words,
+  max(CASE WHEN kind = 'w' THEN cnt END) AS max_w,
+  sum(CASE WHEN kind = 'w' AND cnt > 1 THEN cnt ELSE 0 END) AS dup_w,
+  sum(CASE WHEN kind = 'b' THEN cnt END) AS n_bi,
+  max(CASE WHEN kind = 'b' THEN cnt END) AS max_b
+  FROM c GROUP BY 1)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+  CAST((1000 * dup_w) // n_words AS BIGINT) AS dup_word_frac_q,
+  CAST((1000 * max_w) // n_words AS BIGINT) AS top_word_frac_q,
+  CAST(CASE WHEN n_bi IS NULL THEN 0 ELSE (1000 * max_b) // n_bi END AS BIGINT) AS top_bigram_frac_q
+FROM p
+""",
         "simhash": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "phash_near_dup": _phash_near_dup_sql(),

@@ -19,9 +19,10 @@ Spark DataFrame library:
   pipelines, incl. perceptual-hash near-dup pairs on the images table,
   connected-component clustering of near-dup pairs (dedup_clusters,
   pointer-jumping min-label propagation), the composed corpus_clean
-  survivor pipeline + its corpus_clean_stats drop funnel, and
-  streaming near-dup flagging against a static corpus
-  (streaming/stream_dedup.py).
+  survivor pipeline + its corpus_clean_stats drop funnel, benchmark
+  decontamination (n-gram overlap vs an eval set) and Gopher-style
+  repetition filters, and streaming near-dup flagging against a
+  static corpus (streaming/stream_dedup.py).
 
 Design notes: SURVEY.md §7.  All hot kernels are either pure Spark SQL
 expressions (whole-stage codegen) or Arrow-batched pandas UDFs — no
@@ -54,8 +55,13 @@ from .operators.images import (
 )
 from .operators.media import sample_frames, frame_stats, audio_window_stats
 from .operators.dedup import dedup_clusters, exact_dedup, minhash_lsh_pairs
-from .operators.corpus import corpus_clean, corpus_clean_stats, stratified_sample
-from .operators.text import chunk_documents
+from .operators.corpus import (
+    corpus_clean,
+    corpus_clean_stats,
+    decontaminate,
+    stratified_sample,
+)
+from .operators.text import chunk_documents, repetition_stats
 
 __all__ = [
     "dedup_clusters",
@@ -63,8 +69,10 @@ __all__ = [
     "minhash_lsh_pairs",
     "corpus_clean",
     "corpus_clean_stats",
+    "decontaminate",
     "stratified_sample",
     "chunk_documents",
+    "repetition_stats",
     "get_spark",
     "logspace_edges",
     "squared_edges",

@@ -15,6 +15,8 @@ is oracle-checked end-to-end, not just its parts.
                        each gate bites), same gated projection
 * stratified_sample  — deterministic per-language sampling (the
                        data-mixing step of corpus assembly)
+* decontaminate      — per-doc benchmark-overlap verdict (the
+                       train/eval n-gram decontamination step)
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import dedup_clusters, minhash_lsh_pairs
+from .dedup import dedup_clusters, minhash_lsh_pairs, shingles
 from .text import lang_pred_expr, quality_expr
 
 
@@ -191,6 +193,58 @@ def corpus_clean_stats(
         cnt(
             F.col("_q_ok") & F.col("_lang_ok") & F.col("_exact_ok") & F.col("_near_ok")
         ).alias("n_survivors"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination verdict per training document ->
+    (id_col, n_hit_shingles long, contaminated int), one row per doc.
+
+    The standard pretraining hygiene step: a training document is
+    `contaminated` iff it shares at least `min_overlap` DISTINCT
+    character `n`-gram shingles with ANY document of the evaluation/
+    benchmark corpus `bench` — the n-gram-overlap test used to scrub
+    eval sets out of web-scale training corpora.  `n_hit_shingles` is
+    the count of distinct training-doc shingles that occur anywhere in
+    the benchmark set (each training shingle counts once no matter how
+    many benchmark docs contain it), so the verdict is monotone in the
+    doc's own text and independent of benchmark-side duplication.
+
+    Scale shape: the benchmark set is tiny next to the corpus (eval
+    suites are thousands of docs vs billions), so its DISTINCT shingle
+    set is broadcast and the corpus side never shuffles its text — one
+    narrow shingle fan-out projection per doc, a broadcast-hash
+    semi-probe, then a groupBy on the MATCHED rows only (a sparse
+    subset).  The final verdict join back to the doc ids is
+    broadcast-sized by the same sparsity (AQE converts it at runtime).
+    Shingle window semantics are shared with every other text operator
+    via functions/texthash.shingle_array_sql (one possibly-short
+    shingle for sub-`n` docs), so the DuckDB twin is bit-exact.
+    """
+    bench_sh = (
+        shingles(bench, text_col, id_col, n).select("shingle").distinct()
+    )
+    hits = (
+        shingles(docs, text_col, id_col, n)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_shingles"))
+    )
+    return docs.select(F.col(id_col)).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_hit_shingles"), F.lit(0)).cast("long").alias(
+            "n_hit_shingles"
+        ),
+        (F.coalesce(F.col("n_hit_shingles"), F.lit(0)) >= int(min_overlap))
+        .cast("int")
+        .alias("contaminated"),
     )
 
 

@@ -77,13 +77,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8) -> DataFrame:
-    """Distinct character n-gram shingles per doc — pure codegen exprs."""
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(F.expr(shingle_array_sql(text_col, n))).alias("shingle"),
-        )
-        .distinct()
+    """Distinct character n-gram shingles per doc — pure codegen exprs.
+
+    Per-doc dedup happens INSIDE the row (array_distinct on the shingle
+    array before the explode), not as a DataFrame distinct(): a doc is
+    one row, so the two are semantically identical but this one costs
+    zero shuffles — downstream consumers (ngram Jaccard, minhash
+    signatures, decontamination) start from a map-side fan-out."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"array_distinct({shingle_array_sql(text_col, n)})")
+        ).alias("shingle"),
     )
 
 

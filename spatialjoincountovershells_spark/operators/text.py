@@ -6,6 +6,7 @@ oracles match exactly.
 * quality_score    — integer quality heuristic
 * lang_guess       — stopword-hit language heuristic
 * doc_fingerprint  — min polynomial window hash (pure codegen exprs)
+* repetition_stats — Gopher-style intra-document repetition signals
 """
 
 from __future__ import annotations
@@ -131,6 +132,71 @@ def doc_fingerprint(
         f"u -> ({terms}) % {P}))"
     )
     return df.select(F.col(id_col), F.expr(fp).alias("fingerprint"))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-rules repetition
+    filter family) -> (id, n_words, n_distinct_words, dup_word_frac_q,
+    top_word_frac_q, top_bigram_frac_q), all long, fractions quantized
+    as (1000 * x) integer-div total (exact in every engine — no float
+    division anywhere).
+
+    Word CONTRACT matches _n_tokens: split on single 0x20 spaces,
+    empties kept, so n_words == n_tokens for every document.  Signals:
+
+    * dup_word_frac_q   — per-mille of word occurrences whose word
+                          appears more than once in the doc
+    * top_word_frac_q   — per-mille of occurrences held by the doc's
+                          most frequent word
+    * top_bigram_frac_q — same for adjacent word 2-grams (0 for docs
+                          with fewer than two words)
+
+    Scale shape: ONE scan projection fans each doc to tagged
+    (kind, gram) rows for words and bigrams together (pure codegen
+    named_struct arrays — the text is read once, no UDF), one shuffle
+    on (id, kind, gram) with map-side partial counts, then a tiny
+    per-doc second agg.  High-repetition spam — exactly what this
+    filter exists to catch — collapses in the partial agg, so the
+    shuffle is bounded by DISTINCT grams per doc, not doc length.
+    """
+    ws = f"split({text_col}, ' ', -1)"
+    w_structs = f"transform({ws}, w -> named_struct('kind', 'w', 'gram', w))"
+    b_structs = (
+        f"CASE WHEN size({ws}) >= 2 THEN "
+        f"transform(sequence(1, size({ws}) - 1), "
+        f"i -> named_struct('kind', 'b', 'gram', "
+        f"concat(element_at({ws}, i), ' ', element_at({ws}, i + 1)))) "
+        f"ELSE array_repeat(named_struct('kind', 'b', 'gram', ''), 0) END"
+    )
+    g = df.select(
+        F.col(id_col),
+        F.explode(F.expr(f"concat({w_structs}, {b_structs})")).alias("_g"),
+    ).select(F.col(id_col), F.col("_g.kind").alias("kind"), F.col("_g.gram").alias("gram"))
+    cnts = g.groupBy(id_col, "kind", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = F.col("kind") == "w"
+    b = F.col("kind") == "b"
+    per = cnts.groupBy(id_col).agg(
+        F.sum(F.when(w, F.col("cnt"))).alias("n_words"),
+        F.sum(F.when(w, F.lit(1))).cast("long").alias("n_distinct_words"),
+        F.max(F.when(w, F.col("cnt"))).alias("_max_w"),
+        F.sum(F.when(w & (F.col("cnt") > 1), F.col("cnt")).otherwise(0)).alias("_dup_w"),
+        F.sum(F.when(b, F.col("cnt"))).alias("_n_bi"),
+        F.max(F.when(b, F.col("cnt"))).alias("_max_b"),
+    )
+    return per.select(
+        F.col(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words"),
+        F.expr("(1000 * _dup_w) div n_words").cast("long").alias("dup_word_frac_q"),
+        F.expr("(1000 * _max_w) div n_words").cast("long").alias("top_word_frac_q"),
+        F.expr(
+            "CASE WHEN _n_bi IS NULL THEN 0L ELSE (1000 * _max_b) div _n_bi END"
+        )
+        .cast("long")
+        .alias("top_bigram_frac_q"),
+    )
 
 
 def chunk_documents(

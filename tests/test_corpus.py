@@ -307,3 +307,75 @@ def test_corpus_clean_composes_with_crossmodal_pairs(spark):
     assert set(range(n)) <= survivors
     assert not survivors & {i + 1000 for i in both_ids}
     assert 2005 in survivors
+
+
+def _py_shingles(s: str, n: int = 8) -> set:
+    """Python mirror of texthash.shingle_array_sql: one possibly-short
+    shingle for sub-n texts, else every n-char window."""
+    return {s[i : i + n] for i in range(max(len(s) - n + 1, 1))}
+
+
+def test_decontaminate_planted(spark):
+    """Overlap counts vs a hand-computed distinct-shingle intersection,
+    benchmark-side duplication ignored, zero-hit docs still emitted."""
+    from spatialjoincountovershells_spark.operators.corpus import decontaminate
+
+    bench_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact dup: no effect
+        "pack my box with five dozen liquor jugs",
+    ]
+    train_texts = {
+        1: "the quick brown fox jumps over the lazy dog",  # full copy
+        2: "prefix then the quick brown fox escapes",       # partial overlap
+        3: "0123456789 !@#$%^&*() zzzz qqqq",               # disjoint
+        4: "abc",                                           # sub-shingle doc
+    }
+    bench = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench_texts)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        sorted(train_texts.items()), "doc_id long, text string"
+    )
+    bsh = set().union(*(_py_shingles(t) for t in bench_texts))
+    want = {i: len(_py_shingles(t) & bsh) for i, t in train_texts.items()}
+
+    got = {
+        r.doc_id: (r.n_hit_shingles, r.contaminated)
+        for r in decontaminate(train, bench, min_overlap=5).collect()
+    }
+    assert set(got) == set(train_texts)  # zero-hit docs present too
+    for i, n_hit in want.items():
+        assert got[i] == (n_hit, int(n_hit >= 5)), (i, got[i], n_hit)
+    assert want[1] > 5 and want[3] == 0 and want[4] == 0
+
+
+def test_repetition_stats_planted(spark):
+    """Hand-computed word/bigram duplication fractions, incl. the
+    single-word (no bigram), empty-text, and double-space contracts."""
+    from spatialjoincountovershells_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "w"), (4, ""), (5, "a  b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.n_words, r.n_distinct_words,
+            r.dup_word_frac_q, r.top_word_frac_q, r.top_bigram_frac_q,
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    assert got == {
+        # "a a a b": words a*3 b*1; bigrams "a a"*2 "a b"*1
+        1: (4, 2, 750, 750, 666),
+        # all distinct; bigrams "x y" "y z"
+        2: (3, 3, 0, 333, 500),
+        # one word, no bigrams
+        3: (1, 1, 0, 1000, 0),
+        # empty text -> one empty word (token contract)
+        4: (1, 1, 0, 1000, 0),
+        # "a  b" -> ["a", "", "b"]; bigrams "a " and " b" (distinct)
+        5: (3, 3, 0, 333, 500),
+    }
