@@ -54,7 +54,8 @@ EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign",
                  "simhash_pairs", "phash_near_dup", "ann_ivf",
                  "point_in_polygon_grid",
                  "cosine_dedup", "corpus_clean", "image_features",
-                 "video_frames", "audio_stats")
+                 "video_frames", "audio_stats",
+                 "decontaminate", "repetition_stats")
 
 
 def sf_of(sf_dir: str) -> float:
