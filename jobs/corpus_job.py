@@ -2,26 +2,31 @@
 
 The training-data twin of jobs/sjcs_job.py: clean a documents table
 (quality gate + language gate + exact dedup + near-dup cluster
-canonicalization), optionally stratified-sample and chunk the
-survivors, with every stage checkpointed through plans/pipeline.py so
-a restarted run skips completed work.
+canonicalization), optionally scrub benchmark contamination, then
+stratified-sample and chunk the survivors, with every stage
+checkpointed through plans/pipeline.py so a restarted run skips
+completed work.
 
   spark-submit --py-files dist/sjcs_spark.zip jobs/corpus_job.py \
       --documents /data/docs/*.parquet \
       --output /data/out/corpus \
       [--q-min 175] [--keep-langs en,de,fr,es] \
+      [--benchmark /data/eval/*.parquet --decon-min-overlap 2] \
       [--sample en=500000 --sample-default 250000] \
       [--chunk-chars 256 --chunk-overlap 32]
 
 Outputs under --output:
-  clusters/    (doc_id, cluster_id) near-dup components — always
-  survivors/   (doc_id, lang_pred, quality_1000)   — always
-  sampled/     (doc_id, lang_pred)                 — with --sample
-  chunks/      (doc_id, chunk_idx, chunk_text, n_chars) — with --chunk-chars
-  funnel JSON line on stdout                       — always
+  clusters/        (doc_id, cluster_id) near-dup components — always
+  survivors/       (doc_id, lang_pred, quality_1000)   — always
+  decontaminated/  (doc_id, lang_pred, quality_1000)   — with --benchmark
+  sampled/         (doc_id, lang_pred)                 — with --sample
+  chunks/          (doc_id, chunk_idx, chunk_text, n_chars) — with --chunk-chars
+  funnel JSON line on stdout                           — always
 
-Each stage keys its resume token on the inputs AND its knobs, so
-changing a knob recomputes exactly the stages it affects.
+Each stage keys its resume token on the inputs AND its knobs (each
+later stage also carries every earlier stage's knobs, since its input
+set depends on them), so changing a knob recomputes exactly the stages
+it affects.
 """
 
 from __future__ import annotations
@@ -53,6 +58,12 @@ def main(argv=None) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--q-min", type=int, default=175)
     ap.add_argument("--keep-langs", default="en,de,fr,es")
+    ap.add_argument("--benchmark", nargs="+", default=None,
+                    help="eval-set parquet path(s); survivors sharing >= "
+                         "--decon-min-overlap distinct n-grams with any "
+                         "benchmark doc are dropped")
+    ap.add_argument("--decon-min-overlap", type=int, default=2)
+    ap.add_argument("--decon-ngram", type=int, default=8)
     ap.add_argument("--sample", default=None,
                     help="lang=rate_1e6[,lang=rate_1e6...]")
     ap.add_argument("--sample-default", type=int, default=0,
@@ -62,12 +73,13 @@ def main(argv=None) -> int:
     ap.add_argument("--chunk-overlap", type=int, default=32)
     args = ap.parse_args(argv)
 
-    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import functions as F
 
     from spatialjoincountovershells_spark import (
         chunk_documents,
         corpus_clean,
         corpus_clean_stats,
+        decontaminate,
         dedup_clusters,
         get_spark,
         minhash_lsh_pairs,
@@ -107,29 +119,51 @@ def main(argv=None) -> int:
     print(json.dumps({"stage": "funnel", **funnel}))
 
     kept = surv
-    sample_knobs = []
+    stage_knobs: list = []
+    if args.benchmark:
+        # benchmark decontamination: drop survivors sharing n-grams
+        # with the eval set.  Runs over SURVIVORS only (the post-gate
+        # subset), so the shingle fan-out never touches dropped docs.
+        decon_knobs = [sorted(args.benchmark), args.decon_min_overlap,
+                       args.decon_ngram]
+        bench = spark.read.parquet(*args.benchmark)
+        clean_ids = decontaminate(
+            docs.join(surv.select("doc_id"), "doc_id").select("doc_id", "text"),
+            bench, n=args.decon_ngram, min_overlap=args.decon_min_overlap,
+        ).where(F.col("contaminated") == 0).select("doc_id")
+        kept = resume_or_compute(
+            spark, os.path.join(args.output, "decontaminated"),
+            resume_token(*base, *decon_knobs),
+            lambda: surv.join(clean_ids, "doc_id"),
+        )
+        stage_knobs += decon_knobs
+        print(json.dumps({"stage": "decontaminated", "rows": kept.count()}))
+
     if args.sample:
         rates = parse_rates(args.sample)
         sample_knobs = [sorted(rates.items()), args.sample_default]
         sampled_ids = stratified_sample(
             docs, rates, default_rate_1e6=args.sample_default
         ).select("doc_id")
+        pre_sample = kept
         kept = resume_or_compute(
             spark, os.path.join(args.output, "sampled"),
-            resume_token(*base, *sample_knobs),
-            lambda: surv.join(sampled_ids, "doc_id").select(
+            resume_token(*base, *stage_knobs, *sample_knobs),
+            lambda: pre_sample.join(sampled_ids, "doc_id").select(
                 "doc_id", "lang_pred"
             ),
         )
+        stage_knobs += sample_knobs
         print(json.dumps({"stage": "sampled", "rows": kept.count()}))
 
     if args.chunk_chars > 0:
-        # the chunks token carries the SAMPLE knobs too: chunks are cut
-        # from the post-sample doc set, so a rate change must invalidate
-        # this stage, not resume a checkpoint of the old sample
+        # the chunks token carries every upstream stage's knobs too:
+        # chunks are cut from the post-decon/post-sample doc set, so a
+        # rate change must invalidate this stage, not resume a
+        # checkpoint of the old selection
         chunks = resume_or_compute(
             spark, os.path.join(args.output, "chunks"),
-            resume_token(*base, *sample_knobs, args.chunk_chars,
+            resume_token(*base, *stage_knobs, args.chunk_chars,
                          args.chunk_overlap),
             lambda: chunk_documents(
                 docs.join(kept.select("doc_id"), "doc_id").select(

@@ -171,10 +171,21 @@ def test_corpus_job_stages_and_resume(tmp_path):
     import sys
 
     out = str(tmp_path / "corpus")
+    # eval set for the decontamination stage: a disjoint-id slice of the
+    # same table (ids shifted so no train doc "matches itself")
+    bench = str(tmp_path / "bench.parquet")
+    import duckdb
+
+    duckdb.sql(
+        "COPY (SELECT doc_id + 1000000 AS doc_id, text "
+        "FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"WHERE doc_id % 10 = 3) TO '{bench}' (FORMAT PARQUET)"
+    )
     args = [
         sys.executable, "jobs/corpus_job.py",
         "--documents", "/root/testdata/sf0.001/documents.parquet",
         "--output", out,
+        "--benchmark", bench, "--decon-min-overlap", "128",
         "--sample", "en=500000", "--sample-default", "250000",
         "--chunk-chars", "64", "--chunk-overlap", "8",
     ]
@@ -189,11 +200,13 @@ def test_corpus_job_stages_and_resume(tmp_path):
 
     first = run()
     stages = {s["stage"]: s for s in first}
-    assert set(stages) == {"funnel", "sampled", "chunks", "done"}
+    assert set(stages) == {"funnel", "decontaminated", "sampled", "chunks",
+                           "done"}
     assert stages["done"]["survivors"] == stages["funnel"]["n_survivors"] > 0
+    assert 0 <= stages["decontaminated"]["rows"] <= stages["funnel"]["n_survivors"]
     markers = {
         d: os.path.getmtime(os.path.join(out, d, "_SJCS_DONE.json"))
-        for d in ("funnel", "survivors", "sampled", "chunks")
+        for d in ("funnel", "survivors", "decontaminated", "sampled", "chunks")
     }
     second = run()
     assert second == first  # identical stage reports
