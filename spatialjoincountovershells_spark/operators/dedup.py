@@ -83,7 +83,13 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     array before the explode), not as a DataFrame distinct(): a doc is
     one row, so the two are semantically identical but this one costs
     zero shuffles — downstream consumers (ngram Jaccard, minhash
-    signatures, decontamination) start from a map-side fan-out."""
+    signatures, decontamination) start from a map-side fan-out.
+
+    PRECONDITION: `id_col` is a key — one row per document.  A table
+    with duplicated ids (e.g. an un-deduped union of sources) would
+    double-count (doc_id, shingle) pairs here, silently inflating
+    ngram_jaccard intersections and decontaminate hit counts; run
+    exact_dedup (or a groupBy-first) upstream in that case."""
     return df.select(
         F.col(id_col),
         F.explode(

@@ -143,8 +143,10 @@ def repetition_stats(
     as (1000 * x) integer-div total (exact in every engine — no float
     division anywhere).
 
-    Word CONTRACT matches _n_tokens: split on single 0x20 spaces,
-    empties kept, so n_words == n_tokens for every document.  Signals:
+    Word CONTRACT: split on single 0x20 spaces, empties kept, raw text
+    (no trim) — n_words = space-count + 1 always, so an empty document
+    has ONE empty word (it differs from _n_tokens, which trims and maps
+    empty text to 0 tokens).  Signals:
 
     * dup_word_frac_q   — per-mille of word occurrences whose word
                           appears more than once in the doc
@@ -161,7 +163,12 @@ def repetition_stats(
     filter exists to catch — collapses in the partial agg, so the
     shuffle is bounded by DISTINCT grams per doc, not doc length.
     """
-    ws = f"split({text_col}, ' ', -1)"
+    # the split array MUST be materialized as a column first: Spark
+    # evaluates higher-order-function lambdas interpreted per element,
+    # so embedding split(text) inside the transform body would rescan
+    # the whole text per bigram index — O(n_words^2 * len) per doc
+    # (measured 33s for ONE 16k-word doc; linear after this hoist)
+    ws = "_ws"
     w_structs = f"transform({ws}, w -> named_struct('kind', 'w', 'gram', w))"
     b_structs = (
         f"CASE WHEN size({ws}) >= 2 THEN "
@@ -170,10 +177,20 @@ def repetition_stats(
         f"concat(element_at({ws}, i), ' ', element_at({ws}, i + 1)))) "
         f"ELSE array_repeat(named_struct('kind', 'b', 'gram', ''), 0) END"
     )
-    g = df.select(
-        F.col(id_col),
-        F.explode(F.expr(f"concat({w_structs}, {b_structs})")).alias("_g"),
-    ).select(F.col(id_col), F.col("_g.kind").alias("kind"), F.col("_g.gram").alias("gram"))
+    g = (
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), " ", -1).alias("_ws")
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"concat({w_structs}, {b_structs})")).alias("_g"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_g.kind").alias("kind"),
+            F.col("_g.gram").alias("gram"),
+        )
+    )
     cnts = g.groupBy(id_col, "kind", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     w = F.col("kind") == "w"
     b = F.col("kind") == "b"
