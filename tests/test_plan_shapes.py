@@ -109,3 +109,51 @@ def test_crossmodal_plan_stays_jvm_after_source(spark):
     plan = plan_of(out)
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_bench_and_never_shuffles_corpus_text(spark):
+    """decontaminate's scale story: the benchmark shingle set is the
+    broadcast build side, the corpus fan-out is map-side (no Exchange
+    between the corpus scan and the broadcast probe), and the only
+    shuffles move (doc_id, count) rows — matched hits and the bench
+    set's own distinct, never corpus text.  Pure JVM throughout."""
+    from spatialjoincountovershells_spark.operators.corpus import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared words") for i in range(200)],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id % 20 = 7")
+    train = docs.where("doc_id % 20 <> 7")
+    plan = plan_of(decontaminate(train, bench))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    # the corpus-side shingle probe is a broadcast INNER hash join
+    # (bench set broadcast; the corpus fan-out never shuffles) ...
+    assert re.search(r"BroadcastHashJoin Inner", plan)
+    assert "BroadcastNestedLoop" not in plan
+    # ... and the verdict join back is keyed on ids only (statically a
+    # sort-merge; AQE converts it to broadcast when hits are sparse).
+    # Shuffles: bench distinct, matched-hit groupBy, id-keyed verdict
+    # join — all narrow rows, never corpus text.
+    assert n_nodes(plan, "Exchange") <= 3
+
+
+def test_repetition_stats_single_gram_shuffle_and_no_python(spark):
+    """repetition_stats' scale story: one scan projection fans words
+    and bigrams out together (the split array hoisted to a column, so
+    the text is read once), one shuffle keyed (id, kind, gram) with a
+    partial aggregate below it, one tiny per-doc agg — and no Python
+    eval nodes anywhere."""
+    from spatialjoincountovershells_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta alpha gamma beta alpha") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(repetition_stats(docs))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert n_nodes(plan, "Exchange") == 2  # gram counts + per-doc agg
+    # partial aggregation happens below the gram shuffle (map-side
+    # collapse of repeated grams — the property that bounds the
+    # shuffle by distinct grams, not doc length)
+    assert n_nodes(plan, "HashAggregate") >= 4
