@@ -76,6 +76,7 @@ from spatialjoincountovershells_spark.operators.text import (  # noqa: E402
     chunk_documents,
     doc_fingerprint,
     lang_guess,
+    pii_scrub,
     quality_score,
     repetition_stats,
     text_stats,
@@ -470,6 +471,54 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_read(spark, sf_dir, "documents"))
 
 
+def _pii_inject_sql(str_t: str) -> str:
+    """Dialect-portable expression planting deterministic PII into the
+    (digit-free word-soup) document text: h = (doc_id * 1000003) % 2^20
+    decides which of email / phone / IPv4 snippets are spliced in at
+    character offset h % 40, so every class occurs in a controlled,
+    partition-independent fraction of docs.  `str_t` is the dialect's
+    string type name (STRING for Spark, VARCHAR for DuckDB); everything
+    else — concat/substr/lpad/CASE/% — parses identically in both."""
+    def c(x: str) -> str:
+        return f"CAST({x} AS {str_t})"
+
+    h = "((doc_id * 1000003) % 1048576)"
+    email = (
+        f"CASE WHEN {h} % 3 = 0 THEN concat(' user', {c(f'{h} % 9973')}, "
+        f"'@mail', {c(f'{h} % 7')}, '.example.com') ELSE '' END"
+    )
+    phone = (
+        f"CASE WHEN {h} % 5 < 2 THEN concat(' call ', "
+        f"lpad({c(f'{h} % 1000')}, 3, '0'), '-', "
+        f"lpad({c(f'({h} * 13) % 1000')}, 3, '0'), '-', "
+        f"lpad({c(f'({h} * 31) % 10000')}, 4, '0')) ELSE '' END"
+    )
+    ip = (
+        f"CASE WHEN {h} % 7 < 3 THEN concat(' host ', {c(f'{h} % 256')}, '.', "
+        f"{c(f'({h} * 3) % 256')}, '.', {c(f'({h} * 5) % 256')}, '.', "
+        f"{c(f'({h} * 7) % 256')}) ELSE '' END"
+    )
+    t = "coalesce(text, '')"
+    pos = f"CAST({h} % 40 AS INT)"
+    return (
+        f"concat(substr({t}, 1, {pos}), {email}, {phone}, {ip}, ' ', "
+        f"substr({t}, {pos} + 1))"
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over documents with deterministically
+    planted email/phone/IPv4 spans (see _pii_inject_sql) -> per-doc
+    class counts + the redacted text.  The oracle plants the identical
+    spans in SQL and re-applies the same ordered count+redact rules
+    (operators/text.py PII_RULES), hash-checking the scrubbed strings."""
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id", F.expr(_pii_inject_sql("STRING")).alias("text")
+    )
+    return pii_scrub(injected)
+
+
 def q_sjcs_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship graft pipeline on the synthetic images table."""
     parts = decode_phash(synth_images(spark, 20000, seed=7, with_payload=False))
@@ -700,6 +749,31 @@ def _corpus_sample_sql(
     return f"""
 SELECT doc_id, {lang_case} AS lang_pred
 FROM documents WHERE {h} < {rate}
+"""
+
+
+def _pii_scrub_sql() -> str:
+    """Oracle twin of q_pii_scrub: identical injection expression
+    (VARCHAR dialect), then the same ordered count+redact stages as
+    operators/text.py pii_scrub — class k counted on the text with
+    classes 1..k-1 already redacted.  RE2 and Java agree on the
+    restricted pattern subset (pinned by test_pii_regex_portability)."""
+    from spatialjoincountovershells_spark.operators.text import PII_RULES
+
+    (_, e_pat, e_tok), (_, p_pat, p_tok), (_, i_pat, i_tok) = PII_RULES
+    return f"""
+WITH inj AS (SELECT doc_id, {_pii_inject_sql("VARCHAR")} AS t FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t, '{e_pat}')) AS n_email,
+       regexp_replace(t, '{e_pat}', '{e_tok}', 'g') AS t FROM inj),
+s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '{p_pat}')) AS n_phone,
+       regexp_replace(t, '{p_pat}', '{p_tok}', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_email, n_phone,
+       len(regexp_extract_all(t, '{i_pat}')) AS n_ipv4,
+       regexp_replace(t, '{i_pat}', '{i_tok}', 'g') AS t FROM s2)
+SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_phone AS BIGINT) AS n_phone, CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       t AS clean
+FROM s3
 """
 
 
@@ -1372,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         "sjcs_images": q_sjcs_images,
         "sjcs_images_f64": q_sjcs_images_f64,
         "image_tiles": q_image_tiles,
@@ -1683,6 +1758,7 @@ SELECT doc_id,
   CAST(CASE WHEN n_bi IS NULL THEN 0 ELSE (1000 * max_b) // n_bi END AS BIGINT) AS top_bigram_frac_q
 FROM p
 """,
+        "pii_scrub": _pii_scrub_sql(),
         "simhash": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "phash_near_dup": _phash_near_dup_sql(),

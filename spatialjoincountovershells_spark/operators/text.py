@@ -216,6 +216,48 @@ def repetition_stats(
     )
 
 
+# PII detection/redaction rules, restricted (like BPE_TOKEN_PATTERN) to
+# the regex subset on which Java (Spark) and RE2 (DuckDB) agree exactly:
+# explicit [0-9] classes, \b word boundaries (identical [0-9A-Za-z_]
+# word-char sets in both engines), no lookaround.  Order matters — each
+# class is counted and redacted on the text AFTER the previous classes
+# were redacted, so an email's digits can never double-count as a
+# phone/IP ("1.2.3.4@x.com" is one email, zero IPs).
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII detection + redaction (the privacy-scrub step of a
+    training-corpus pipeline, cf. Dolma/RedPajama pre-processing) ->
+    (id, n_email, n_phone, n_ipv4 long, clean string).
+
+    Sequential contract per PII_RULES: class k is counted on — and
+    redacted from — the text with classes 1..k-1 already replaced by
+    their tokens, so counts partition the matched spans (no overlap
+    double-counting).  NULL text scrubs as ''.
+
+    Scale shape: one pure-JVM projection (regexp_extract_all/
+    regexp_replace inside whole-stage codegen), no shuffle, no Python —
+    the scan streams at 100 TB.  Patterns live in PII_RULES and are
+    Java/RE2-portable so the DuckDB oracle is bit-exact.
+    """
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    cols = [F.col(id_col)]
+    for name, pat, token in PII_RULES:
+        cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    cols.append(cur.alias("clean"))
+    return df.select(*cols)
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_chars: int = 256,

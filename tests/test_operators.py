@@ -221,6 +221,56 @@ def test_pip_matches_numpy_oracle(spark):
     assert got_grid == want
 
 
+def test_pii_regex_portability(spark):
+    """Three-engine agreement (Spark Java regex / DuckDB RE2 / Python
+    re) for pii_scrub on the adversarial cases: word-boundary digits
+    glued to letters, an IP-shaped email local part (must count as ONE
+    email, zero IPs — the sequential-redaction contract), a 5-group
+    dotted run (leftmost 4 match), nulls and empties."""
+    import re
+
+    import duckdb
+
+    from spatialjoincountovershells_spark.operators.text import (
+        PII_RULES,
+        pii_scrub,
+    )
+
+    texts = [
+        "contact user12@mail3.example.com now",
+        "call 555-012-3456 or 555-999-0000 x",
+        "host 10.2.3.4 up and 1.2.3.4@x.com mixed",
+        "edge 999-123-4567x glued 12-123-4567 short",
+        "ip-ish 1.2.3.4.5 five groups",
+        "a.b@c.d.e.ff punct-heavy (1.2.3.4) [555-123-4567]",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), schema="doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        cur_d = t if t is not None else ""
+        cur_p = cur_d
+        counts_p = {}
+        for name, pat, tok in PII_RULES:
+            # DuckDB RE2 leg
+            n_d, cur_d = con.execute(
+                "SELECT len(regexp_extract_all($t, $p)),"
+                " regexp_replace($t, $p, $r, 'g')",
+                {"t": cur_d, "p": pat, "r": tok},
+            ).fetchone()
+            # Python re leg
+            counts_p[name] = len(re.findall(pat, cur_p))
+            cur_p = re.sub(pat, tok, cur_p)
+            assert n_d == counts_p[name], (i, name)
+            assert got[i][f"n_{name}"] == n_d, (i, name)
+        assert cur_d == cur_p == got[i]["clean"], i
+
+
 def test_n_tokens_space_semantics(spark):
     """Pin the documented token-count contract (operators/text.py):
     space-count + 1 on trimmed text — consecutive spaces count empty
