@@ -44,6 +44,7 @@ from spatialjoincountovershells_spark.operators.corpus import (  # noqa: E402
     corpus_clean,
     corpus_clean_stats,
     decontaminate,
+    pack_sequences,
     stratified_sample,
 )
 from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
@@ -469,6 +470,16 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document (word/bigram
     duplication fractions, integer per-mille)."""
     return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concat-and-chunk placement of every
+    document in the global id-ordered token stream, 512-token training
+    sequences.  range_size=64 forces the multi-bucket distributed
+    prefix-sum path at gate scale (sf0.01's 500 docs -> 8 buckets)."""
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"), seq_tokens=512, range_size=64
+    )
 
 
 def _pii_inject_sql(str_t: str) -> str:
@@ -1447,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
+        "pack_sequences": q_pack_sequences,
         "sjcs_images": q_sjcs_images,
         "sjcs_images_f64": q_sjcs_images_f64,
         "image_tiles": q_image_tiles,
@@ -1759,6 +1771,20 @@ SELECT doc_id,
 FROM p
 """,
         "pii_scrub": _pii_scrub_sql(),
+        "pack_sequences": f"""
+WITH t AS (SELECT doc_id, CAST({tokens} AS BIGINT) AS n_tokens FROM documents),
+o AS (SELECT doc_id, n_tokens,
+      CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        AS tok_offset
+      FROM t)
+SELECT doc_id, n_tokens, tok_offset,
+  CAST(tok_offset // 512 AS BIGINT) AS seq_id,
+  CAST(tok_offset % 512 AS BIGINT) AS seq_pos,
+  CAST((tok_offset + greatest(n_tokens, 1) - 1) // 512
+       - tok_offset // 512 + 1 AS BIGINT) AS n_seq_spans
+FROM o
+""",
         "simhash": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "phash_near_dup": _phash_near_dup_sql(),

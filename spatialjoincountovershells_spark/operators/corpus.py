@@ -290,3 +290,78 @@ def stratified_sample(
         else F.lit(int(default_rate_1e6))
     )
     return base.where(F.col("_h") < rate).select(F.col(id_col), F.col("lang_pred"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int = 2048,
+    range_size: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence-packing placement — the final assembly step
+    of a pretraining pipeline: documents are concatenated in ascending
+    id order into one global token stream, which is cut every
+    `seq_tokens` tokens (documents straddle cuts; concat-and-chunk
+    packing) -> (id, n_tokens, tok_offset, seq_id, seq_pos,
+    n_seq_spans), all long.  tok_offset is the doc's first token's
+    global stream index, seq_id/seq_pos its training-sequence id and
+    in-sequence position, n_seq_spans how many sequences the doc
+    touches (a 0-token doc reports 1 — it sits at a point).  Token
+    counts use the whitespace contract of text._n_tokens.
+
+    Scale shape (two-level distributed prefix-sum): a bare
+    `Window.orderBy(id)` cumsum would drag the whole corpus into ONE
+    task, so instead (1) per-doc counts aggregate into id-range buckets
+    of `range_size` docs (map-side partial agg; the bucket table has
+    n_docs/range_size rows — one small window task over ~10^6 rows even
+    at 10^12 docs), (2) exclusive bucket offsets broadcast-join back,
+    and a window PARTITIONED BY bucket (bounded `range_size` rows per
+    task) finishes the within-bucket prefix.  No stage ever holds more
+    than one bucket in one task, and the corpus shuffles once, on the
+    bucket key it already computes.
+    """
+    from .text import _n_tokens
+
+    toks = df.select(
+        F.col(id_col),
+        _n_tokens(text_col).cast("long").alias("n_tokens"),
+        F.expr(f"{id_col} div {int(range_size)}").alias("_rng"),
+    )
+    per_rng = toks.groupBy("_rng").agg(F.sum("n_tokens").alias("_rng_sum"))
+    w_rng = Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_rng.select(
+        "_rng",
+        F.coalesce(F.sum("_rng_sum").over(w_rng), F.lit(0)).alias("_rng_off"),
+    )
+    w_doc = (
+        Window.partitionBy("_rng")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = int(seq_tokens)
+    return (
+        toks.join(F.broadcast(offsets), "_rng")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (
+                F.col("_rng_off")
+                + F.coalesce(F.sum("n_tokens").over(w_doc), F.lit(0))
+            ).alias("tok_offset"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("tok_offset"),
+            F.expr(f"tok_offset div {s}").alias("seq_id"),
+            (F.col("tok_offset") % s).alias("seq_pos"),
+            (
+                F.expr(f"(tok_offset + greatest(n_tokens, 1) - 1) div {s}")
+                - F.expr(f"tok_offset div {s}")
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias("n_seq_spans"),
+        )
+    )

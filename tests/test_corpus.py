@@ -379,3 +379,37 @@ def test_repetition_stats_planted(spark):
         # "a  b" -> ["a", "", "b"]; bigrams "a " and " b" (distinct)
         5: (3, 3, 0, 333, 500),
     }
+
+
+def test_pack_sequences_planted(spark):
+    """Pin the concat-and-chunk placement contract on crafted docs:
+    exclusive prefix offsets in id order, seq boundary every 5 tokens,
+    straddling docs span multiple sequences, 0-token docs sit at a
+    point (1 span), and the placement is independent of both input
+    partitioning and bucket size (range_size 2 vs 1000)."""
+    from spatialjoincountovershells_spark.operators.corpus import pack_sequences
+
+    rows = [
+        (0, "a b c"),          # 3 tokens @ 0   -> seq 0 pos 0, 1 span
+        (1, "d e f g"),        # 4 tokens @ 3   -> spans seqs 0-1
+        (2, ""),               # 0 tokens @ 7   -> point, 1 span
+        (3, "h i j k l m"),    # 6 tokens @ 7   -> spans seqs 1-2
+        (4, "n"),              # 1 token  @ 13  -> seq 2 pos 3
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    want = {
+        0: (3, 0, 0, 0, 1),
+        1: (4, 3, 0, 3, 2),
+        2: (0, 7, 1, 2, 1),
+        3: (6, 7, 1, 2, 2),
+        4: (1, 13, 2, 3, 1),
+    }
+    for df in (docs, docs.repartition(7)):
+        for rng in (2, 1000):
+            got = {
+                r.doc_id: (r.n_tokens, r.tok_offset, r.seq_id, r.seq_pos,
+                           r.n_seq_spans)
+                for r in pack_sequences(df, seq_tokens=5,
+                                        range_size=rng).collect()
+            }
+            assert got == want, (rng,)
