@@ -88,6 +88,7 @@ from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     morton_tile_expr,
     rasterize_points,
     tile_cover,
+    tile_kring_stats,
     tile_rollup,
 )
 from spatialjoincountovershells_spark.operators.media import (  # noqa: E402
@@ -285,6 +286,13 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution Z-order (Morton) count pyramid, levels 0..6."""
     return tile_rollup(_parts(spark, sf_dir), max_level=6, box=BOX)
+
+
+def q_tile_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style kRing smoothing at level 5 (32x32 grid, k=1): per
+    occupied tile, own count + 3x3-ring count sum + occupied-ring-tile
+    count, edge rings truncated."""
+    return tile_kring_stats(_parts(spark, sf_dir), level=5, k=1, box=BOX)
 
 
 def q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1434,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon_grid": q_point_in_polygon_grid,
         "tile_assign": q_tile_assign,
         "tile_rollup": q_tile_rollup,
+        "tile_kring": q_tile_kring,
         "tile_cover": q_tile_cover,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1630,6 +1639,29 @@ SELECT CAST(lv.level AS INTEGER) AS level,
        f.tile_id >> (2 * (6 - lv.level)) AS tile_id,
        CAST(sum(f.n) AS BIGINT) AS n_points
 FROM f, lv GROUP BY 1, 2
+""",
+        "tile_kring": f"""
+WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),
+t AS (SELECT least(greatest(CAST(floor(x / 31.25) AS BIGINT), 0), 31) AS tx,
+             least(greatest(CAST(floor(y / 31.25) AS BIGINT), 0), 31) AS ty FROM p),
+tc AS (SELECT tx, ty, count(*) AS n FROM t GROUP BY tx, ty),
+offs AS (SELECT gx.dx AS dx, gy.dy AS dy
+         FROM unnest(generate_series(-1, 1)) AS gx(dx),
+              unnest(generate_series(-1, 1)) AS gy(dy)),
+scat AS (SELECT tx + dx AS rx, ty + dy AS ry, n,
+                CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END AS own
+         FROM tc, offs
+         WHERE tx + dx BETWEEN 0 AND 31 AND ty + dy BETWEEN 0 AND 31),
+g AS (SELECT rx AS tx, ry AS ty,
+             sum(own * n) AS n_points, sum(n) AS kring_sum,
+             count(*) AS n_kring_tiles, max(own) AS occ
+      FROM scat GROUP BY rx, ry),
+o AS (SELECT * FROM g WHERE occ = 1),
+{morton_sql_ctes("o", "tx", "ty")}
+SELECT tile_id, CAST(n_points AS BIGINT) AS n_points,
+       CAST(kring_sum AS BIGINT) AS kring_sum,
+       CAST(n_kring_tiles AS BIGINT) AS n_kring_tiles
+FROM m5
 """,
         "tile_cover": f"""
 WITH v(poly_id, x, y) AS (VALUES {", ".join(

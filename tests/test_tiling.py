@@ -17,6 +17,7 @@ from spatialjoincountovershells_spark.operators.tiling import (
     morton_tile_expr,
     tile_children,
     tile_cover,
+    tile_kring_stats,
     tile_parent_expr,
     tile_rollup,
 )
@@ -104,6 +105,43 @@ def test_tile_rollup_vs_bruteforce(spark, max_level):
     # conservation: every level sums to N
     for lvl in range(max_level + 1):
         assert sum(v for (l, _), v in got.items() if l == lvl) == len(pts)
+
+
+@pytest.mark.parametrize("level,k", [(3, 1), (4, 2)])
+def test_tile_kring_vs_bruteforce(spark, level, k):
+    """kRing smoothing matches an exhaustive numpy grid walk, including
+    edge truncation (no wraparound) and occupied-only output rows."""
+    rng = np.random.default_rng(17)
+    res = 1 << level
+    # sparse enough that some ring neighbors are empty, dense enough
+    # that rings overlap
+    pts = rng.uniform(0, 1000.0, size=(300, 2))
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    )
+    got = {
+        r.tile_id: (r.n_points, r.kring_sum, r.n_kring_tiles)
+        for r in tile_kring_stats(df, level=level, k=k).collect()
+    }
+    ts = 1000.0 / res
+    tx = np.clip(np.floor(pts[:, 0] / ts).astype(np.int64), 0, res - 1)
+    ty = np.clip(np.floor(pts[:, 1] / ts).astype(np.int64), 0, res - 1)
+    grid = np.zeros((res, res), dtype=np.int64)
+    np.add.at(grid, (tx, ty), 1)
+    want = {}
+    for a in range(res):
+        for b in range(res):
+            if grid[a, b] == 0:
+                continue
+            xs = slice(max(a - k, 0), min(a + k, res - 1) + 1)
+            ys = slice(max(b - k, 0), min(b + k, res - 1) + 1)
+            sub = grid[xs, ys]
+            tid = int(morton_np(np.array([a]), np.array([b]))[0])
+            want[tid] = (int(grid[a, b]), int(sub.sum()),
+                         int((sub > 0).sum()))
+    assert got == want
+    with pytest.raises(ValueError):
+        tile_kring_stats(df, level=level, k=0)
 
 
 def test_tile_cover_vs_bruteforce(spark):
