@@ -88,7 +88,9 @@ from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     morton_tile_expr,
     rasterize_points,
     tile_cover,
+    tile_dbscan,
     tile_kring_stats,
+    tile_moran_i,
     tile_rollup,
 )
 from spatialjoincountovershells_spark.operators.media import (  # noqa: E402
@@ -293,6 +295,19 @@ def q_tile_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupied tile, own count + 3x3-ring count sum + occupied-ring-tile
     count, edge rings truncated."""
     return tile_kring_stats(_parts(spark, sf_dir), level=5, k=1, box=BOX)
+
+
+def q_tile_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN at level 5 (32x32), min_pts=17: density clustering
+    of the order-point tile grid into core/border/noise with min-Morton
+    canonical cluster ids (62 clusters at sf0.01)."""
+    return tile_dbscan(_parts(spark, sf_dir), level=5, min_pts=17, box=BOX)
+
+
+def q_tile_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of per-tile counts at
+    level 5, queen contiguity, exact integer sums + one f64 tree."""
+    return tile_moran_i(_parts(spark, sf_dir), level=5, box=BOX)
 
 
 def q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1443,6 +1458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "tile_rollup": q_tile_rollup,
         "tile_kring": q_tile_kring,
+        "tile_dbscan": q_tile_dbscan,
+        "tile_moran": q_tile_moran,
         "tile_cover": q_tile_cover,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1662,6 +1679,65 @@ SELECT tile_id, CAST(n_points AS BIGINT) AS n_points,
        CAST(kring_sum AS BIGINT) AS kring_sum,
        CAST(n_kring_tiles AS BIGINT) AS n_kring_tiles
 FROM m5
+""",
+        "tile_dbscan": f"""
+WITH RECURSIVE
+p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),
+t AS (SELECT least(greatest(CAST(floor(x / 31.25) AS BIGINT), 0), 31) AS tx,
+             least(greatest(CAST(floor(y / 31.25) AS BIGINT), 0), 31) AS ty FROM p),
+tcnt AS (SELECT tx, ty, count(*) AS n FROM t GROUP BY tx, ty),
+{morton_sql_ctes("tcnt", "tx", "ty", out="mk")},
+tc AS (SELECT tx, ty, n, tile_id FROM mk5),
+core AS (SELECT * FROM tc WHERE n >= 17),
+adj AS (SELECT a.tile_id AS src, b.tile_id AS dst FROM core a JOIN core b
+        ON abs(a.tx - b.tx) <= 1 AND abs(a.ty - b.ty) <= 1
+           AND NOT (a.tx = b.tx AND a.ty = b.ty)),
+reach(a, b) AS (SELECT tile_id, tile_id FROM core
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN adj e ON r.b = e.src),
+lbl AS (SELECT a AS tile_id, min(b) AS cluster_id FROM reach GROUP BY a),
+corerows AS (SELECT c.tile_id, CAST(c.n AS BIGINT) AS n_points,
+                    'core' AS role, l.cluster_id
+             FROM core c JOIN lbl l USING (tile_id)),
+bl AS (SELECT o.tile_id, min(l.cluster_id) AS cluster_id
+       FROM tc o JOIN core c
+         ON abs(o.tx - c.tx) <= 1 AND abs(o.ty - c.ty) <= 1
+            AND NOT (o.tx = c.tx AND o.ty = c.ty)
+       JOIN lbl l ON l.tile_id = c.tile_id
+       WHERE o.n < 17 GROUP BY o.tile_id),
+rest AS (SELECT o.tile_id, CAST(o.n AS BIGINT) AS n_points,
+                CASE WHEN bl.cluster_id IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                coalesce(bl.cluster_id, -1) AS cluster_id
+         FROM tc o LEFT JOIN bl USING (tile_id) WHERE o.n < 17)
+SELECT * FROM corerows UNION ALL SELECT * FROM rest
+""",
+        "tile_moran": f"""
+WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),
+t AS (SELECT least(greatest(CAST(floor(x / 31.25) AS BIGINT), 0), 31) AS tx,
+             least(greatest(CAST(floor(y / 31.25) AS BIGINT), 0), 31) AS ty FROM p),
+tc AS (SELECT tx, ty, count(*) AS n FROM t GROUP BY tx, ty),
+cells AS (SELECT gx.a AS tx, gy.b AS ty
+          FROM unnest(generate_series(0, 31)) AS gx(a),
+               unnest(generate_series(0, 31)) AS gy(b)),
+xg AS (SELECT c.tx, c.ty, coalesce(tc.n, 0) AS n
+       FROM cells c LEFT JOIN tc USING (tx, ty)),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS s,
+               sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS n_occ FROM xg),
+d AS (SELECT tx, ty,
+             CAST(1024 AS HUGEINT) * CAST(n AS HUGEINT) - tot.s AS d
+      FROM xg, tot),
+cross_t AS (SELECT sum(a.d * b.d) AS c FROM d a JOIN d b
+            ON abs(a.tx - b.tx) <= 1 AND abs(a.ty - b.ty) <= 1
+               AND NOT (a.tx = b.tx AND a.ty = b.ty)),
+var_t AS (SELECT sum(d * d) AS dd FROM d)
+SELECT CAST(1024 AS BIGINT) AS n_cells,
+       CAST(tot.n_occ AS BIGINT) AS n_occupied,
+       CAST(tot.s AS BIGINT) AS n_points,
+       CAST(7812 AS BIGINT) AS w_pairs,
+       CAST(floor(((CAST(cross_t.c AS DOUBLE) / CAST(var_t.dd AS DOUBLE))
+                    * 1024.0) / 7812.0 * 1048576.0) AS BIGINT) AS i_q20
+FROM tot, cross_t, var_t
 """,
         "tile_cover": f"""
 WITH v(poly_id, x, y) AS (VALUES {", ".join(

@@ -184,6 +184,39 @@ def tile_rollup(
     )
 
 
+def _tile_counts(
+    points: DataFrame,
+    level: int,
+    box: float,
+    coords: tuple[str, str],
+) -> DataFrame:
+    """ONE aggregation of the point table onto the level grid ->
+    (tx, ty, n).  Every tile-table operator starts here so the big
+    table is scanned exactly once; everything downstream works on the
+    reduced (<= 4^level rows) tile table."""
+    x, y = (F.col(c) for c in coords)
+    return (
+        points.select(
+            _clamped_tile_coord(x, level, box).cast("long").alias("tx"),
+            _clamped_tile_coord(y, level, box).cast("long").alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _ring_offsets(k: int, include_self: bool):
+    """array<struct<dx,dy>> Column of the (2k+1)^2 Chebyshev offsets."""
+    guard = "" if include_self else ", x -> NOT (x.dx = 0 AND x.dy = 0)"
+    inner = (
+        f"flatten(transform(sequence({-k}, {k}), dx -> "
+        f"transform(sequence({-k}, {k}), dy -> struct(dx, dy))))"
+    )
+    if include_self:
+        return F.expr(inner)
+    return F.expr(f"filter({inner}{guard})")
+
+
 def tile_kring_stats(
     points: DataFrame,
     level: int,
@@ -209,19 +242,8 @@ def tile_kring_stats(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     res = 1 << level
-    x, y = (F.col(c) for c in coords)
-    t = (
-        points.select(
-            _clamped_tile_coord(x, level, box).cast("long").alias("tx"),
-            _clamped_tile_coord(y, level, box).cast("long").alias("ty"),
-        )
-        .groupBy("tx", "ty")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    offs = F.expr(
-        f"flatten(transform(sequence({-k}, {k}), dx -> "
-        f"transform(sequence({-k}, {k}), dy -> struct(dx, dy))))"
-    )
+    t = _tile_counts(points, level, box, coords)
+    offs = _ring_offsets(k, include_self=True)
     scat = (
         t.select("tx", "ty", "n", F.explode(offs).alias("_o"))
         .select(
@@ -248,6 +270,215 @@ def tile_kring_stats(
         F.col("n_points").cast("long").alias("n_points"),
         F.col("kring_sum").cast("long").alias("kring_sum"),
         F.col("n_kring_tiles").cast("long").alias("n_kring_tiles"),
+    )
+
+
+def tile_dbscan(
+    points: DataFrame,
+    level: int,
+    min_pts: int,
+    box: float = 1000.0,
+    coords: tuple[str, str] = ("x", "y"),
+    max_iter: int = 64,
+) -> DataFrame:
+    """Grid DBSCAN: density clustering of the level-`level` tile grid
+    -> one row per OCCUPIED tile: (tile_id, n_points, role, cluster_id)
+    with role in {'core','border','noise'}.
+
+    Semantics (the tile-granularity analog of DBSCAN's point roles):
+    a tile with n >= min_pts is CORE; core tiles that are Chebyshev-1
+    adjacent (8-neighborhood, no grid wraparound) are in the same
+    cluster; an occupied non-core tile adjacent to >= 1 core tile is
+    BORDER and joins the minimum adjacent cluster id; other occupied
+    tiles are NOISE (cluster_id = -1).  cluster_id is the minimum
+    Z-order tile id reachable through core tiles — a canonical,
+    deterministic label.
+
+    Scale shape: the point table aggregates ONCE onto the tile grid;
+    everything after runs on the reduced tile table (<= 4^level rows).
+    Core adjacency is built by scattering each core tile to its 8-ring
+    and equi-joining receivers back against the core set (two tiny
+    tables); components collapse via dedup.dedup_clusters' min-label +
+    pointer-jumping loop (O(log diameter) rounds, checkpointed).  The
+    tile table is cached because core/border/noise all derive from it
+    — without the persist each branch would re-aggregate the big point
+    table."""
+    from .dedup import dedup_clusters
+
+    res = 1 << level
+    keyed = (
+        _tile_counts(points, level, box, coords)
+        .select(
+            "tx", "ty", "n",
+            morton_expr(F.col("tx"), F.col("ty")).alias("key"),
+        )
+        .persist()
+    )
+    core = keyed.where(F.col("n") >= int(min_pts))
+    ring = _ring_offsets(1, include_self=False)
+
+    def _scatter(df: DataFrame, payload: str) -> DataFrame:
+        return (
+            df.select(payload, "tx", "ty", F.explode(ring).alias("_o"))
+            .select(
+                F.col(payload),
+                (F.col("tx") + F.col("_o.dx")).alias("rx"),
+                (F.col("ty") + F.col("_o.dy")).alias("ry"),
+            )
+            .where(
+                (F.col("rx") >= 0) & (F.col("rx") < res)
+                & (F.col("ry") >= 0) & (F.col("ry") < res)
+            )
+        )
+
+    edges = _scatter(core.select(F.col("key").alias("src"), "tx", "ty"), "src").join(
+        core.select(
+            F.col("tx").alias("rx"), F.col("ty").alias("ry"),
+            F.col("key").alias("dst"),
+        ),
+        ["rx", "ry"],
+    ).select("src", "dst")
+    lbl = dedup_clusters(
+        edges, id_a="src", id_b="dst", out_id="key",
+        out_cluster="cluster_id", max_iter=max_iter,
+    )
+    # isolated core tiles (no core neighbor) never enter the pair
+    # graph: they are their own singleton cluster
+    core_lbl = core.join(lbl, "key", "left").select(
+        "key", "tx", "ty", "n",
+        F.coalesce(F.col("cluster_id"), F.col("key")).alias("cluster_id"),
+    )
+    nbr_lbl = (
+        _scatter(core_lbl.select("cluster_id", "tx", "ty"), "cluster_id")
+        .groupBy("rx", "ry")
+        .agg(F.min("cluster_id").alias("_nbr_cluster"))
+    )
+    rest = keyed.where(F.col("n") < int(min_pts)).join(
+        nbr_lbl,
+        (F.col("tx") == F.col("rx")) & (F.col("ty") == F.col("ry")),
+        "left",
+    ).select(
+        "key", "n",
+        F.when(F.col("_nbr_cluster").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("role"),
+        F.coalesce(F.col("_nbr_cluster"), F.lit(-1)).alias("cluster_id"),
+    )
+    out = core_lbl.select(
+        "key", "n", F.lit("core").alias("role"), "cluster_id"
+    ).unionByName(rest)
+    return out.select(
+        F.col("key").alias("tile_id"),
+        F.col("n").cast("long").alias("n_points"),
+        "role",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def tile_moran_i(
+    points: DataFrame,
+    level: int,
+    box: float = 1000.0,
+    coords: tuple[str, str] = ("x", "y"),
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of per-tile point
+    counts over ALL 4^level grid cells (empty cells count as x=0),
+    queen contiguity (8-neighborhood, no wraparound), binary weights.
+    -> ONE row (n_cells, n_occupied, n_points, w_pairs, i_q20) where
+    i_q20 = floor(I * 2^20).
+
+        I = (N / W) * sum_ij w_ij d_i d_j / sum_i d_i^2,
+        d_i = x_i - mean = (N*x_i - S) / N   (scaled by N to stay
+        integral; the common N^2 factor cancels in the ratio).
+
+    Every sum is EXACT integer arithmetic (decimal(38,0) in Spark,
+    mirrored by HUGEINT in the DuckDB oracle) — decimal multiply at
+    scale 0 never rounds — and only the final ratio runs one fixed
+    correctly-rounded f64 tree: floor(((C/D) * N / W) * 2^20), the
+    same quantization discipline as the similarity kernels.
+
+    Scale shape: one aggregation of the point table, then one
+    ring-scatter of the occupied-tile table and one global agg.  Empty
+    cells are NEVER materialized: a cell untouched by the scatter has
+    x=0 and ring-count 0, so its contributions reduce to the closed
+    forms  S^2 * m_i  (cross term) and  S^2  (variance term), folded
+    in via grid totals (m_i = #valid neighbors of cell i, and
+    sum_i m_i = W = 4*res*(res-1) + 4*(res-1)^2 for a queen grid)."""
+    res = 1 << level
+    n_cells = res * res
+    w_pairs = 4 * res * (res - 1) + 4 * (res - 1) * (res - 1)
+    t = _tile_counts(points, level, box, coords)
+    offs = _ring_offsets(1, include_self=True)
+    scat = (
+        t.select("tx", "ty", "n", F.explode(offs).alias("_o"))
+        .select(
+            (F.col("tx") + F.col("_o.dx")).alias("rx"),
+            (F.col("ty") + F.col("_o.dy")).alias("ry"),
+            F.col("n"),
+            ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0))
+            .cast("long")
+            .alias("own"),
+        )
+        .where(
+            (F.col("rx") >= 0) & (F.col("rx") < res)
+            & (F.col("ry") >= 0) & (F.col("ry") < res)
+        )
+    )
+    # per touched cell: own count x_i, ring-sum r_i (excl. self), and
+    # m_i = #valid grid neighbors, a pure function of position
+    dec = "decimal(38,0)"
+    mx = F.least(F.col("rx") + 1, F.lit(res - 1)) - F.greatest(
+        F.col("rx") - 1, F.lit(0)
+    ) + 1
+    my = F.least(F.col("ry") + 1, F.lit(res - 1)) - F.greatest(
+        F.col("ry") - 1, F.lit(0)
+    ) + 1
+    # cached: feeds both the 1-row total and the main aggregate —
+    # without it each branch would re-aggregate the point table
+    cell = scat.groupBy("rx", "ry").agg(
+        F.sum(F.col("own") * F.col("n")).alias("x"),
+        F.sum((F.lit(1) - F.col("own")) * F.col("n")).alias("r"),
+    ).select(
+        "x", "r", (mx * my - 1).cast("long").alias("m")
+    ).persist()
+    # S (total points) as a 1-row broadcast — never collected
+    tot = cell.agg(F.sum("x").cast(dec).alias("_s"),)
+    joined = cell.crossJoin(F.broadcast(tot))
+    d = (F.lit(n_cells).cast(dec) * F.col("x").cast(dec)) - F.col("_s")
+    cross = d * (
+        F.lit(n_cells).cast(dec) * F.col("r").cast(dec)
+        - F.col("_s") * F.col("m").cast(dec)
+    )
+    agg = joined.agg(
+        F.sum(cross).alias("_c_touched"),
+        F.sum(d * d).alias("_d_touched"),
+        F.sum(F.col("m").cast(dec)).alias("_m_touched"),
+        F.count(F.lit(1)).alias("_n_touched"),
+        F.max("_s").alias("_s"),
+        F.sum((F.col("x") > 0).cast("long")).alias("n_occupied"),
+    )
+    s2 = F.col("_s") * F.col("_s")
+    c_full = F.col("_c_touched") + s2 * (
+        F.lit(w_pairs).cast(dec) - F.col("_m_touched")
+    )
+    d_full = F.col("_d_touched") + s2 * (
+        F.lit(n_cells).cast(dec) - F.col("_n_touched")
+    )
+    # the ONE floating step: fixed tree, mirrored verbatim in the oracle
+    i_q20 = F.floor(
+        (
+            (c_full.cast("double") / d_full.cast("double"))
+            * F.lit(float(n_cells))
+            / F.lit(float(w_pairs))
+        )
+        * F.lit(1048576.0)
+    )
+    return agg.select(
+        F.lit(n_cells).cast("long").alias("n_cells"),
+        F.col("n_occupied").cast("long").alias("n_occupied"),
+        F.col("_s").cast("long").alias("n_points"),
+        F.lit(w_pairs).cast("long").alias("w_pairs"),
+        i_q20.cast("long").alias("i_q20"),
     )
 
 

@@ -17,7 +17,9 @@ from spatialjoincountovershells_spark.operators.tiling import (
     morton_tile_expr,
     tile_children,
     tile_cover,
+    tile_dbscan,
     tile_kring_stats,
+    tile_moran_i,
     tile_parent_expr,
     tile_rollup,
 )
@@ -142,6 +144,139 @@ def test_tile_kring_vs_bruteforce(spark, level, k):
     assert got == want
     with pytest.raises(ValueError):
         tile_kring_stats(df, level=level, k=0)
+
+
+def _grid_counts(pts, level):
+    res = 1 << level
+    ts = 1000.0 / res
+    tx = np.clip(np.floor(pts[:, 0] / ts).astype(np.int64), 0, res - 1)
+    ty = np.clip(np.floor(pts[:, 1] / ts).astype(np.int64), 0, res - 1)
+    grid = np.zeros((res, res), dtype=np.int64)
+    np.add.at(grid, (tx, ty), 1)
+    return grid
+
+
+def _blobby_points(seed=23, n_bg=120):
+    """Gaussian blobs + sparse background: dense cores, borders, noise."""
+    rng = np.random.default_rng(seed)
+    blobs = [
+        rng.normal(loc, 45.0, size=(150, 2))
+        for loc in [(200, 200), (260, 280), (700, 300), (500, 800)]
+    ]
+    bg = rng.uniform(0, 1000.0, size=(n_bg, 2))
+    return np.clip(np.vstack(blobs + [bg]), 0.0, 999.99)
+
+
+def test_tile_dbscan_vs_bruteforce(spark):
+    """Grid DBSCAN matches an exhaustive BFS over the count grid:
+    same core components (min-Morton labels), same border adoption
+    (min adjacent cluster), same noise set."""
+    level, mp = 4, 4
+    res = 1 << level
+    pts = _blobby_points()
+    grid = _grid_counts(pts, level)
+
+    def mort(a, b):
+        return int(morton_np(np.array([a]), np.array([b]))[0])
+
+    core = grid >= mp
+    comp = -np.ones((res, res), dtype=np.int64)
+    want = {}
+    # BFS components over 8-adjacent core tiles, label = min morton
+    import collections
+    cid = 0
+    members = {}
+    for a in range(res):
+        for b in range(res):
+            if not core[a, b] or comp[a, b] >= 0:
+                continue
+            q = collections.deque([(a, b)])
+            comp[a, b] = cid
+            cells = []
+            while q:
+                ca, cb = q.popleft()
+                cells.append((ca, cb))
+                for da in (-1, 0, 1):
+                    for db in (-1, 0, 1):
+                        na, nb = ca + da, cb + db
+                        if (0 <= na < res and 0 <= nb < res
+                                and core[na, nb] and comp[na, nb] < 0):
+                            comp[na, nb] = cid
+                            q.append((na, nb))
+            members[cid] = min(mort(ca, cb) for ca, cb in cells)
+            cid += 1
+    for a in range(res):
+        for b in range(res):
+            if grid[a, b] == 0:
+                continue
+            if core[a, b]:
+                want[mort(a, b)] = (int(grid[a, b]), "core",
+                                    members[comp[a, b]])
+                continue
+            nbr = [
+                members[comp[a + da, b + db]]
+                for da in (-1, 0, 1) for db in (-1, 0, 1)
+                if not (da == 0 and db == 0)
+                and 0 <= a + da < res and 0 <= b + db < res
+                and core[a + da, b + db]
+            ]
+            want[mort(a, b)] = (
+                (int(grid[a, b]), "border", min(nbr)) if nbr
+                else (int(grid[a, b]), "noise", -1)
+            )
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    )
+    got = {
+        r.tile_id: (r.n_points, r.role, r.cluster_id)
+        for r in tile_dbscan(df, level=level, min_pts=mp).collect()
+    }
+    assert got == want
+    roles = {v[1] for v in want.values()}
+    assert roles == {"core", "border", "noise"}  # scenario is non-trivial
+    assert len({v[2] for v in want.values() if v[1] == "core"}) >= 2
+
+
+@pytest.mark.parametrize("level,seed", [(3, 23), (4, 5)])
+def test_tile_moran_vs_bruteforce(spark, level, seed):
+    """Moran's I matches exact-integer numpy over the FULL grid
+    (empty cells included), queen weights, edge-truncated."""
+    res = 1 << level
+    pts = _blobby_points(seed=seed)
+    grid = _grid_counts(pts, level)
+    n_cells = res * res
+    s = int(grid.sum())
+    d = (n_cells * grid.astype(object) - s)  # python ints, exact
+    c = 0
+    dd = 0
+    w = 0
+    for a in range(res):
+        for b in range(res):
+            dd += int(d[a, b]) ** 2
+            for da in (-1, 0, 1):
+                for db in (-1, 0, 1):
+                    if da == 0 and db == 0:
+                        continue
+                    na, nb = a + da, b + db
+                    if 0 <= na < res and 0 <= nb < res:
+                        c += int(d[a, b]) * int(d[na, nb])
+                        w += 1
+    want_iq = int(np.floor(
+        ((float(c) / float(dd)) * float(n_cells)) / float(w) * 1048576.0
+    ))
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    )
+    row = tile_moran_i(df, level=level).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_cells == n_cells
+    assert r.n_points == s
+    assert r.w_pairs == w
+    assert r.n_occupied == int((grid > 0).sum())
+    assert r.i_q20 == want_iq
+    # blobby points are positively autocorrelated
+    assert r.i_q20 > 0
 
 
 def test_tile_cover_vs_bruteforce(spark):
