@@ -52,6 +52,7 @@ from spatialjoincountovershells_spark.operators.pip import point_in_polygon  # n
 from spatialjoincountovershells_spark.operators.semi_join import filter_halos  # noqa: E402
 from spatialjoincountovershells_spark.operators.correlation import (  # noqa: E402
     landy_szalay_xi,
+    ripley_k,
     pair_totals,
 )
 from spatialjoincountovershells_spark.operators.shell_count import (  # noqa: E402
@@ -89,9 +90,13 @@ from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     rasterize_points,
     tile_cover,
     tile_dbscan,
+    tile_getis_g,
     tile_kring_stats,
     tile_moran_i,
     tile_rollup,
+)
+from spatialjoincountovershells_spark.operators.events import (  # noqa: E402
+    sessionize,
 )
 from spatialjoincountovershells_spark.operators.media import (  # noqa: E402
     audio_window_stats,
@@ -182,6 +187,14 @@ def q_weighted_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return shell_count(h, p, EDGES, dtype="float64", plan="sql",
                        id_col="halo_id", weight_col="w")
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K at each shell edge: cumulative self-join pair counts
+    normalized by V/(n(n-1)), K quantized to floor(K * 2^10).  The
+    cumulative, always-emits-every-shell twin of autocorr_shells."""
+    p = _parts(spark, sf_dir, table="part", key="p_partkey")
+    return ripley_k(p, EDGES, box=BOX, plan="sql", dtype="float64")
 
 
 def q_autocorr_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,6 +323,13 @@ def q_tile_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_moran_i(_parts(spark, sf_dir), level=5, box=BOX)
 
 
+def q_tile_getis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores per level-5 tile (queen weights
+    incl. self, full-grid population, exact integer sums + one f64
+    tree, gi quantized to floor(Gi* * 2^20))."""
+    return tile_getis_g(_parts(spark, sf_dir), level=5, box=BOX)
+
+
 def q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-style bbox covering of the PIP polygons at level 5."""
     verts = spark.createDataFrame(
@@ -412,6 +432,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_l2_topk(_read(spark, sf_dir, "embeddings"), k=3)
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize the event log at an 8h inactivity gap (the synthetic
+    per-user median gap is ~7.3h, so the split is non-trivial both
+    ways): per-session event/type counts, exact µs start/duration,
+    order-independent quantized value sum."""
+    return sessionize(_read(spark, sf_dir, "events"), gap_s=28800)
 
 
 def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1446,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shell_count_dgrid": q_shell_count_dgrid,
         "shell_totals": q_shell_totals,
         "autocorr_shells": q_autocorr_shells,
+        "ripley_k": q_ripley_k,
         "weighted_shells": q_weighted_shells,
         "two_point_xi": q_two_point_xi,
         "range_pairs": q_range_pairs,
@@ -1460,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_kring": q_tile_kring,
         "tile_dbscan": q_tile_dbscan,
         "tile_moran": q_tile_moran,
+        "tile_getis": q_tile_getis,
         "tile_cover": q_tile_cover,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1468,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_l2": q_ann_l2,
         "event_window": q_event_window,
+        "event_sessions": q_event_sessions,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "corpus_clean": q_corpus_clean,
@@ -1592,6 +1623,23 @@ WITH pp AS (SELECT p_partkey AS id, {sql_coord("p_partkey", 0)} AS x,
 d AS (SELECT {_D2} AS d2 FROM pp h JOIN pp p ON h.id != p.id)
 SELECT {_SHELL_CASE} AS shell_idx, CAST(count(*) AS BIGINT) AS n_pairs
 FROM d WHERE d2 < {R2[-1]} GROUP BY shell_idx
+""",
+        "ripley_k": f"""
+WITH pp AS (SELECT p_partkey AS id, {sql_coord("p_partkey", 0)} AS x,
+      {sql_coord("p_partkey", 1)} AS y, {sql_coord("p_partkey", 2)} AS z FROM part),
+d AS (SELECT {_D2} AS d2 FROM pp h JOIN pp p ON h.id != p.id),
+cnt AS (SELECT {_SHELL_CASE} AS shell_idx, count(*) AS np
+        FROM d WHERE d2 < {R2[-1]} GROUP BY shell_idx),
+shells AS (SELECT CAST(unnest(generate_series(0, {len(EDGES) - 1})) AS INTEGER)
+           AS shell_idx),
+c AS (SELECT s.shell_idx, coalesce(cnt.np, 0) AS np
+      FROM shells s LEFT JOIN cnt USING (shell_idx)),
+t AS (SELECT count(*) AS n FROM pp),
+cum AS (SELECT shell_idx, sum(np) OVER (ORDER BY shell_idx) AS cum FROM c)
+SELECT shell_idx, CAST(cum AS BIGINT) AS cum_pairs,
+       CAST(floor((CAST(cum AS DOUBLE) * 1000000000.0
+                   / CAST(n * (n - 1) AS DOUBLE)) * 1024.0) AS BIGINT) AS k_q10
+FROM cum, t
 """,
         "shell_totals": f"""
 WITH base AS ({shell_sql})
@@ -1739,6 +1787,40 @@ SELECT CAST(1024 AS BIGINT) AS n_cells,
                     * 1024.0) / 7812.0 * 1048576.0) AS BIGINT) AS i_q20
 FROM tot, cross_t, var_t
 """,
+        "tile_getis": f"""
+WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),
+t AS (SELECT least(greatest(CAST(floor(x / 31.25) AS BIGINT), 0), 31) AS tx,
+             least(greatest(CAST(floor(y / 31.25) AS BIGINT), 0), 31) AS ty FROM p),
+tcnt AS (SELECT tx, ty, count(*) AS n FROM t GROUP BY tx, ty),
+offs AS (SELECT gx.a AS dx, gy.b AS dy
+         FROM unnest(generate_series(-1, 1)) AS gx(a),
+              unnest(generate_series(-1, 1)) AS gy(b)),
+scat AS (SELECT tx + dx AS rx, ty + dy AS ry, n,
+                CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END AS own
+         FROM tcnt, offs
+         WHERE tx + dx BETWEEN 0 AND 31 AND ty + dy BETWEEN 0 AND 31),
+cell AS (SELECT rx, ry, sum(own * n) AS cx, sum((1 - own) * n) AS cr
+         FROM scat GROUP BY rx, ry),
+cm AS (SELECT rx, ry, cx, cr,
+              (least(rx + 1, 31) - greatest(rx - 1, 0) + 1)
+            * (least(ry + 1, 31) - greatest(ry - 1, 0) + 1) AS w FROM cell),
+tot AS (SELECT CAST(sum(cx) AS HUGEINT) AS s,
+               sum(CAST(cx AS HUGEINT) * CAST(cx AS HUGEINT)) AS s2 FROM cell),
+{morton_sql_ctes("cm", "rx", "ry", out="mg")},
+g AS (SELECT tile_id, cx, cr, w,
+             CAST(1024 AS HUGEINT) * (CAST(cx AS HUGEINT) + CAST(cr AS HUGEINT))
+               - tot.s * CAST(w AS HUGEINT) AS a,
+             CAST(1024 AS HUGEINT) * tot.s2 - tot.s * tot.s AS b,
+             CAST(1024 AS HUGEINT) * CAST(w AS HUGEINT)
+               - CAST(w AS HUGEINT) * CAST(w AS HUGEINT) AS c
+      FROM mg5, tot)
+SELECT tile_id, CAST(cx AS BIGINT) AS n_points,
+       CAST(cx + cr AS BIGINT) AS ring_sum, CAST(w AS BIGINT) AS w,
+       CAST(floor((CAST(a AS DOUBLE)
+                   / sqrt(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / 1023.0))
+                  * 1048576.0) AS BIGINT) AS gi_q20
+FROM g
+""",
         "tile_cover": f"""
 WITH v(poly_id, x, y) AS (VALUES {", ".join(
     f"(CAST({pid} AS BIGINT), {float(x)}, {float(y)})"
@@ -1810,6 +1892,23 @@ FROM d QUALIFY rank <= 3
         "event_window": """
 SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, event_type, count(*) AS n
 FROM events GROUP BY bucket, event_type
+""",
+        "event_sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+                  CAST(floor(value * 1024.0) AS BIGINT) AS vq FROM events),
+l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             AS prev FROM e),
+f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 28800000000
+                     THEN 1 ELSE 0 END AS new_s FROM l),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_ord
+      FROM f)
+SELECT user_id, CAST(session_ord AS BIGINT) AS session_ord,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       min(us) AS start_us, max(us) - min(us) AS dur_us,
+       CAST(sum(vq) AS BIGINT) AS value_q10
+FROM s GROUP BY user_id, session_ord
 """,
         "sjcs_images_f64": _sjcs_images_f64_sql(),
         "image_features": _image_features_sql(),

@@ -115,3 +115,62 @@ def landy_szalay_xi(
         "shell_idx", "dd", "dr", "rr",
         F.floor(xi * F.lit(float(XI_QUANT))).cast("long").alias("xi_q"),
     )
+
+
+def ripley_k(
+    points: DataFrame,
+    edges: np.ndarray,
+    box: float = 1000.0,
+    plan: str = "sql",
+    dtype: str = "float64",
+    id_col: str | None = None,
+    n: int | None = None,
+) -> DataFrame:
+    """Ripley's K function at each shell edge — the cumulative twin of
+    the auto-correlation shell counts (K is THE standard second-order
+    point-pattern statistic the reference's count-over-shells kernel
+    feeds; edge-uncorrected / border-ignored estimator):
+
+        K(r_k) = V * cum_k / (n * (n - 1)),
+        cum_k  = # ordered pairs with d < edges[k]  (self-pairs removed)
+
+    -> one row per edge: (shell_idx int, cum_pairs long, k_q10 long)
+    with k_q10 = floor(K * 2^10).  Empty shells still emit a row (the
+    cumulative is defined there), unlike the per-shell pair_totals.
+
+    Numerics contract: cum is an exact int64; the ONE f64 tree
+    ((cum * V) / nn) * 1024 is mirrored verbatim in the DuckDB oracle
+    (V = box^3 and nn = n*(n-1) are both exactly representable).
+
+    Scale shape: one shell_count self-join job (full plan repertoire)
+    + an nshell-row cumulative window — the window's single-partition
+    sort is over len(edges) rows, never data."""
+    edges = np.asarray(edges)
+    spark = points.sparkSession
+    nd = n if n is not None else points.count()
+    tot = pair_totals(points, points, edges, box, plan, dtype, id_col, nd)
+    shells = spark.range(len(edges)).select(
+        F.col("id").cast("int").alias("shell_idx")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("shell_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        shells.join(tot, "shell_idx", "left")
+        .select("shell_idx", F.coalesce(F.col("n"), F.lit(0)).alias("_np"))
+        .select("shell_idx", F.sum("_np").over(w).alias("cum_pairs"))
+    )
+    k_q10 = F.floor(
+        (
+            (F.col("cum_pairs").cast("double") * F.lit(float(box) ** 3))
+            / F.lit(float(nd * (nd - 1)))
+        )
+        * F.lit(1024.0)
+    )
+    return cum.select(
+        "shell_idx",
+        F.col("cum_pairs").cast("long").alias("cum_pairs"),
+        k_q10.cast("long").alias("k_q10"),
+    )

@@ -375,6 +375,51 @@ def tile_dbscan(
     )
 
 
+def _cell_ring_table(
+    points: DataFrame,
+    level: int,
+    box: float,
+    coords: tuple[str, str],
+) -> DataFrame:
+    """One ring-scatter of the occupied-tile table -> one row per grid
+    cell TOUCHED by any occupied tile's 3x3 stamp: (rx, ry, x own
+    count, r queen-ring sum excl. self, m #valid grid neighbors — a
+    pure function of position).  Untouched cells
+    have x = 0 AND r = 0, so spatial statistics over the FULL grid fold
+    them in via closed forms on grid totals instead of materializing
+    4^level rows (see tile_moran_i / tile_getis_g)."""
+    res = 1 << level
+    t = _tile_counts(points, level, box, coords)
+    offs = _ring_offsets(1, include_self=True)
+    scat = (
+        t.select("tx", "ty", "n", F.explode(offs).alias("_o"))
+        .select(
+            (F.col("tx") + F.col("_o.dx")).alias("rx"),
+            (F.col("ty") + F.col("_o.dy")).alias("ry"),
+            F.col("n"),
+            ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0))
+            .cast("long")
+            .alias("own"),
+        )
+        .where(
+            (F.col("rx") >= 0) & (F.col("rx") < res)
+            & (F.col("ry") >= 0) & (F.col("ry") < res)
+        )
+    )
+    mx = F.least(F.col("rx") + 1, F.lit(res - 1)) - F.greatest(
+        F.col("rx") - 1, F.lit(0)
+    ) + 1
+    my = F.least(F.col("ry") + 1, F.lit(res - 1)) - F.greatest(
+        F.col("ry") - 1, F.lit(0)
+    ) + 1
+    return scat.groupBy("rx", "ry").agg(
+        F.sum(F.col("own") * F.col("n")).alias("x"),
+        F.sum((F.lit(1) - F.col("own")) * F.col("n")).alias("r"),
+    ).select(
+        "rx", "ry", "x", "r", (mx * my - 1).cast("long").alias("m")
+    )
+
+
 def tile_moran_i(
     points: DataFrame,
     level: int,
@@ -407,40 +452,14 @@ def tile_moran_i(
     res = 1 << level
     n_cells = res * res
     w_pairs = 4 * res * (res - 1) + 4 * (res - 1) * (res - 1)
-    t = _tile_counts(points, level, box, coords)
-    offs = _ring_offsets(1, include_self=True)
-    scat = (
-        t.select("tx", "ty", "n", F.explode(offs).alias("_o"))
-        .select(
-            (F.col("tx") + F.col("_o.dx")).alias("rx"),
-            (F.col("ty") + F.col("_o.dy")).alias("ry"),
-            F.col("n"),
-            ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0))
-            .cast("long")
-            .alias("own"),
-        )
-        .where(
-            (F.col("rx") >= 0) & (F.col("rx") < res)
-            & (F.col("ry") >= 0) & (F.col("ry") < res)
-        )
-    )
-    # per touched cell: own count x_i, ring-sum r_i (excl. self), and
-    # m_i = #valid grid neighbors, a pure function of position
     dec = "decimal(38,0)"
-    mx = F.least(F.col("rx") + 1, F.lit(res - 1)) - F.greatest(
-        F.col("rx") - 1, F.lit(0)
-    ) + 1
-    my = F.least(F.col("ry") + 1, F.lit(res - 1)) - F.greatest(
-        F.col("ry") - 1, F.lit(0)
-    ) + 1
     # cached: feeds both the 1-row total and the main aggregate —
     # without it each branch would re-aggregate the point table
-    cell = scat.groupBy("rx", "ry").agg(
-        F.sum(F.col("own") * F.col("n")).alias("x"),
-        F.sum((F.lit(1) - F.col("own")) * F.col("n")).alias("r"),
-    ).select(
-        "x", "r", (mx * my - 1).cast("long").alias("m")
-    ).persist()
+    cell = (
+        _cell_ring_table(points, level, box, coords)
+        .select("x", "r", "m")
+        .persist()
+    )
     # S (total points) as a 1-row broadcast — never collected
     tot = cell.agg(F.sum("x").cast(dec).alias("_s"),)
     joined = cell.crossJoin(F.broadcast(tot))
@@ -479,6 +498,67 @@ def tile_moran_i(
         F.col("_s").cast("long").alias("n_points"),
         F.lit(w_pairs).cast("long").alias("w_pairs"),
         i_q20.cast("long").alias("i_q20"),
+    )
+
+
+def tile_getis_g(
+    points: DataFrame,
+    level: int,
+    box: float = 1000.0,
+    coords: tuple[str, str] = ("x", "y"),
+) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-score per tile (the LOCAL companion of
+    tile_moran_i's global statistic), queen contiguity INCLUDING self
+    (the starred variant), binary weights, population = all 4^level
+    grid cells with empty cells counting x = 0.
+    -> one row per cell touched by an occupied tile's 3x3 stamp:
+    (tile_id, n_points, ring_sum, w, gi_q20), gi_q20 = floor(Gi* 2^20).
+
+        Gi*_i = (Swi - mean * w_i) / (s * sqrt((n w_i - w_i^2)/(n-1)))
+
+    with Swi = sum of x over i's queen neighborhood incl. self, w_i its
+    cell count (9 interior, 6 edge, 4 corner), mean = S/n and
+    s^2 = S2/n - mean^2.  Multiplying num and denom by n gives the
+    all-integer form  A_i / sqrt(B C_i / (n-1))  with
+    A_i = n Swi - S w_i,  B = n S2 - S^2,  C_i = n w_i - w_i^2 —
+    every sum exact (decimal(38,0) / HUGEINT), then ONE fixed
+    correctly-rounded f64 tree (div, sqrt, mul are all IEEE
+    correctly-rounded, so the oracle is bit-exact).
+
+    Untouched cells are never materialized (their Gi* is the uniform
+    background cold value -S w_i / denom); S and S2 are unaffected
+    since they contribute x = 0.  Scale shape: one point-table
+    aggregation, one ring-scatter, a 1-row broadcast of (S, S2)."""
+    res = 1 << level
+    n_cells = res * res
+    dec = "decimal(38,0)"
+    cell = _cell_ring_table(points, level, box, coords).persist()
+    tot = cell.agg(
+        F.sum("x").cast(dec).alias("_s"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("_s2"),
+    )
+    j = cell.crossJoin(F.broadcast(tot))
+    w = F.col("m") + 1
+    swi = F.col("x") + F.col("r")
+    a = F.lit(n_cells).cast(dec) * swi.cast(dec) - F.col("_s") * w.cast(dec)
+    b = F.lit(n_cells).cast(dec) * F.col("_s2") - F.col("_s") * F.col("_s")
+    c = (F.lit(n_cells) * w - w * w).cast("long")
+    gi_q20 = F.floor(
+        (
+            a.cast("double")
+            / F.sqrt(
+                b.cast("double") * c.cast("double")
+                / F.lit(float(n_cells - 1))
+            )
+        )
+        * F.lit(1048576.0)
+    )
+    return j.select(
+        morton_expr(F.col("rx"), F.col("ry")).alias("tile_id"),
+        F.col("x").cast("long").alias("n_points"),
+        swi.cast("long").alias("ring_sum"),
+        w.cast("long").alias("w"),
+        gi_q20.cast("long").alias("gi_q20"),
     )
 
 

@@ -1,0 +1,97 @@
+"""Sessionization vs a sequential python brute force.
+
+Edge cases pinned: gap exactly equal to the threshold stays in the
+SAME session (strict >); equal timestamps are ordered by event_id;
+negative values floor toward -inf; single-event sessions have
+dur_us = 0.
+"""
+
+import datetime as dt
+import math
+
+from spatialjoincountovershells_spark.operators.events import sessionize
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(eid, user, off_us, etype, value):
+    return (eid, T0 + dt.timedelta(microseconds=off_us), user, etype, value)
+
+
+def _brute(rows, gap_s):
+    gap_us = gap_s * 1_000_000
+    base = int(T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    by_user = {}
+    for eid, ts, user, etype, value in rows:
+        us = base + int((ts - T0).total_seconds() * 0 +
+                        (ts - T0) / dt.timedelta(microseconds=1))
+        by_user.setdefault(user, []).append((us, eid, etype, value))
+    want = {}
+    for user, evs in by_user.items():
+        evs.sort()
+        ord_ = 0
+        prev = None
+        cur = None
+        for us, eid, etype, value in evs:
+            if prev is None or us - prev > gap_us:
+                ord_ += 1
+                cur = {"n": 0, "types": set(), "start": us, "end": us,
+                       "vq": 0}
+                want[(user, ord_)] = cur
+            cur["n"] += 1
+            cur["types"].add(etype)
+            cur["end"] = us
+            cur["vq"] += math.floor(value * 1024.0)
+            prev = us
+    return {
+        k: (v["n"], len(v["types"]), v["start"], v["end"] - v["start"],
+            v["vq"])
+        for k, v in want.items()
+    }
+
+
+def test_sessionize_vs_bruteforce(spark):
+    gap = 60  # seconds
+    rows = [
+        # user 1: three events in one session, then a gap, then two more
+        _ev(1, 1, 0, "a", 1.5),
+        _ev(2, 1, 30_000_000, "b", -0.25),
+        _ev(3, 1, 90_000_000, "a", 2.0),  # 60s gap exactly: SAME session
+        _ev(4, 1, 151_000_000, "c", 0.0),  # 61s: NEW session
+        _ev(5, 1, 200_000_000, "c", 10.125),
+        # user 2: equal timestamps, order by event_id; big id first to
+        # prove the tiebreak is the id not arrival order
+        _ev(20, 2, 0, "a", 1.0),
+        _ev(10, 2, 0, "b", 1.0),
+        _ev(30, 2, 500_000_000, "a", 3.75),  # own session
+        # user 3: single event
+        _ev(40, 3, 7, "z", -1.001),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double",
+    )
+    got = {
+        (r.user_id, r.session_ord):
+            (r.n_events, r.n_types, r.start_us, r.dur_us, r.value_q10)
+        for r in sessionize(df, gap_s=gap).collect()
+    }
+    want = _brute(rows, gap)
+    # timezone normalization: compare (start mod day) too fragile;
+    # instead compare relative starts per user
+    assert set(got) == set(want)
+    for k in want:
+        gn, gt, gs, gd, gv = got[k]
+        wn, wt, ws, wd, wv = want[k]
+        assert (gn, gt, gd, gv) == (wn, wt, wd, wv), k
+    # relative session starts within each user match the brute force
+    for user in (1, 2, 3):
+        g = sorted(v[2] for k, v in got.items() if k[0] == user)
+        w = sorted(v[2] for k, v in want.items() if k[0] == user)
+        assert [x - g[0] for x in g] == [x - w[0] for x in w]
+    # pinned facts of the scenario itself
+    assert got[(1, 1)][0] == 3 and got[(1, 2)][0] == 2
+    assert got[(2, 1)][0] == 2 and got[(2, 2)][0] == 1
+    assert got[(3, 1)][3] == 0
+    # floor toward -inf: -1.001 * 1024 = -1025.024 -> -1026
+    assert got[(3, 1)][4] == math.floor(-1.001 * 1024.0)

@@ -273,3 +273,40 @@ def test_landy_szalay_xi_vs_bruteforce(spark, ls_plan):
     out = landy_szalay_xi(mk(D), mk(R), edges, plan=ls_plan)
     got = {r.shell_idx: (r.dd, r.dr, r.rr, r.xi_q) for r in out.collect()}
     assert got == want
+
+
+@pytest.mark.parametrize("rk_plan", ["sql", "fused"])
+def test_ripley_k_vs_bruteforce(spark, rk_plan):
+    """Ripley's K: cumulative pair counts and the quantized K match an
+    exact f64 brute force with the same IEEE tree; empty leading
+    shells still emit rows (cum defined everywhere)."""
+    from spatialjoincountovershells_spark.operators.correlation import ripley_k
+
+    rng = np.random.default_rng(7)
+    D = rng.uniform(0, 1000.0, size=(150, 3))
+    # edges[0] tiny: shell 0 has no pairs after self-subtraction,
+    # exercising the empty-shell row contract
+    edges = np.array([0.5, 120.0, 250.0, 400.0])
+    r2 = squared_edges(edges).astype(np.float64)
+    d = np.abs(D[:, None, :] - D[None, :, :])
+    d = np.minimum(d, 1000.0 - d)
+    d2 = (d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1]) + d[..., 2] * d[..., 2]
+    sh = np.searchsorted(r2, d2.ravel(), side="right")
+    t = np.bincount(sh[sh < len(r2)], minlength=len(r2)).astype(np.int64)
+    t[0] -= len(D)
+    cum = np.cumsum(t)
+    n = len(D)
+    want = {
+        s: (int(cum[s]),
+            int(np.floor((float(cum[s]) * 1000.0 ** 3)
+                         / float(n * (n - 1)) * 1024.0)))
+        for s in range(len(edges))
+    }
+    assert t[0] == 0  # scenario really has an empty first shell
+    df = spark.createDataFrame(
+        [(float(x), float(y), float(z)) for x, y, z in D],
+        "x double, y double, z double",
+    )
+    out = ripley_k(df, edges, plan=rk_plan)
+    got = {r.shell_idx: (r.cum_pairs, r.k_q10) for r in out.collect()}
+    assert got == want

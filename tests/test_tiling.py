@@ -18,6 +18,7 @@ from spatialjoincountovershells_spark.operators.tiling import (
     tile_children,
     tile_cover,
     tile_dbscan,
+    tile_getis_g,
     tile_kring_stats,
     tile_moran_i,
     tile_parent_expr,
@@ -277,6 +278,56 @@ def test_tile_moran_vs_bruteforce(spark, level, seed):
     assert r.i_q20 == want_iq
     # blobby points are positively autocorrelated
     assert r.i_q20 > 0
+
+
+@pytest.mark.parametrize("level,seed", [(3, 23), (4, 5)])
+def test_tile_getis_vs_bruteforce(spark, level, seed):
+    """Gi* matches exact-integer python math over the FULL grid
+    (empty cells x=0), queen weights incl. self, edge-truncated;
+    untouched cells are omitted from the output by contract."""
+    import math
+
+    res = 1 << level
+    pts = _blobby_points(seed=seed)
+    grid = _grid_counts(pts, level)
+    n_cells = res * res
+    s = int(grid.sum())
+    s2 = int((grid.astype(object) ** 2).sum())
+    b = n_cells * s2 - s * s
+    want = {}
+    for a_ in range(res):
+        for b_ in range(res):
+            swi = 0
+            w = 0
+            touched = False
+            for da in (-1, 0, 1):
+                for db in (-1, 0, 1):
+                    na, nb = a_ + da, b_ + db
+                    if 0 <= na < res and 0 <= nb < res:
+                        w += 1
+                        swi += int(grid[na, nb])
+                        if grid[na, nb] > 0:
+                            touched = True
+            if not touched:
+                continue
+            num = n_cells * swi - s * w
+            c = n_cells * w - w * w
+            gi = float(num) / math.sqrt(float(b) * float(c)
+                                        / float(n_cells - 1))
+            key = int(morton_np(np.array([a_]), np.array([b_]))[0])
+            want[key] = (int(grid[a_, b_]), swi, w,
+                         int(np.floor(gi * 1048576.0)))
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    )
+    got = {
+        r.tile_id: (r.n_points, r.ring_sum, r.w, r.gi_q20)
+        for r in tile_getis_g(df, level=level).collect()
+    }
+    assert got == want
+    # blobby data: at least one clear hot spot and one cold cell
+    assert max(v[3] for v in want.values()) > 2 * 1048576
+    assert min(v[3] for v in want.values()) < 0
 
 
 def test_tile_cover_vs_bruteforce(spark):
