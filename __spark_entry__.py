@@ -92,10 +92,13 @@ from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     tile_dbscan,
     tile_getis_g,
     tile_kring_stats,
+    tile_local_moran,
     tile_moran_i,
     tile_rollup,
 )
 from spatialjoincountovershells_spark.operators.events import (  # noqa: E402
+    funnel,
+    retention,
     sessionize,
 )
 from spatialjoincountovershells_spark.operators.media import (  # noqa: E402
@@ -195,6 +198,17 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative, always-emits-every-shell twin of autocorr_shells."""
     p = _parts(spark, sf_dir, table="part", key="p_partkey")
     return ripley_k(p, EDGES, box=BOX, plan="sql", dtype="float64")
+
+
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate (cross-type) Ripley's K: clustering of customer-keyed
+    points around part-keyed points — same cumulative-window shape as
+    ripley_k but a cross join (no self-pair subtraction) normalized by
+    V/(n_a n_b)."""
+    a = _parts(spark, sf_dir, table="part", key="p_partkey")
+    b = _parts(spark, sf_dir, table="customer", key="c_custkey")
+    return ripley_k(a, EDGES, box=BOX, plan="sql", dtype="float64",
+                    other=b)
 
 
 def q_autocorr_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,6 +344,13 @@ def q_tile_getis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_getis_g(_parts(spark, sf_dir), level=5, box=BOX)
 
 
+def q_tile_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (LISA) per level-5 tile: hot/cold/outlier
+    quadrant + floor(I_i * 2^20), exact integer sums over the full
+    grid, one f64 division."""
+    return tile_local_moran(_parts(spark, sf_dir), level=5, box=BOX)
+
+
 def q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-style bbox covering of the PIP polygons at level 5."""
     verts = spark.createDataFrame(
@@ -440,6 +461,20 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ways): per-session event/type counts, exact µs start/duration,
     order-independent quantized value sum."""
     return sessionize(_read(spark, sf_dir, "events"), gap_s=28800)
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase conversion funnel: each step
+    completed only by an event strictly after the user's earliest
+    completion of the previous step; conv_ppm exact integer DIV."""
+    return funnel(_read(spark, sf_dir, "events"),
+                  steps=("view", "click", "purchase"))
+
+
+def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users cohorted by UTC day of first event,
+    distinct active users per (cohort_day, day_offset)."""
+    return retention(_read(spark, sf_dir, "events"))
 
 
 def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shell_totals": q_shell_totals,
         "autocorr_shells": q_autocorr_shells,
         "ripley_k": q_ripley_k,
+        "cross_k": q_cross_k,
         "weighted_shells": q_weighted_shells,
         "two_point_xi": q_two_point_xi,
         "range_pairs": q_range_pairs,
@@ -1490,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_dbscan": q_tile_dbscan,
         "tile_moran": q_tile_moran,
         "tile_getis": q_tile_getis,
+        "tile_lisa": q_tile_lisa,
         "tile_cover": q_tile_cover,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1499,6 +1536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_l2": q_ann_l2,
         "event_window": q_event_window,
         "event_sessions": q_event_sessions,
+        "event_funnel": q_event_funnel,
+        "event_retention": q_event_retention,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "corpus_clean": q_corpus_clean,
@@ -1639,6 +1678,25 @@ cum AS (SELECT shell_idx, sum(np) OVER (ORDER BY shell_idx) AS cum FROM c)
 SELECT shell_idx, CAST(cum AS BIGINT) AS cum_pairs,
        CAST(floor((CAST(cum AS DOUBLE) * 1000000000.0
                    / CAST(n * (n - 1) AS DOUBLE)) * 1024.0) AS BIGINT) AS k_q10
+FROM cum, t
+""",
+        "cross_k": f"""
+WITH aa AS (SELECT {sql_coord("p_partkey", 0)} AS x, {sql_coord("p_partkey", 1)} AS y,
+                   {sql_coord("p_partkey", 2)} AS z FROM part),
+bb AS (SELECT {sql_coord("c_custkey", 0)} AS x, {sql_coord("c_custkey", 1)} AS y,
+              {sql_coord("c_custkey", 2)} AS z FROM customer),
+d AS (SELECT {_D2} AS d2 FROM aa h CROSS JOIN bb p),
+cnt AS (SELECT {_SHELL_CASE} AS shell_idx, count(*) AS np
+        FROM d WHERE d2 < {R2[-1]} GROUP BY shell_idx),
+shells AS (SELECT CAST(unnest(generate_series(0, {len(EDGES) - 1})) AS INTEGER)
+           AS shell_idx),
+c AS (SELECT s.shell_idx, coalesce(cnt.np, 0) AS np
+      FROM shells s LEFT JOIN cnt USING (shell_idx)),
+t AS (SELECT (SELECT count(*) FROM aa) * (SELECT count(*) FROM bb) AS nn),
+cum AS (SELECT shell_idx, sum(np) OVER (ORDER BY shell_idx) AS cum FROM c)
+SELECT shell_idx, CAST(cum AS BIGINT) AS cum_pairs,
+       CAST(floor((CAST(cum AS DOUBLE) * 1000000000.0
+                   / CAST(nn AS DOUBLE)) * 1024.0) AS BIGINT) AS k_q10
 FROM cum, t
 """,
         "shell_totals": f"""
@@ -1821,6 +1879,41 @@ SELECT tile_id, CAST(cx AS BIGINT) AS n_points,
                   * 1048576.0) AS BIGINT) AS gi_q20
 FROM g
 """,
+        "tile_lisa": f"""
+WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),
+t AS (SELECT least(greatest(CAST(floor(x / 31.25) AS BIGINT), 0), 31) AS tx,
+             least(greatest(CAST(floor(y / 31.25) AS BIGINT), 0), 31) AS ty FROM p),
+tcnt AS (SELECT tx, ty, count(*) AS n FROM t GROUP BY tx, ty),
+offs AS (SELECT gx.a AS dx, gy.b AS dy
+         FROM unnest(generate_series(-1, 1)) AS gx(a),
+              unnest(generate_series(-1, 1)) AS gy(b)),
+scat AS (SELECT tx + dx AS rx, ty + dy AS ry, n,
+                CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END AS own
+         FROM tcnt, offs
+         WHERE tx + dx BETWEEN 0 AND 31 AND ty + dy BETWEEN 0 AND 31),
+cell AS (SELECT rx, ry, sum(own * n) AS cx, sum((1 - own) * n) AS cr
+         FROM scat GROUP BY rx, ry),
+cm AS (SELECT rx, ry, cx, cr,
+              (least(rx + 1, 31) - greatest(rx - 1, 0) + 1)
+            * (least(ry + 1, 31) - greatest(ry - 1, 0) + 1) - 1 AS m FROM cell),
+tot AS (SELECT CAST(sum(cx) AS HUGEINT) AS s,
+               sum(CAST(cx AS HUGEINT) * CAST(cx AS HUGEINT)) AS s2 FROM cell),
+{morton_sql_ctes("cm", "rx", "ry", out="ml")},
+g AS (SELECT tile_id, cx, cr, m,
+             CAST(1024 AS HUGEINT) * CAST(cx AS HUGEINT) - tot.s AS dx,
+             CAST(1024 AS HUGEINT) * CAST(cr AS HUGEINT)
+               - tot.s * CAST(m AS HUGEINT) AS dr,
+             CAST(1024 AS HUGEINT) * tot.s2 - tot.s * tot.s AS b
+      FROM ml5, tot)
+SELECT tile_id, CAST(cx AS BIGINT) AS n_points,
+       CAST(cr AS BIGINT) AS neigh_sum, CAST(m AS BIGINT) AS m,
+       CAST(CASE WHEN dx > 0 AND dr > 0 THEN 1
+                 WHEN dx <= 0 AND dr <= 0 THEN 2
+                 WHEN dx > 0 THEN 3 ELSE 4 END AS INTEGER) AS quad,
+       CAST(floor((CAST(dx * dr AS DOUBLE) / CAST(b AS DOUBLE))
+                  * 1048576.0) AS BIGINT) AS ii_q20
+FROM g
+""",
         "tile_cover": f"""
 WITH v(poly_id, x, y) AS (VALUES {", ".join(
     f"(CAST({pid} AS BIGINT), {float(x)}, {float(y)})"
@@ -1909,6 +2002,34 @@ SELECT user_id, CAST(session_ord AS BIGINT) AS session_ord,
        min(us) AS start_us, max(us) - min(us) AS dur_us,
        CAST(sum(vq) AS BIGINT) AS value_q10
 FROM s GROUP BY user_id, session_ord
+""",
+        "event_funnel": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type AS et FROM events),
+s0 AS (SELECT user_id, min(us) AS t FROM e WHERE et = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s0 ON e.user_id = s0.user_id
+       WHERE e.et = 'click' AND e.us > s0.t GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.et = 'purchase' AND e.us > s1.t GROUP BY e.user_id),
+c AS (SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS step, count(*) AS n FROM s0
+      UNION ALL SELECT 1, 'click', count(*) FROM s1
+      UNION ALL SELECT 2, 'purchase', count(*) FROM s2),
+b AS (SELECT n AS base FROM c WHERE step_idx = 0)
+SELECT step_idx, step, CAST(n AS BIGINT) AS n_users,
+       CAST(CASE WHEN base > 0 THEN (n * 1000000) // base ELSE 0 END
+            AS BIGINT) AS conv_ppm
+FROM c, b
+""",
+        "event_retention": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+f AS (SELECT user_id, CAST(floor(min(us) / 86400000000) AS BIGINT)
+             AS cohort_day FROM e GROUP BY user_id),
+j AS (SELECT e.user_id, f.cohort_day,
+             CAST(floor(e.us / 86400000000) AS BIGINT) - f.cohort_day
+             AS day_offset
+      FROM e JOIN f ON e.user_id = f.user_id)
+SELECT cohort_day, day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j WHERE day_offset >= 0 GROUP BY cohort_day, day_offset
 """,
         "sjcs_images_f64": _sjcs_images_f64_sql(),
         "image_features": _image_features_sql(),

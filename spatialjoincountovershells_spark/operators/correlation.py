@@ -125,6 +125,8 @@ def ripley_k(
     dtype: str = "float64",
     id_col: str | None = None,
     n: int | None = None,
+    other: DataFrame | None = None,
+    n_other: int | None = None,
 ) -> DataFrame:
     """Ripley's K function at each shell edge — the cumulative twin of
     the auto-correlation shell counts (K is THE standard second-order
@@ -134,21 +136,34 @@ def ripley_k(
         K(r_k) = V * cum_k / (n * (n - 1)),
         cum_k  = # ordered pairs with d < edges[k]  (self-pairs removed)
 
+    With `other` given this is the CROSS-type K (the bivariate
+    K_ab(r) of marked point-pattern analysis — clustering of type-b
+    points around type-a points): cum counts (a, b) pairs with no
+    self-pair subtraction and the normalizer is n_a * n_b.
+
     -> one row per edge: (shell_idx int, cum_pairs long, k_q10 long)
     with k_q10 = floor(K * 2^10).  Empty shells still emit a row (the
     cumulative is defined there), unlike the per-shell pair_totals.
 
     Numerics contract: cum is an exact int64; the ONE f64 tree
     ((cum * V) / nn) * 1024 is mirrored verbatim in the DuckDB oracle
-    (V = box^3 and nn = n*(n-1) are both exactly representable).
+    (V = box^3 and the normalizer nn are both exactly representable).
 
-    Scale shape: one shell_count self-join job (full plan repertoire)
-    + an nshell-row cumulative window — the window's single-partition
-    sort is over len(edges) rows, never data."""
+    Scale shape: one shell_count (self- or cross-)join job (full plan
+    repertoire) + an nshell-row cumulative window — the window's
+    single-partition sort is over len(edges) rows, never data."""
     edges = np.asarray(edges)
     spark = points.sparkSession
     nd = n if n is not None else points.count()
-    tot = pair_totals(points, points, edges, box, plan, dtype, id_col, nd)
+    if other is None:
+        nn = nd * (nd - 1)
+        tot = pair_totals(points, points, edges, box, plan, dtype,
+                          id_col, nd)
+    else:
+        nb = n_other if n_other is not None else other.count()
+        nn = nd * nb
+        tot = pair_totals(points, other, edges, box, plan, dtype,
+                          id_col, None)
     shells = spark.range(len(edges)).select(
         F.col("id").cast("int").alias("shell_idx")
     )
@@ -165,7 +180,7 @@ def ripley_k(
     k_q10 = F.floor(
         (
             (F.col("cum_pairs").cast("double") * F.lit(float(box) ** 3))
-            / F.lit(float(nd * (nd - 1)))
+            / F.lit(float(nn))
         )
         * F.lit(1024.0)
     )

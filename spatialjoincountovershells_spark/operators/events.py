@@ -1,5 +1,5 @@
-"""Event-log sessionization — split each user's event stream into
-sessions at inactivity gaps and aggregate per-session stats.
+"""Event-log analytics — sessionization, ordered conversion funnels,
+and retention cohorts over a (user, ts, type, value) event stream.
 
 Part of the training-data / analytics pipeline surface (the reference
 engine has no event-log operators; this extends the engine the same
@@ -82,4 +82,128 @@ def sessionize(
         F.min("_us").alias("start_us"),
         (F.max("_us") - F.min("_us")).alias("dur_us"),
         F.sum("_vq").alias("value_q10"),
+    )
+
+
+def _events_us(
+    events: DataFrame, user_col: str, ts_col: str, type_col: str
+) -> DataFrame:
+    """(user_id, _us epoch-µs, _etype) projection — the shared exact
+    integer-time base of funnel/retention (TIMESTAMP_NTZ-safe, same
+    UTC contract as sessionize)."""
+    return events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(type_col).alias("_etype"),
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: a user completes step k when they
+    have a step-k event STRICTLY after their earliest completion of
+    step k-1 (the classic strictly-increasing-timestamp funnel; equal
+    timestamps do NOT advance the funnel — exact integer µs, so the
+    contract is deterministic).
+
+    -> one row per step: (step_idx int 0-based, step string,
+    n_users long, conv_ppm long) with conv_ppm = (n_users * 10^6)
+    integer-DIV step-0 users (exact; 1_000_000 for step 0 itself,
+    0 everywhere when step 0 has no users).
+
+    Scale shape: k per-user min-aggregations, each joined back on the
+    user key — the per-step completion tables shrink monotonically and
+    AQE broadcasts them once they fit; the event table is scanned once
+    per step but never self-joined.  Final output is k 1-row aggs
+    unioned (k rows total)."""
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    e = _events_us(events, user_col, ts_col, type_col).persist()
+    completed = (
+        e.where(F.col("_etype") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("_t"))
+    )
+    per_step = [completed]
+    for st in steps[1:]:
+        completed = (
+            e.where(F.col("_etype") == st)
+            .join(completed, "user_id")
+            .where(F.col("_us") > F.col("_t"))
+            .groupBy("user_id")
+            .agg(F.min("_us").alias("_t"))
+        )
+        per_step.append(completed)
+    counts = None
+    for k, (st, df) in enumerate(zip(steps, per_step)):
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(k).cast("int").alias("step_idx"),
+            F.lit(st).alias("step"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    base = counts.where(F.col("step_idx") == 0).select(
+        F.col("n_users").alias("_base")
+    )
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .select(
+            "step_idx", "step", "n_users",
+            # integer DIV keeps the ratio exact (no f64 rounding)
+            F.when(F.col("_base") > 0,
+                   F.expr("(n_users * 1000000) DIV _base"))
+            .otherwise(F.lit(0)).cast("long").alias("conv_ppm"),
+        )
+    )
+
+
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    cohort_type: str | None = None,
+) -> DataFrame:
+    """Retention cohorts: cohort a user by the UTC day of their first
+    event (optionally first event of `cohort_type`, e.g. "signup"),
+    then count distinct users active at each whole-day offset.
+
+    -> (cohort_day long days-since-epoch, day_offset long >= 0,
+    n_users long).  Day boundaries are exact integer floor-division of
+    epoch-µs (no timezone/DST arithmetic — the same UTC contract as
+    the rest of the module); users whose first `cohort_type` event
+    postdates some of their activity contribute only offsets >= 0.
+
+    Scale shape: one per-user min-aggregation + one join back on the
+    user key + one (cohort, offset) aggregation; countDistinct adds
+    one dedup shuffle (exact by contract — approx_count_distinct is
+    the knob at 10^9 users, not the default)."""
+    day_us = 86_400_000_000
+    e = _events_us(events, user_col, ts_col, type_col)
+    first_src = e if cohort_type is None else e.where(
+        F.col("_etype") == cohort_type
+    )
+    first = first_src.groupBy("user_id").agg(
+        F.floor(F.min("_us") / F.lit(day_us)).alias("cohort_day")
+    )
+    return (
+        e.join(first, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            (F.floor(F.col("_us") / F.lit(day_us))
+             - F.col("cohort_day")).alias("day_offset"),
+        )
+        .where(F.col("day_offset") >= 0)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("long").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
     )

@@ -562,6 +562,73 @@ def tile_getis_g(
     )
 
 
+def tile_local_moran(
+    points: DataFrame,
+    level: int,
+    box: float = 1000.0,
+    coords: tuple[str, str] = ("x", "y"),
+) -> DataFrame:
+    """Local Moran's I (LISA) per tile — Anselin's local decomposition
+    of tile_moran_i's global statistic (sum_i I_i / W = I); completes
+    the grid spatial-stats triad with tile_getis_g.  Queen contiguity
+    EXCLUDING self, binary weights, population = all 4^level grid cells
+    with empty cells counting x = 0.
+    -> one row per cell touched by an occupied tile's 3x3 stamp:
+    (tile_id, n_points, neigh_sum, m, quad, ii_q20),
+    ii_q20 = floor(I_i * 2^20).
+
+        I_i = (x_i - mean) * sum_j w_ij (x_j - mean) / m2,
+        m2  = sum_k (x_k - mean)^2 / n
+
+    sum_j w_ij (x_j - mean) = r_i - m_i*mean (empty neighbors fold in:
+    each contributes -mean, and m_i counts ALL valid grid neighbors).
+    Multiplying num and denom by n^2 gives the all-integer form
+
+        I_i = (n x_i - S)(n r_i - m_i S) / (n S2 - S^2)
+
+    — every sum exact (decimal(38,0) / HUGEINT), then ONE f64 division
+    + quantize (bit-exact oracle).  `quad` is the LISA quadrant from
+    the exact integer signs (dx = n x_i - S, dr = n r_i - m_i S):
+    1=HH (dx>0, dr>0), 2=LL (dx<=0, dr<=0), 3=HL (dx>0, dr<=0), 4=LH.
+
+    Untouched cells are never materialized (their I_i is the uniform
+    background value S(m_i S - n r_i-part)=... a pure function of m_i).
+    Scale shape: identical to tile_getis_g — one point aggregation,
+    one ring-scatter, a 1-row (S, S2) broadcast."""
+    res = 1 << level
+    n_cells = res * res
+    dec = "decimal(38,0)"
+    cell = _cell_ring_table(points, level, box, coords).persist()
+    tot = cell.agg(
+        F.sum("x").cast(dec).alias("_s"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("_s2"),
+    )
+    j = cell.crossJoin(F.broadcast(tot))
+    dx = F.lit(n_cells).cast(dec) * F.col("x").cast(dec) - F.col("_s")
+    dr = (
+        F.lit(n_cells).cast(dec) * F.col("r").cast(dec)
+        - F.col("_s") * F.col("m").cast(dec)
+    )
+    b = F.lit(n_cells).cast(dec) * F.col("_s2") - F.col("_s") * F.col("_s")
+    ii_q20 = F.floor(
+        ((dx * dr).cast("double") / b.cast("double")) * F.lit(1048576.0)
+    )
+    quad = (
+        F.when((dx > 0) & (dr > 0), F.lit(1))
+        .when((dx <= 0) & (dr <= 0), F.lit(2))
+        .when(dx > 0, F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    return j.select(
+        morton_expr(F.col("rx"), F.col("ry")).alias("tile_id"),
+        F.col("x").cast("long").alias("n_points"),
+        F.col("r").cast("long").alias("neigh_sum"),
+        F.col("m").cast("long").alias("m"),
+        quad.cast("int").alias("quad"),
+        ii_q20.cast("long").alias("ii_q20"),
+    )
+
+
 def tile_cover(
     boxes: DataFrame,
     level: int,

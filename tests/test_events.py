@@ -9,7 +9,11 @@ dur_us = 0.
 import datetime as dt
 import math
 
-from spatialjoincountovershells_spark.operators.events import sessionize
+from spatialjoincountovershells_spark.operators.events import (
+    funnel,
+    retention,
+    sessionize,
+)
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -95,3 +99,87 @@ def test_sessionize_vs_bruteforce(spark):
     assert got[(3, 1)][3] == 0
     # floor toward -inf: -1.001 * 1024 = -1025.024 -> -1026
     assert got[(3, 1)][4] == math.floor(-1.001 * 1024.0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double",
+    )
+
+
+def test_funnel_vs_bruteforce(spark):
+    """Ordered funnel: step k needs an event STRICTLY after the
+    earliest completion of step k-1.  Pinned: out-of-order completion
+    does not count (purchase before click), equal timestamps do not
+    advance, conv_ppm is exact integer DIV."""
+    H = 3_600_000_000  # 1h in µs
+    rows = [
+        # user 1 completes all three in order
+        _ev(1, 1, 0 * H, "view", 0.0),
+        _ev(2, 1, 1 * H, "click", 0.0),
+        _ev(3, 1, 2 * H, "purchase", 0.0),
+        # user 2: purchase BEFORE click -> stops after click
+        _ev(4, 2, 0 * H, "view", 0.0),
+        _ev(5, 2, 1 * H, "purchase", 0.0),
+        _ev(6, 2, 2 * H, "click", 0.0),
+        # user 3: click at the SAME µs as view -> not strictly after
+        _ev(7, 3, 0 * H, "view", 0.0),
+        _ev(8, 3, 0 * H, "click", 0.0),
+        # user 4: never views (click+purchase don't count)
+        _ev(9, 4, 0 * H, "click", 0.0),
+        _ev(10, 4, 1 * H, "purchase", 0.0),
+        # user 5: views twice then clicks; earliest view is the anchor
+        _ev(11, 5, 5 * H, "view", 0.0),
+        _ev(12, 5, 0 * H, "view", 0.0),
+        _ev(13, 5, 3 * H, "click", 0.0),
+    ]
+    out = funnel(_mk_events(spark, rows), steps=("view", "click", "purchase"))
+    got = {r.step_idx: (r.step, r.n_users, r.conv_ppm) for r in out.collect()}
+    # step0: users 1,2,3,5; step1 (click strictly after first view):
+    # 1, 2, 5; step2 (purchase strictly after that click): 1 only
+    assert got == {
+        0: ("view", 4, 1_000_000),
+        1: ("click", 3, 750_000),
+        2: ("purchase", 1, 250_000),
+    }
+
+
+def test_funnel_empty_base(spark):
+    rows = [_ev(1, 1, 0, "click", 0.0)]
+    out = funnel(_mk_events(spark, rows), steps=("view", "click"))
+    got = {r.step_idx: (r.n_users, r.conv_ppm) for r in out.collect()}
+    assert got == {0: (0, 0), 1: (0, 0)}
+
+
+def test_retention_vs_bruteforce(spark):
+    """Cohort by UTC day of first event; distinct-user counts per
+    (cohort_day, offset); a user active twice on one offset day counts
+    once; cohort_type anchors on that event type only."""
+    D = 86_400_000_000
+    rows = [
+        # user 1: first event day 0; active days 0, 0 (dup), 2
+        _ev(1, 1, 0, "view", 0.0),
+        _ev(2, 1, 3600_000_000, "click", 0.0),
+        _ev(3, 1, 2 * D + 5, "view", 0.0),
+        # user 2: first event day 0 (just before midnight); day 1 visit
+        _ev(4, 2, D - 1, "view", 0.0),
+        _ev(5, 2, D + 1, "click", 0.0),
+        # user 3: first event day 1
+        _ev(6, 3, D + 7, "signup", 0.0),
+        _ev(7, 3, 3 * D, "purchase", 0.0),
+    ]
+    ev = _mk_events(spark, rows)
+    base = int(T0.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    got = {
+        (r.cohort_day - base, r.day_offset): r.n_users
+        for r in retention(ev).collect()
+    }
+    assert got == {(0, 0): 2, (0, 2): 1, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+    # cohort on signup: only user 3 has a cohort; their view on day 1
+    # predates nothing (signup IS day 1), purchase lands at offset 2
+    got_s = {
+        (r.cohort_day - base, r.day_offset): r.n_users
+        for r in retention(ev, cohort_type="signup").collect()
+    }
+    assert got_s == {(1, 0): 1, (1, 2): 1}

@@ -310,3 +310,40 @@ def test_ripley_k_vs_bruteforce(spark, rk_plan):
     out = ripley_k(df, edges, plan=rk_plan)
     got = {r.shell_idx: (r.cum_pairs, r.k_q10) for r in out.collect()}
     assert got == want
+
+
+def test_cross_k_vs_bruteforce(spark):
+    """Bivariate K: cross pairs (no self subtraction), normalizer
+    n_a * n_b; a clustered B-around-A layout gives K far above the
+    CSR ball volume at small r."""
+    from spatialjoincountovershells_spark.operators.correlation import ripley_k
+
+    rng = np.random.default_rng(11)
+    A = rng.uniform(0, 1000.0, size=(40, 3))
+    # B: 5 points tightly around each A point -> strong cross-clustering
+    B = (A[:, None, :] + rng.normal(0, 3.0, size=(40, 5, 3))).reshape(-1, 3) % 1000.0
+    edges = np.array([10.0, 50.0, 200.0])
+    r2 = squared_edges(edges).astype(np.float64)
+    d = np.abs(A[:, None, :] - B[None, :, :])
+    d = np.minimum(d, 1000.0 - d)
+    d2 = (d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1]) + d[..., 2] * d[..., 2]
+    sh = np.searchsorted(r2, d2.ravel(), side="right")
+    t = np.bincount(sh[sh < len(r2)], minlength=len(r2)).astype(np.int64)
+    cum = np.cumsum(t)
+    nn = len(A) * len(B)
+    want = {
+        s: (int(cum[s]),
+            int(np.floor((float(cum[s]) * 1000.0 ** 3) / float(nn) * 1024.0)))
+        for s in range(len(edges))
+    }
+    assert cum[0] >= len(A) * 4  # the clustering really is in shell 0
+    mk = lambda P: spark.createDataFrame(  # noqa: E731
+        [(float(x), float(y), float(z)) for x, y, z in P],
+        "x double, y double, z double",
+    )
+    out = ripley_k(mk(A), edges, other=mk(B))
+    got = {r.shell_idx: (r.cum_pairs, r.k_q10) for r in out.collect()}
+    assert got == want
+    # CSR expectation at r=10: V_ball/V_box * nn ~ 0.0042 * nn; the
+    # planted clustering exceeds it by orders of magnitude
+    assert got[0][1] > 100 * np.floor(4.0 / 3.0 * np.pi * 10.0 ** 3 * 1.024)

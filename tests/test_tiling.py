@@ -20,6 +20,7 @@ from spatialjoincountovershells_spark.operators.tiling import (
     tile_dbscan,
     tile_getis_g,
     tile_kring_stats,
+    tile_local_moran,
     tile_moran_i,
     tile_parent_expr,
     tile_rollup,
@@ -328,6 +329,61 @@ def test_tile_getis_vs_bruteforce(spark, level, seed):
     # blobby data: at least one clear hot spot and one cold cell
     assert max(v[3] for v in want.values()) > 2 * 1048576
     assert min(v[3] for v in want.values()) < 0
+
+
+@pytest.mark.parametrize("level,seed", [(3, 23), (4, 5)])
+def test_tile_local_moran_vs_bruteforce(spark, level, seed):
+    """LISA matches exact-integer python math over the FULL grid:
+    I_i = (n x_i - S)(n r_i - m_i S)/(n S2 - S^2), queen weights excl.
+    self, quadrant from the exact integer signs; per-cell I_i sums to
+    W * global I (Anselin's decomposition) up to the untouched-cell
+    background terms."""
+    res = 1 << level
+    pts = _blobby_points(seed=seed)
+    grid = _grid_counts(pts, level)
+    n_cells = res * res
+    s = int(grid.sum())
+    s2 = int((grid.astype(object) ** 2).sum())
+    b = n_cells * s2 - s * s
+    want = {}
+    for a_ in range(res):
+        for b_ in range(res):
+            r_sum = 0
+            m = 0
+            touched = grid[a_, b_] > 0
+            for da in (-1, 0, 1):
+                for db in (-1, 0, 1):
+                    if da == 0 and db == 0:
+                        continue
+                    na, nb = a_ + da, b_ + db
+                    if 0 <= na < res and 0 <= nb < res:
+                        m += 1
+                        r_sum += int(grid[na, nb])
+                        if grid[na, nb] > 0:
+                            touched = True
+            if not touched:
+                continue
+            dx = n_cells * int(grid[a_, b_]) - s
+            dr = n_cells * r_sum - m * s
+            ii = float(dx * dr) / float(b)
+            quad = (1 if dx > 0 and dr > 0 else
+                    2 if dx <= 0 and dr <= 0 else
+                    3 if dx > 0 else 4)
+            key = int(morton_np(np.array([a_]), np.array([b_]))[0])
+            want[key] = (int(grid[a_, b_]), r_sum, m, quad,
+                         int(np.floor(ii * 1048576.0)))
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    )
+    got = {
+        r.tile_id: (r.n_points, r.neigh_sum, r.m, r.quad, r.ii_q20)
+        for r in tile_local_moran(df, level=level).collect()
+    }
+    assert got == want
+    # blobby data exhibits all the interesting quadrants: hot cores
+    # (HH, positive I) and cold background (LL, positive I)
+    quads = {v[3] for v in want.values()}
+    assert 1 in quads and 2 in quads
 
 
 def test_tile_cover_vs_bruteforce(spark):
