@@ -52,6 +52,7 @@ from spatialjoincountovershells_spark.operators.pip import point_in_polygon  # n
 from spatialjoincountovershells_spark.operators.semi_join import filter_halos  # noqa: E402
 from spatialjoincountovershells_spark.operators.correlation import (  # noqa: E402
     landy_szalay_xi,
+    nn_dist_cdf,
     ripley_k,
     pair_totals,
 )
@@ -90,6 +91,7 @@ from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     rasterize_points,
     tile_cover,
     tile_dbscan,
+    tile_adaptive,
     tile_getis_g,
     tile_kring_stats,
     tile_local_moran,
@@ -211,6 +213,22 @@ def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                     other=b)
 
 
+def q_g_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-function: CDF of each point's 1-NN distance at the shell
+    edges (self excluded by id), censored beyond edges[-1]; exact
+    integer counts + integer-DIV ppm."""
+    p = _parts(spark, sf_dir, table="part", key="p_partkey")
+    return nn_dist_cdf(p, EDGES, box=BOX, id_col="particle_id")
+
+
+def q_f_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F (empty-space) function: CDF of the distance from customer-
+    keyed reference probes to the nearest part-keyed data point."""
+    p = _parts(spark, sf_dir, table="part", key="p_partkey")
+    r = _parts(spark, sf_dir, table="customer", key="c_custkey")
+    return nn_dist_cdf(p, EDGES, box=BOX, ref=r)
+
+
 def q_autocorr_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-correlation pair counts DD(r): shell_count in big x big
     SELF-join mode (both sides the same table — the 2-point correlation
@@ -315,6 +333,14 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution Z-order (Morton) count pyramid, levels 0..6."""
     return tile_rollup(_parts(spark, sf_dir), max_level=6, box=BOX)
+
+
+def q_tile_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree leaves: split tiles over 64 points until
+    level 6 — dense regions refine, sparse regions stay coarse; leaves
+    partition the point set."""
+    return tile_adaptive(_parts(spark, sf_dir), max_level=6, capacity=64,
+                         box=BOX)
 
 
 def q_tile_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1511,6 +1537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr_shells": q_autocorr_shells,
         "ripley_k": q_ripley_k,
         "cross_k": q_cross_k,
+        "g_function": q_g_function,
+        "f_function": q_f_function,
         "weighted_shells": q_weighted_shells,
         "two_point_xi": q_two_point_xi,
         "range_pairs": q_range_pairs,
@@ -1522,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon_grid": q_point_in_polygon_grid,
         "tile_assign": q_tile_assign,
         "tile_rollup": q_tile_rollup,
+        "tile_adaptive": q_tile_adaptive,
         "tile_kring": q_tile_kring,
         "tile_dbscan": q_tile_dbscan,
         "tile_moran": q_tile_moran,
@@ -1699,6 +1728,42 @@ SELECT shell_idx, CAST(cum AS BIGINT) AS cum_pairs,
                    / CAST(nn AS DOUBLE)) * 1024.0) AS BIGINT) AS k_q10
 FROM cum, t
 """,
+        "g_function": f"""
+WITH pp AS (SELECT p_partkey AS id, {sql_coord("p_partkey", 0)} AS x,
+      {sql_coord("p_partkey", 1)} AS y, {sql_coord("p_partkey", 2)} AS z FROM part),
+mins AS (SELECT h.id AS qid, min({_D2}) AS d2
+         FROM pp h JOIN pp p ON h.id != p.id GROUP BY h.id),
+cnt AS (SELECT {_SHELL_CASE} AS shell_idx, count(*) AS c
+        FROM mins WHERE d2 < {R2[-1]} GROUP BY shell_idx),
+shells AS (SELECT CAST(unnest(generate_series(0, {len(EDGES) - 1})) AS INTEGER)
+           AS shell_idx),
+j AS (SELECT s.shell_idx, coalesce(cnt.c, 0) AS c
+      FROM shells s LEFT JOIN cnt USING (shell_idx)),
+t AS (SELECT count(*) AS n FROM pp),
+cum AS (SELECT shell_idx, sum(c) OVER (ORDER BY shell_idx) AS cum FROM j)
+SELECT shell_idx, CAST(cum AS BIGINT) AS n_lt,
+       CAST((cum * 1000000) // n AS BIGINT) AS g_ppm
+FROM cum, t
+""",
+        "f_function": f"""
+WITH pp AS (SELECT {sql_coord("p_partkey", 0)} AS x, {sql_coord("p_partkey", 1)} AS y,
+                   {sql_coord("p_partkey", 2)} AS z FROM part),
+cc AS (SELECT c_custkey AS id, {sql_coord("c_custkey", 0)} AS x,
+              {sql_coord("c_custkey", 1)} AS y, {sql_coord("c_custkey", 2)} AS z FROM customer),
+mins AS (SELECT h.id AS qid, min({_D2}) AS d2
+         FROM cc h CROSS JOIN pp p GROUP BY h.id),
+cnt AS (SELECT {_SHELL_CASE} AS shell_idx, count(*) AS c
+        FROM mins WHERE d2 < {R2[-1]} GROUP BY shell_idx),
+shells AS (SELECT CAST(unnest(generate_series(0, {len(EDGES) - 1})) AS INTEGER)
+           AS shell_idx),
+j AS (SELECT s.shell_idx, coalesce(cnt.c, 0) AS c
+      FROM shells s LEFT JOIN cnt USING (shell_idx)),
+t AS (SELECT count(*) AS n FROM cc),
+cum AS (SELECT shell_idx, sum(c) OVER (ORDER BY shell_idx) AS cum FROM j)
+SELECT shell_idx, CAST(cum AS BIGINT) AS n_lt,
+       CAST((cum * 1000000) // n AS BIGINT) AS g_ppm
+FROM cum, t
+""",
         "shell_totals": f"""
 WITH base AS ({shell_sql})
 SELECT shell_idx, CAST(sum(cnt) AS BIGINT) AS total FROM base GROUP BY shell_idx
@@ -1762,6 +1827,22 @@ SELECT CAST(lv.level AS INTEGER) AS level,
        f.tile_id >> (2 * (6 - lv.level)) AS tile_id,
        CAST(sum(f.n) AS BIGINT) AS n_points
 FROM f, lv GROUP BY 1, 2
+""",
+        "tile_adaptive": f"""
+WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),
+t AS (SELECT least(greatest(CAST(floor(x / 15.625) AS BIGINT), 0), 63) AS tx,
+             least(greatest(CAST(floor(y / 15.625) AS BIGINT), 0), 63) AS ty FROM p),
+{morton_sql_ctes("t", "tx", "ty")},
+f AS (SELECT tile_id, count(*) AS n FROM m5 GROUP BY tile_id),
+lv AS (SELECT unnest(generate_series(0, 6)) AS level),
+pyr AS (SELECT lv.level AS level, f.tile_id >> (2 * (6 - lv.level)) AS tile_id,
+               sum(f.n) AS n
+        FROM f, lv GROUP BY 1, 2)
+SELECT CAST(c.level AS INTEGER) AS level, c.tile_id AS tile_id,
+       CAST(c.n AS BIGINT) AS n_points
+FROM pyr c LEFT JOIN pyr pa
+  ON pa.level = c.level - 1 AND pa.tile_id = c.tile_id >> 2
+WHERE (c.n <= 64 OR c.level = 6) AND (c.level = 0 OR pa.n > 64)
 """,
         "tile_kring": f"""
 WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),

@@ -189,3 +189,108 @@ def ripley_k(
         F.col("cum_pairs").cast("long").alias("cum_pairs"),
         k_q10.cast("long").alias("k_q10"),
     )
+
+
+def nn_dist_cdf(
+    points: DataFrame,
+    edges: np.ndarray,
+    box: float = 1000.0,
+    dtype: str = "float64",
+    id_col: str | None = None,
+    ref: DataFrame | None = None,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Nearest-neighbour distance CDF — the G-function of point-pattern
+    analysis (and, with `ref` given, the F / empty-space function:
+    distance from reference probes to the nearest data point).  The
+    third classic second-order statistic alongside K (`ripley_k`),
+    evaluated at the same shell edges:
+
+        G(r_k) = #{probes whose 1-NN distance < edges[k]} / n_probe
+
+    Self-mode (`ref=None`) excludes the probe itself via `id_col`
+    (REQUIRED then — identity must be explicit, not inferred from
+    d == 0, so coincident distinct points still count as neighbours).
+    Probes whose nearest neighbour lies beyond edges[-1] are censored
+    (standard for the bounded-r estimator): they appear in n_probe but
+    never in the counts.
+
+    -> one row per edge: (shell_idx int, n_lt long cumulative probe
+    count, g_ppm long = (n_lt * 10^6) integer-DIV n_probe — exact).
+
+    Scale shape: ONE ring-1 cell equi-join at cell size >= edges[-1]
+    (ring-1 provably covers every pair within rmax) + a per-probe min
+    aggregation on the probe key + an nshell-row cumulative window.
+    No k-widening loop: unlike `knn`, the search radius is bounded up
+    front, so censoring replaces iteration."""
+    from pyspark.sql.window import Window
+
+    from ..functions.geometry import squared_distance_expr
+    from ..functions.shells import shell_index_expr, squared_edges
+    from .cells import explode_ring, grid_ncells, with_cell
+    from .shell_count import _H, _P
+
+    edges = np.asarray(edges)
+    rmax = float(edges[-1])
+    if not rmax < box / 2:
+        raise ValueError(f"r_max={rmax} must be < box/2={box / 2}")
+    self_mode = ref is None
+    if self_mode and id_col is None:
+        raise ValueError("self-mode (ref=None) requires id_col")
+    spark = points.sparkSession
+    probe_src = points if self_mode else ref
+    if id_col is not None and id_col in probe_src.columns:
+        probe = probe_src.select(
+            F.col(id_col).alias("_qid"),
+            *[F.col(c).alias(a) for c, a in zip(("x", "y", "z"), _H)],
+        )
+    else:
+        probe = probe_src.select(
+            F.monotonically_increasing_id().alias("_qid"),
+            *[F.col(c).alias(a) for c, a in zip(("x", "y", "z"), _H)],
+        )
+    np_ = n_probe if n_probe is not None else probe.count()
+    if np_ <= 0:
+        raise ValueError("empty probe set")
+    nc = grid_ncells(rmax, box)
+    h = explode_ring(probe, nc, box, cols=_H, k=1, prune_radius=rmax)
+    data_cols = [F.col(c).alias(a) for c, a in zip(("x", "y", "z"), _P)]
+    if self_mode:
+        p = points.select(F.col(id_col).alias("_did"), *data_cols)
+    else:
+        p = points.select(*data_cols)
+    p = with_cell(p, nc, box, cols=_P)
+    j = h.join(p, "cell_id")
+    if self_mode:
+        j = j.where(F.col("_qid") != F.col("_did"))
+    r2 = squared_edges(edges)
+    d2 = squared_distance_expr(_H, _P, box, dtype)
+    m = (
+        j.select("_qid", d2.alias("_d2"))
+        .where(F.col("_d2") < F.lit(float(r2[-1])))
+        .groupBy("_qid")
+        .agg(F.min("_d2").alias("_m"))
+    )
+    cnt = (
+        m.select(shell_index_expr(F.col("_m"), r2).alias("shell_idx"))
+        .groupBy("shell_idx")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    shells = spark.range(len(edges)).select(
+        F.col("id").cast("int").alias("shell_idx")
+    )
+    w = Window.orderBy("shell_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        shells.join(cnt, "shell_idx", "left")
+        .select("shell_idx", F.coalesce(F.col("_n"), F.lit(0)).alias("_n"))
+        .select("shell_idx", F.sum("_n").over(w).alias("n_lt"))
+    )
+    return cum.select(
+        "shell_idx",
+        F.col("n_lt").cast("long").alias("n_lt"),
+        F.expr(f"(n_lt * 1000000) DIV {int(np_)}")
+        .cast("long")
+        .alias("g_ppm"),
+    )

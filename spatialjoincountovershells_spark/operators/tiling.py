@@ -184,6 +184,60 @@ def tile_rollup(
     )
 
 
+def tile_adaptive(
+    points: DataFrame,
+    max_level: int,
+    capacity: int,
+    box: float = 1000.0,
+    coords: tuple[str, str] = ("x", "y"),
+) -> DataFrame:
+    """Adaptive quadtree refinement: recursively split every tile whose
+    count exceeds `capacity`, stopping at `max_level` — the occupied
+    LEAF tiles of the variable-depth quadtree (an S2-style adaptive
+    covering: dense regions get fine tiles, sparse regions coarse
+    ones).  Empty siblings of split tiles are never materialized.
+
+    -> (level int, tile_id long Morton id AT that level, n_points
+    long).  Leaves partition the points: n_points sums to the input
+    count, and no leaf is an ancestor of another.
+
+    No recursion at execution time: counts are monotone non-increasing
+    down any root->tile chain, so "every ancestor was split" collapses
+    to "the direct parent's count > capacity", and the whole tree
+    evaluates as ONE pyramid (`tile_rollup`: one point-table shuffle +
+    one pyramid shuffle) + ONE self-join of the tiny tile table on the
+    2-bit-shift parent key:
+
+        leaf(T, L) :=  (n(T) <= capacity  OR  L == max_level)
+                   AND (L == 0            OR  n(parent(T)) > capacity)
+    """
+    if max_level < 0 or capacity < 1:
+        raise ValueError("need max_level >= 0 and capacity >= 1")
+    # persisted: both sides of the parent self-join read the pyramid —
+    # unpersisted, each side would re-scan the full point table
+    pyr = tile_rollup(points, max_level, box, coords).persist()
+    parent = pyr.select(
+        (F.col("level") + 1).alias("_plevel"),
+        F.col("tile_id").alias("_ptile"),
+        F.col("n_points").alias("_pn"),
+    )
+    child = pyr.join(
+        parent,
+        (F.col("level") == F.col("_plevel"))
+        & (F.shiftright(F.col("tile_id"), 2) == F.col("_ptile")),
+        "left",
+    )
+    is_leaf = (
+        (F.col("n_points") <= F.lit(int(capacity)))
+        | (F.col("level") == F.lit(int(max_level)))
+    ) & ((F.col("level") == 0) | (F.col("_pn") > F.lit(int(capacity))))
+    return child.where(is_leaf).select(
+        F.col("level").cast("int").alias("level"),
+        F.col("tile_id").cast("long").alias("tile_id"),
+        F.col("n_points").cast("long").alias("n_points"),
+    )
+
+
 def _tile_counts(
     points: DataFrame,
     level: int,

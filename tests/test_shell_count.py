@@ -347,3 +347,54 @@ def test_cross_k_vs_bruteforce(spark):
     # CSR expectation at r=10: V_ball/V_box * nn ~ 0.0042 * nn; the
     # planted clustering exceeds it by orders of magnitude
     assert got[0][1] > 100 * np.floor(4.0 / 3.0 * np.pi * 10.0 ** 3 * 1.024)
+
+
+@pytest.mark.parametrize("mode", ["g", "f"])
+def test_nn_dist_cdf_vs_bruteforce(spark, mode):
+    """G/F nearest-neighbour CDFs: per-probe periodic 1-NN min,
+    censored beyond edges[-1], exact integer-DIV ppm.  Sparse-enough
+    layout that some probes ARE censored (the contract's tail case)."""
+    from spatialjoincountovershells_spark.operators.correlation import (
+        nn_dist_cdf,
+    )
+
+    rng = np.random.default_rng(13)
+    P = rng.uniform(0, 1000.0, size=(120, 3))
+    R = rng.uniform(0, 1000.0, size=(50, 3))
+    edges = np.array([5.0, 40.0, 150.0])
+    probes, data, excl_diag = (P, P, True) if mode == "g" else (R, P, False)
+    d = np.abs(probes[:, None, :] - data[None, :, :])
+    d = np.minimum(d, 1000.0 - d)
+    d2 = (d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1]) + d[..., 2] * d[..., 2]
+    if excl_diag:
+        np.fill_diagonal(d2, np.inf)
+    mn = d2.min(axis=1)
+    r2 = squared_edges(edges).astype(np.float64)
+    n = len(probes)
+    cum = [int((mn < e).sum()) for e in r2]
+    assert cum[-1] < n  # censoring really happens
+    assert cum[0] >= 0 and cum[-1] > 0
+    want = {s: (cum[s], cum[s] * 1_000_000 // n) for s in range(len(edges))}
+    mk = lambda A, with_id: spark.createDataFrame(  # noqa: E731
+        [(i, float(x), float(y), float(z)) for i, (x, y, z) in enumerate(A)],
+        "pid long, x double, y double, z double",
+    ) if with_id else spark.createDataFrame(
+        [(float(x), float(y), float(z)) for x, y, z in A],
+        "x double, y double, z double",
+    )
+    if mode == "g":
+        out = nn_dist_cdf(mk(P, True), edges, id_col="pid")
+    else:
+        out = nn_dist_cdf(mk(P, False), edges, ref=mk(R, False))
+    got = {r.shell_idx: (r.n_lt, r.g_ppm) for r in out.collect()}
+    assert got == want
+
+
+def test_nn_dist_cdf_requires_id_in_self_mode(spark):
+    from spatialjoincountovershells_spark.operators.correlation import (
+        nn_dist_cdf,
+    )
+
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], "x double, y double, z double")
+    with pytest.raises(ValueError, match="id_col"):
+        nn_dist_cdf(df, np.array([10.0]))

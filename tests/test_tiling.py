@@ -15,6 +15,7 @@ from spatialjoincountovershells_spark.operators.tiling import (
     morton_np,
     morton_sql_ctes,
     morton_tile_expr,
+    tile_adaptive,
     tile_children,
     tile_cover,
     tile_dbscan,
@@ -329,6 +330,56 @@ def test_tile_getis_vs_bruteforce(spark, level, seed):
     # blobby data: at least one clear hot spot and one cold cell
     assert max(v[3] for v in want.values()) > 2 * 1048576
     assert min(v[3] for v in want.values()) < 0
+
+
+@pytest.mark.parametrize("cap,max_level", [(8, 4), (3, 3), (10_000, 4), (5, 0)])
+def test_tile_adaptive_vs_bruteforce(spark, cap, max_level):
+    """Adaptive quadtree leaves match a literal recursive python
+    splitter; leaves partition the points (counts sum to n, no leaf is
+    another's ancestor); cap=10000 degenerates to the single root
+    leaf; max_level=0 cannot split regardless of cap."""
+    pts = _blobby_points(seed=77)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    )
+
+    def tile_of(p, level):
+        res = 1 << level
+        tx = min(max(int(np.floor(p[0] / (1000.0 / res))), 0), res - 1)
+        ty = min(max(int(np.floor(p[1] / (1000.0 / res))), 0), res - 1)
+        return int(morton_np(np.array([tx]), np.array([ty]))[0])
+
+    want = {}
+
+    def split(level, tile, idx):
+        if len(idx) == 0:
+            return
+        if len(idx) <= cap or level == max_level:
+            want[(level, tile)] = len(idx)
+            return
+        for q in range(4):
+            child = (tile << 2) | q
+            sub = [i for i in idx if tile_of(pts[i], level + 1) == child]
+            split(level + 1, child, sub)
+
+    split(0, 0, list(range(len(pts))))
+    got = {
+        (r.level, r.tile_id): r.n_points
+        for r in tile_adaptive(df, max_level=max_level, capacity=cap).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == len(pts)
+    # no leaf is an ancestor of another
+    keys = sorted(got)
+    for la, ta in keys:
+        for lb, tb in keys:
+            if lb > la:
+                assert tb >> (2 * (lb - la)) != ta or (la, ta) == (lb, tb)
+    if cap == 10_000 or max_level == 0:
+        assert got == {(0, 0): len(pts)}
+    elif cap == 8:
+        # blobby data at this shape really is depth-heterogeneous
+        assert len({lv for lv, _ in got}) > 1
 
 
 @pytest.mark.parametrize("level,seed", [(3, 23), (4, 5)])
