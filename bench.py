@@ -55,7 +55,10 @@ EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign",
                  "point_in_polygon_grid",
                  "cosine_dedup", "corpus_clean", "image_features",
                  "video_frames", "audio_stats",
-                 "decontaminate", "repetition_stats")
+                 "decontaminate", "repetition_stats",
+                 # round-3 additions: per-probe min join (G-function),
+                 # per-user session windows, pyramid self-join
+                 "g_function", "event_sessions", "tile_adaptive")
 
 
 def sf_of(sf_dir: str) -> float:
