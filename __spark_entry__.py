@@ -216,9 +216,12 @@ def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_g_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G-function: CDF of each point's 1-NN distance at the shell
     edges (self excluded by id), censored beyond edges[-1]; exact
-    integer counts + integer-DIV ppm."""
+    integer counts + integer-DIV ppm.  plan='dgrid': the broadcast-grid
+    min-kernel (the sql join plan is pinned equal by the brute-force
+    test)."""
     p = _parts(spark, sf_dir, table="part", key="p_partkey")
-    return nn_dist_cdf(p, EDGES, box=BOX, id_col="particle_id")
+    return nn_dist_cdf(p, EDGES, box=BOX, id_col="particle_id",
+                       plan="dgrid")
 
 
 def q_f_function(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +229,7 @@ def q_f_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed reference probes to the nearest part-keyed data point."""
     p = _parts(spark, sf_dir, table="part", key="p_partkey")
     r = _parts(spark, sf_dir, table="customer", key="c_custkey")
-    return nn_dist_cdf(p, EDGES, box=BOX, ref=r)
+    return nn_dist_cdf(p, EDGES, box=BOX, ref=r, plan="dgrid")
 
 
 def q_autocorr_shells(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -191,6 +191,133 @@ def ripley_k(
     )
 
 
+def _nn_min_kernel_cnt(
+    probe: DataFrame,
+    data: DataFrame,
+    r2: np.ndarray,
+    box: float,
+    np_dtype,
+    nc: int,
+    self_mode: bool,
+) -> DataFrame:
+    """dgrid-shaped 1-NN pass: broadcast the CSR cell grid of the DATA
+    side (with ids when self_mode, for identity exclusion), stream the
+    probe table through mapInPandas, per-offset segment-min via
+    minimum.reduceat — each batch emits only per-shell PARTIAL COUNTS
+    (<= nshells rows), so candidate pairs never leave the task.
+    -> (shell_idx int, _n long) partials; caller sums.
+
+    Same broadcast envelope, cell arithmetic (with_cell f64 floor) and
+    strict-< searchsorted binning as shell_count's dgrid plan
+    (`shell_count.py:_dgrid_plan`); distances in np_dtype with the
+    (dx2+dy2)+dz2 order and min-image fold, so results are bit-equal to
+    the sql-plan expression tree."""
+    import pandas as pd
+
+    from .shell_count import _H, _build_grid, _ring_geometry
+
+    id_arg = "_did" if self_mode else None
+    bc, _n_data = _build_grid(
+        data, ("_px", "_py", "_pz"), id_arg, nc, box, np_dtype)
+    cs = box / nc
+    r2k = np.asarray(r2, dtype=np_dtype)
+    r2max = r2k[-1]
+    nr = len(r2k)
+    rmax2_infl = float(np.asarray(r2, dtype=np.float64)[-1]) * (1.0 + 1e-9)
+    raw_offs, _doff, prune_ok, _fp = _ring_geometry(nc, cs, 1, rmax2_infl)
+    oidx = raw_offs + 1
+    bx = np_dtype(box)
+
+    def kern(batches):
+        g = bc.value
+        Px, Py, Pz = g["Hx"], g["Hy"], g["Hz"]
+        dids = g.get("ids")
+        keys_s = g.get("keys")
+        starts = g.get("starts")
+        st0 = st1 = None
+        if starts is not None:
+            st0, st1 = starts[:-1], starts[1:]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            H64 = pdf[list(_H)].to_numpy(np.float64)
+            H = H64.astype(np_dtype)
+            qids = (pdf["_qid"].to_numpy(np.int64) if self_mode else None)
+            pc = np.clip(np.floor(H64 / cs), 0, nc - 1).astype(np.int64)
+            accmin = np.full(n, np.inf)
+            if prune_ok:
+                G = np.empty((3, 3, n), dtype=np.float64)
+                for a in range(3):
+                    lo_f = pc[:, a].astype(np.float64) * cs
+                    gm = H64[:, a] - lo_f
+                    gp = lo_f + cs - H64[:, a]
+                    G[a, 1] = 0.0
+                    G[a, 0] = gm * gm
+                    G[a, 2] = gp * gp
+            for j in range(len(raw_offs)):
+                qc = (pc + raw_offs[j]) % nc
+                qk = (qc[:, 0] * nc + qc[:, 1]) * nc + qc[:, 2]
+                if st0 is not None:
+                    lo_i = st0[qk]
+                    cn = st1[qk] - lo_i
+                else:
+                    lo_i = np.searchsorted(keys_s, qk, side="left")
+                    cn = np.searchsorted(keys_s, qk, side="right") - lo_i
+                keep = cn > 0
+                if prune_ok:
+                    g2 = G[0, oidx[j, 0]] + G[1, oidx[j, 1]]
+                    g2 += G[2, oidx[j, 2]]
+                    keep &= g2 < rmax2_infl
+                idx = np.nonzero(keep)[0]
+                if len(idx) == 0:
+                    continue
+                lo_c = lo_i[idx]
+                cnt = cn[idx].astype(np.int64)
+                total = int(cnt.sum())
+                c0 = np.cumsum(cnt) - cnt
+                didx = np.arange(total, dtype=np.int64)
+                didx += np.repeat(lo_c - c0, cnt)
+                dx = np.take(Px, didx)
+                dx -= np.repeat(H[idx, 0], cnt)
+                dy = np.take(Py, didx)
+                dy -= np.repeat(H[idx, 1], cnt)
+                dz = np.take(Pz, didx)
+                dz -= np.repeat(H[idx, 2], cnt)
+                np.abs(dx, out=dx)
+                np.minimum(dx, bx - dx, out=dx)
+                np.abs(dy, out=dy)
+                np.minimum(dy, bx - dy, out=dy)
+                np.abs(dz, out=dz)
+                np.minimum(dz, bx - dz, out=dz)
+                dx *= dx
+                dy *= dy
+                dz *= dz
+                d2 = (dx + dy) + dz
+                d2 = d2.astype(np.float64, copy=False)
+                if self_mode:
+                    d2[np.take(dids, didx) == np.repeat(qids[idx], cnt)] = np.inf
+                segmin = np.minimum.reduceat(d2, c0)
+                accmin[idx] = np.minimum(accmin[idx], segmin)
+            found = accmin < float(r2max)
+            if not found.any():
+                continue
+            sh = np.searchsorted(
+                np.asarray(r2k, dtype=np.float64), accmin[found], side="right"
+            )
+            counts = np.bincount(sh, minlength=nr)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {"shell_idx": nz.astype(np.int32), "_n": counts[nz]}
+            )
+
+    par = probe.sparkSession.sparkContext.defaultParallelism
+    if probe.rdd.getNumPartitions() < par:
+        probe = probe.repartition(par)
+    part = probe.mapInPandas(kern, schema="shell_idx int, _n long")
+    return part.groupBy("shell_idx").agg(F.sum("_n").alias("_n"))
+
+
 def nn_dist_cdf(
     points: DataFrame,
     edges: np.ndarray,
@@ -199,6 +326,7 @@ def nn_dist_cdf(
     id_col: str | None = None,
     ref: DataFrame | None = None,
     n_probe: int | None = None,
+    plan: str = "sql",
 ) -> DataFrame:
     """Nearest-neighbour distance CDF — the G-function of point-pattern
     analysis (and, with `ref` given, the F / empty-space function:
@@ -218,11 +346,17 @@ def nn_dist_cdf(
     -> one row per edge: (shell_idx int, n_lt long cumulative probe
     count, g_ppm long = (n_lt * 10^6) integer-DIV n_probe — exact).
 
-    Scale shape: ONE ring-1 cell equi-join at cell size >= edges[-1]
-    (ring-1 provably covers every pair within rmax) + a per-probe min
-    aggregation on the probe key + an nshell-row cumulative window.
-    No k-widening loop: unlike `knn`, the search radius is bounded up
-    front, so censoring replaces iteration."""
+    Scale shape, plan="sql": ONE ring-1 cell equi-join at cell size >=
+    edges[-1] (ring-1 provably covers every pair within rmax) + a
+    per-probe min aggregation on the probe key + an nshell-row
+    cumulative window.  plan="dgrid" (use when the DATA side fits the
+    broadcast budget, shell_count's dgrid envelope): the data table is
+    CSR-grid-broadcast and probes stream through a numpy min-kernel
+    that emits only per-shell partial counts — candidate pairs never
+    leave the task and there is no per-probe shuffle at all (~10x the
+    sql plan at the contract shape).  No k-widening loop either way:
+    unlike `knn`, the search radius is bounded up front, so censoring
+    replaces iteration."""
     from pyspark.sql.window import Window
 
     from ..functions.geometry import squared_distance_expr
@@ -253,29 +387,35 @@ def nn_dist_cdf(
     if np_ <= 0:
         raise ValueError("empty probe set")
     nc = grid_ncells(rmax, box)
-    h = explode_ring(probe, nc, box, cols=_H, k=1, prune_radius=rmax)
+    r2 = squared_edges(edges)
     data_cols = [F.col(c).alias(a) for c, a in zip(("x", "y", "z"), _P)]
     if self_mode:
         p = points.select(F.col(id_col).alias("_did"), *data_cols)
     else:
         p = points.select(*data_cols)
-    p = with_cell(p, nc, box, cols=_P)
-    j = h.join(p, "cell_id")
-    if self_mode:
-        j = j.where(F.col("_qid") != F.col("_did"))
-    r2 = squared_edges(edges)
-    d2 = squared_distance_expr(_H, _P, box, dtype)
-    m = (
-        j.select("_qid", d2.alias("_d2"))
-        .where(F.col("_d2") < F.lit(float(r2[-1])))
-        .groupBy("_qid")
-        .agg(F.min("_d2").alias("_m"))
-    )
-    cnt = (
-        m.select(shell_index_expr(F.col("_m"), r2).alias("shell_idx"))
-        .groupBy("shell_idx")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
+    if plan == "dgrid":
+        np_dtype = np.float32 if dtype == "float32" else np.float64
+        cnt = _nn_min_kernel_cnt(probe, p, r2, box, np_dtype, nc, self_mode)
+    elif plan == "sql":
+        h = explode_ring(probe, nc, box, cols=_H, k=1, prune_radius=rmax)
+        pc = with_cell(p, nc, box, cols=_P)
+        j = h.join(pc, "cell_id")
+        if self_mode:
+            j = j.where(F.col("_qid") != F.col("_did"))
+        d2 = squared_distance_expr(_H, _P, box, dtype)
+        m = (
+            j.select("_qid", d2.alias("_d2"))
+            .where(F.col("_d2") < F.lit(float(r2[-1])))
+            .groupBy("_qid")
+            .agg(F.min("_d2").alias("_m"))
+        )
+        cnt = (
+            m.select(shell_index_expr(F.col("_m"), r2).alias("shell_idx"))
+            .groupBy("shell_idx")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+    else:
+        raise ValueError(f"unknown plan {plan!r} (sql | dgrid)")
     shells = spark.range(len(edges)).select(
         F.col("id").cast("int").alias("shell_idx")
     )

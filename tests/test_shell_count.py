@@ -349,8 +349,9 @@ def test_cross_k_vs_bruteforce(spark):
     assert got[0][1] > 100 * np.floor(4.0 / 3.0 * np.pi * 10.0 ** 3 * 1.024)
 
 
+@pytest.mark.parametrize("nn_plan", ["sql", "dgrid"])
 @pytest.mark.parametrize("mode", ["g", "f"])
-def test_nn_dist_cdf_vs_bruteforce(spark, mode):
+def test_nn_dist_cdf_vs_bruteforce(spark, mode, nn_plan):
     """G/F nearest-neighbour CDFs: per-probe periodic 1-NN min,
     censored beyond edges[-1], exact integer-DIV ppm.  Sparse-enough
     layout that some probes ARE censored (the contract's tail case)."""
@@ -383,9 +384,10 @@ def test_nn_dist_cdf_vs_bruteforce(spark, mode):
         "x double, y double, z double",
     )
     if mode == "g":
-        out = nn_dist_cdf(mk(P, True), edges, id_col="pid")
+        out = nn_dist_cdf(mk(P, True), edges, id_col="pid", plan=nn_plan)
     else:
-        out = nn_dist_cdf(mk(P, False), edges, ref=mk(R, False))
+        out = nn_dist_cdf(mk(P, False), edges, ref=mk(R, False),
+                          plan=nn_plan)
     got = {r.shell_idx: (r.n_lt, r.g_ppm) for r in out.collect()}
     assert got == want
 
