@@ -197,9 +197,12 @@ def q_weighted_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ripley's K at each shell edge: cumulative self-join pair counts
     normalized by V/(n(n-1)), K quantized to floor(K * 2^10).  The
-    cumulative, always-emits-every-shell twin of autocorr_shells."""
+    cumulative, always-emits-every-shell twin of autocorr_shells.
+    plan='dgrid' (broadcast-data kernel; the sql/fused plans are
+    pinned equal by the brute-force test — autocorr_shells keeps the
+    both-sides-large sql path exercised in the gate)."""
     p = _parts(spark, sf_dir, table="part", key="p_partkey")
-    return ripley_k(p, EDGES, box=BOX, plan="sql", dtype="float64")
+    return ripley_k(p, EDGES, box=BOX, plan="dgrid", dtype="float64")
 
 
 def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,7 +212,7 @@ def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     V/(n_a n_b)."""
     a = _parts(spark, sf_dir, table="part", key="p_partkey")
     b = _parts(spark, sf_dir, table="customer", key="c_custkey")
-    return ripley_k(a, EDGES, box=BOX, plan="sql", dtype="float64",
+    return ripley_k(a, EDGES, box=BOX, plan="dgrid", dtype="float64",
                     other=b)
 
 

@@ -275,7 +275,7 @@ def test_landy_szalay_xi_vs_bruteforce(spark, ls_plan):
     assert got == want
 
 
-@pytest.mark.parametrize("rk_plan", ["sql", "fused"])
+@pytest.mark.parametrize("rk_plan", ["sql", "fused", "dgrid"])
 def test_ripley_k_vs_bruteforce(spark, rk_plan):
     """Ripley's K: cumulative pair counts and the quantized K match an
     exact f64 brute force with the same IEEE tree; empty leading
