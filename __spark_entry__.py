@@ -99,6 +99,7 @@ from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     tile_rollup,
 )
 from spatialjoincountovershells_spark.operators.events import (  # noqa: E402
+    event_pairs_within,
     funnel,
     retention,
     sessionize,
@@ -507,6 +508,14 @@ def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohorts: users cohorted by UTC day of first event,
     distinct active users per (cohort_day, day_offset)."""
     return retention(_read(spark, sf_dir, "events"))
+
+
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval join: every (click, purchase) pair per user
+    with the purchase in [click, click + 4h] — the 1-D bucket-ring
+    analog of the spatial cell join."""
+    return event_pairs_within(_read(spark, sf_dir, "events"),
+                              "click", "purchase", window_s=14400)
 
 
 def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1573,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "event_funnel": q_event_funnel,
         "event_retention": q_event_retention,
+        "event_attribution": q_event_attribution,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "corpus_clean": q_corpus_clean,
@@ -2117,6 +2127,16 @@ j AS (SELECT e.user_id, f.cohort_day,
 SELECT cohort_day, day_offset,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM j WHERE day_offset >= 0 GROUP BY cohort_day, day_offset
+""",
+        "event_attribution": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+l AS (SELECT user_id, us AS lus, event_id AS l_event_id FROM e
+      WHERE event_type = 'click'),
+r AS (SELECT user_id, us AS rus, event_id AS r_event_id FROM e
+      WHERE event_type = 'purchase')
+SELECT l.user_id, l_event_id, r_event_id, rus - lus AS dt_us
+FROM l JOIN r ON l.user_id = r.user_id
+WHERE rus >= lus AND rus <= lus + 14400000000
 """,
         "sjcs_images_f64": _sjcs_images_f64_sql(),
         "image_features": _image_features_sql(),

@@ -98,6 +98,79 @@ def _events_us(
     )
 
 
+def event_pairs_within(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    window_s: int,
+    direction: str = "after",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user temporal interval join — every (left_type, right_type)
+    event pair within `window_s` of each other (the attribution /
+    impression->conversion join).  direction="after": right event in
+    [t_left, t_left + W]; direction="both": |dt| <= W.  Bounds are
+    INCLUSIVE in exact integer µs; identical events (same id) never
+    pair with themselves when left_type == right_type.
+
+    -> (user_id, l_event_id, r_event_id, dt_us = t_right - t_left).
+
+    Scale shape: the 1-D analog of the engine's spatial cell-ring join
+    (`cells.explode_ring`) — time is bucketed at the window width, the
+    LEFT side fans out to its bucket ring (3 buckets for "both", 2 for
+    "after"), and the join is a plain (user, bucket) equi-join + an
+    exact µs predicate.  Candidate volume is bounded by events per
+    (user, 2-3 windows), never the full per-user history — a bare
+    per-user theta-join would be quadratic in power users."""
+    if direction not in ("after", "both"):
+        raise ValueError("direction must be 'after' or 'both'")
+    w_us = int(window_s) * 1_000_000
+    if w_us <= 0:
+        raise ValueError("window_s must be positive")
+    e = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).alias("_eid"),
+        F.col(type_col).alias("_etype"),
+    )
+    offsets = [0, 1] if direction == "after" else [-1, 0, 1]
+    lhs = (
+        e.where(F.col("_etype") == left_type)
+        .select(
+            "user_id",
+            F.col("_us").alias("_lus"),
+            F.col("_eid").alias("l_event_id"),
+            F.explode(F.array(*[F.lit(o) for o in offsets])).alias("_o"),
+        )
+        .select(
+            "user_id", "_lus", "l_event_id",
+            (F.floor(F.col("_lus") / F.lit(w_us)) + F.col("_o"))
+            .alias("_bucket"),
+        )
+    )
+    rhs = e.where(F.col("_etype") == right_type).select(
+        "user_id",
+        F.col("_us").alias("_rus"),
+        F.col("_eid").alias("r_event_id"),
+        F.floor(F.col("_us") / F.lit(w_us)).alias("_bucket"),
+    )
+    dt = F.col("_rus") - F.col("_lus")
+    pred = (
+        (dt >= 0) & (dt <= F.lit(w_us))
+        if direction == "after"
+        else (dt >= -F.lit(w_us)) & (dt <= F.lit(w_us))
+    )
+    j = lhs.join(rhs, ["user_id", "_bucket"]).where(pred)
+    if left_type == right_type:
+        j = j.where(F.col("l_event_id") != F.col("r_event_id"))
+    return j.select(
+        "user_id", "l_event_id", "r_event_id", dt.alias("dt_us")
+    )
+
+
 def funnel(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),

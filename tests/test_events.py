@@ -183,3 +183,69 @@ def test_retention_vs_bruteforce(spark):
         for r in retention(ev, cohort_type="signup").collect()
     }
     assert got_s == {(1, 0): 1, (1, 2): 1}
+
+
+def test_event_pairs_within_vs_bruteforce(spark):
+    """Temporal interval join vs a python double loop: inclusive
+    bounds at BOTH ends, cross-bucket pairs found (the ring-1 case),
+    directional vs symmetric windows, same-type self-pair exclusion."""
+    from spatialjoincountovershells_spark.operators.events import (
+        event_pairs_within,
+    )
+
+    S = 1_000_000  # 1s in µs
+    W = 60  # window seconds
+    rows = [
+        # user 1: clicks at 0, 59, 61, 200; purchases at 59, 60, 121, 500
+        _ev(1, 1, 0 * S, "click", 0.0),
+        _ev(2, 1, 59 * S, "click", 0.0),
+        _ev(3, 1, 61 * S, "click", 0.0),
+        _ev(4, 1, 200 * S, "click", 0.0),
+        _ev(10, 1, 59 * S, "purchase", 0.0),
+        _ev(11, 1, 60 * S, "purchase", 0.0),   # exactly W after click 1
+        _ev(12, 1, 121 * S, "purchase", 0.0),  # exactly W after click 3
+        _ev(13, 1, 500 * S, "purchase", 0.0),
+        # user 2: isolation across users
+        _ev(20, 2, 0 * S, "click", 0.0),
+        _ev(21, 2, 30 * S, "purchase", 0.0),
+    ]
+    ev = _mk_events(spark, rows)
+    evs = [(r[0], int((r[1] - T0) / dt.timedelta(microseconds=1)), r[2], r[3])
+           for r in rows]
+
+    def brute(lt, rt, direction):
+        out = set()
+        for le, lus, lu, ltype in evs:
+            if ltype != lt:
+                continue
+            for re_, rus, ru, rtype in evs:
+                if rtype != rt or ru != lu or (lt == rt and le == re_):
+                    continue
+                d = rus - lus
+                ok = (0 <= d <= W * S) if direction == "after" \
+                    else (-W * S <= d <= W * S)
+                if ok:
+                    out.add((lu, le, re_, d))
+        return out
+
+    for direction in ("after", "both"):
+        got = {
+            (r.user_id, r.l_event_id, r.r_event_id, r.dt_us)
+            for r in event_pairs_within(
+                ev, "click", "purchase", W, direction=direction
+            ).collect()
+        }
+        assert got == brute("click", "purchase", direction), direction
+    # pinned facts: click@0 pairs with purchases 59,60 (60 inclusive);
+    # click@61 pairs with 121 (exactly W); cross-bucket edges work
+    after = brute("click", "purchase", "after")
+    assert (1, 1, 10, 59 * S) in after and (1, 1, 11, 60 * S) in after
+    assert (1, 3, 12, 60 * S) in after
+    # same-type join excludes the self-pair but keeps the rest
+    got_cc = {
+        (r.l_event_id, r.r_event_id)
+        for r in event_pairs_within(ev, "click", "click", W,
+                                    direction="both").collect()
+    }
+    assert all(a != b for a, b in got_cc)
+    assert (1, 2) in got_cc and (2, 1) in got_cc
