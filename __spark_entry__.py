@@ -377,6 +377,16 @@ def q_tile_getis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_getis_g(_parts(spark, sf_dir), level=5, box=BOX)
 
 
+def q_tile_getis_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Getis-Ord Gi*: hot spots of an integer MARK (particle_id
+    mod 97 as the stand-in value column) instead of point counts —
+    exercises weight_col through _tile_counts/_cell_ring_table."""
+    p = _parts(spark, sf_dir).withColumn(
+        "w", (F.col("particle_id") % 97).cast("long")
+    )
+    return tile_getis_g(p, level=5, box=BOX, weight_col="w")
+
+
 def q_tile_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I (LISA) per level-5 tile: hot/cold/outlier
     quadrant + floor(I_i * 2^20), exact integer sums over the full
@@ -1570,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_dbscan": q_tile_dbscan,
         "tile_moran": q_tile_moran,
         "tile_getis": q_tile_getis,
+        "tile_getis_w": q_tile_getis_w,
         "tile_lisa": q_tile_lisa,
         "tile_cover": q_tile_cover,
         "dedup_exact": q_dedup_exact,
@@ -1969,6 +1980,42 @@ g AS (SELECT tile_id, cx, cr, w,
              CAST(1024 AS HUGEINT) * CAST(w AS HUGEINT)
                - CAST(w AS HUGEINT) * CAST(w AS HUGEINT) AS c
       FROM mg5, tot)
+SELECT tile_id, CAST(cx AS BIGINT) AS n_points,
+       CAST(cx + cr AS BIGINT) AS ring_sum, CAST(w AS BIGINT) AS w,
+       CAST(floor((CAST(a AS DOUBLE)
+                   / sqrt(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / 1023.0))
+                  * 1048576.0) AS BIGINT) AS gi_q20
+FROM g
+""",
+        "tile_getis_w": f"""
+WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y,
+                  o_orderkey % 97 AS w FROM orders),
+t AS (SELECT least(greatest(CAST(floor(x / 31.25) AS BIGINT), 0), 31) AS tx,
+             least(greatest(CAST(floor(y / 31.25) AS BIGINT), 0), 31) AS ty,
+             w FROM p),
+tcnt AS (SELECT tx, ty, sum(w) AS n FROM t GROUP BY tx, ty),
+offs AS (SELECT gx.a AS dx, gy.b AS dy
+         FROM unnest(generate_series(-1, 1)) AS gx(a),
+              unnest(generate_series(-1, 1)) AS gy(b)),
+scat AS (SELECT tx + dx AS rx, ty + dy AS ry, n,
+                CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END AS own
+         FROM tcnt, offs
+         WHERE tx + dx BETWEEN 0 AND 31 AND ty + dy BETWEEN 0 AND 31),
+cell AS (SELECT rx, ry, sum(own * n) AS cx, sum((1 - own) * n) AS cr
+         FROM scat GROUP BY rx, ry),
+cm AS (SELECT rx, ry, cx, cr,
+              (least(rx + 1, 31) - greatest(rx - 1, 0) + 1)
+            * (least(ry + 1, 31) - greatest(ry - 1, 0) + 1) AS w FROM cell),
+tot AS (SELECT CAST(sum(cx) AS HUGEINT) AS s,
+               sum(CAST(cx AS HUGEINT) * CAST(cx AS HUGEINT)) AS s2 FROM cell),
+{morton_sql_ctes("cm", "rx", "ry", out="mw")},
+g AS (SELECT tile_id, cx, cr, w,
+             CAST(1024 AS HUGEINT) * (CAST(cx AS HUGEINT) + CAST(cr AS HUGEINT))
+               - tot.s * CAST(w AS HUGEINT) AS a,
+             CAST(1024 AS HUGEINT) * tot.s2 - tot.s * tot.s AS b,
+             CAST(1024 AS HUGEINT) * CAST(w AS HUGEINT)
+               - CAST(w AS HUGEINT) * CAST(w AS HUGEINT) AS c
+      FROM mw5, tot)
 SELECT tile_id, CAST(cx AS BIGINT) AS n_points,
        CAST(cx + cr AS BIGINT) AS ring_sum, CAST(w AS BIGINT) AS w,
        CAST(floor((CAST(a AS DOUBLE)

@@ -243,19 +243,30 @@ def _tile_counts(
     level: int,
     box: float,
     coords: tuple[str, str],
+    weight_col: str | None = None,
 ) -> DataFrame:
     """ONE aggregation of the point table onto the level grid ->
     (tx, ty, n).  Every tile-table operator starts here so the big
     table is scanned exactly once; everything downstream works on the
-    reduced (<= 4^level rows) tile table."""
+    reduced (<= 4^level rows) tile table.
+
+    weight_col: an INTEGER mark column summed per tile instead of the
+    row count (the statistics stay exact; callers quantize float marks
+    first, same contract as shell_count's weight_col).  A tile is
+    occupied when it has >= 1 row, even at weight sum 0."""
     x, y = (F.col(c) for c in coords)
+    agg = (
+        F.count(F.lit(1)) if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
     return (
         points.select(
             _clamped_tile_coord(x, level, box).cast("long").alias("tx"),
             _clamped_tile_coord(y, level, box).cast("long").alias("ty"),
+            *([F.col(weight_col)] if weight_col else []),
         )
         .groupBy("tx", "ty")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(agg.alias("n"))
     )
 
 
@@ -296,7 +307,7 @@ def tile_kring_stats(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     res = 1 << level
-    t = _tile_counts(points, level, box, coords)
+    t = _tile_counts(points, level, box, coords, weight_col)
     offs = _ring_offsets(k, include_self=True)
     scat = (
         t.select("tx", "ty", "n", F.explode(offs).alias("_o"))
@@ -434,6 +445,7 @@ def _cell_ring_table(
     level: int,
     box: float,
     coords: tuple[str, str],
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One ring-scatter of the occupied-tile table -> one row per grid
     cell TOUCHED by any occupied tile's 3x3 stamp: (rx, ry, x own
@@ -443,7 +455,7 @@ def _cell_ring_table(
     them in via closed forms on grid totals instead of materializing
     4^level rows (see tile_moran_i / tile_getis_g)."""
     res = 1 << level
-    t = _tile_counts(points, level, box, coords)
+    t = _tile_counts(points, level, box, coords, weight_col)
     offs = _ring_offsets(1, include_self=True)
     scat = (
         t.select("tx", "ty", "n", F.explode(offs).alias("_o"))
@@ -479,6 +491,7 @@ def tile_moran_i(
     level: int,
     box: float = 1000.0,
     coords: tuple[str, str] = ("x", "y"),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Global Moran's I spatial autocorrelation of per-tile point
     counts over ALL 4^level grid cells (empty cells count as x=0),
@@ -510,7 +523,7 @@ def tile_moran_i(
     # cached: feeds both the 1-row total and the main aggregate —
     # without it each branch would re-aggregate the point table
     cell = (
-        _cell_ring_table(points, level, box, coords)
+        _cell_ring_table(points, level, box, coords, weight_col)
         .select("x", "r", "m")
         .persist()
     )
@@ -560,6 +573,7 @@ def tile_getis_g(
     level: int,
     box: float = 1000.0,
     coords: tuple[str, str] = ("x", "y"),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Getis-Ord Gi* hot-spot z-score per tile (the LOCAL companion of
     tile_moran_i's global statistic), queen contiguity INCLUDING self
@@ -586,7 +600,7 @@ def tile_getis_g(
     res = 1 << level
     n_cells = res * res
     dec = "decimal(38,0)"
-    cell = _cell_ring_table(points, level, box, coords).persist()
+    cell = _cell_ring_table(points, level, box, coords, weight_col).persist()
     tot = cell.agg(
         F.sum("x").cast(dec).alias("_s"),
         F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("_s2"),
@@ -621,6 +635,7 @@ def tile_local_moran(
     level: int,
     box: float = 1000.0,
     coords: tuple[str, str] = ("x", "y"),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Local Moran's I (LISA) per tile — Anselin's local decomposition
     of tile_moran_i's global statistic (sum_i I_i / W = I); completes
@@ -652,7 +667,7 @@ def tile_local_moran(
     res = 1 << level
     n_cells = res * res
     dec = "decimal(38,0)"
-    cell = _cell_ring_table(points, level, box, coords).persist()
+    cell = _cell_ring_table(points, level, box, coords, weight_col).persist()
     tot = cell.agg(
         F.sum("x").cast(dec).alias("_s"),
         F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("_s2"),

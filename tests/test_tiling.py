@@ -437,6 +437,60 @@ def test_tile_local_moran_vs_bruteforce(spark, level, seed):
     assert 1 in quads and 2 in quads
 
 
+def test_tile_getis_weighted_vs_bruteforce(spark):
+    """weight_col: Gi* over an integer mark sum per tile instead of the
+    row count; occupancy still row-driven (a tile whose weights sum to
+    0 is stamped and emitted)."""
+    import math
+
+    level, res = 3, 8
+    pts = _blobby_points(seed=31)
+    ws = [int(i % 7) - 1 for i in range(len(pts))]  # includes negatives
+    n_cells = res * res
+    grid = np.zeros((res, res), dtype=object)
+    occ = np.zeros((res, res), dtype=bool)
+    for (x, y), w in zip(pts, ws):
+        a = min(max(int(np.floor(x / (1000.0 / res))), 0), res - 1)
+        b = min(max(int(np.floor(y / (1000.0 / res))), 0), res - 1)
+        grid[a, b] += w
+        occ[a, b] = True
+    s = int(grid.sum())
+    s2 = int((grid ** 2).sum())
+    bden = n_cells * s2 - s * s
+    want = {}
+    for a_ in range(res):
+        for b_ in range(res):
+            swi = 0
+            w = 0
+            touched = False
+            for da in (-1, 0, 1):
+                for db in (-1, 0, 1):
+                    na, nb = a_ + da, b_ + db
+                    if 0 <= na < res and 0 <= nb < res:
+                        w += 1
+                        swi += int(grid[na, nb])
+                        if occ[na, nb]:
+                            touched = True
+            if not touched:
+                continue
+            num = n_cells * swi - s * w
+            c = n_cells * w - w * w
+            gi = float(num) / math.sqrt(float(bden) * float(c)
+                                        / float(n_cells - 1))
+            key = int(morton_np(np.array([a_]), np.array([b_]))[0])
+            want[key] = (int(grid[a_, b_]), swi, w,
+                         int(np.floor(gi * 1048576.0)))
+    df = spark.createDataFrame(
+        [(float(x), float(y), int(w)) for (x, y), w in zip(pts, ws)],
+        "x double, y double, w long",
+    )
+    got = {
+        r.tile_id: (r.n_points, r.ring_sum, r.w, r.gi_q20)
+        for r in tile_getis_g(df, level=level, weight_col="w").collect()
+    }
+    assert got == want
+
+
 def test_tile_cover_vs_bruteforce(spark):
     boxes = [
         (1, 100.0, 300.0, 50.0, 60.0),
