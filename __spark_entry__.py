@@ -93,6 +93,7 @@ from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     tile_dbscan,
     tile_adaptive,
     tile_getis_g,
+    tile_join_counts,
     tile_kring_stats,
     tile_local_moran,
     tile_moran_i,
@@ -392,6 +393,14 @@ def q_tile_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadrant + floor(I_i * 2^20), exact integer sums over the full
     grid, one f64 division."""
     return tile_local_moran(_parts(spark, sf_dir), level=5, box=BOX)
+
+
+def q_tile_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-count statistics at level 5 for the binary mark 'tile holds
+    >= 15 points': unordered BB/BW/WW adjacent pair counts + the
+    hypergeometric expected BB."""
+    return tile_join_counts(_parts(spark, sf_dir), level=5, box=BOX,
+                            min_count=15)
 
 
 def q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1582,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_getis": q_tile_getis,
         "tile_getis_w": q_tile_getis_w,
         "tile_lisa": q_tile_lisa,
+        "tile_joins": q_tile_joins,
         "tile_cover": q_tile_cover,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -2057,6 +2067,32 @@ SELECT tile_id, CAST(cx AS BIGINT) AS n_points,
        CAST(floor((CAST(dx * dr AS DOUBLE) / CAST(b AS DOUBLE))
                   * 1048576.0) AS BIGINT) AS ii_q20
 FROM g
+""",
+        "tile_joins": f"""
+WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),
+t AS (SELECT least(greatest(CAST(floor(x / 31.25) AS BIGINT), 0), 31) AS tx,
+             least(greatest(CAST(floor(y / 31.25) AS BIGINT), 0), 31) AS ty FROM p),
+blk AS (SELECT tx, ty FROM t GROUP BY tx, ty HAVING count(*) >= 15),
+offs AS (SELECT gx.a AS dx, gy.b AS dy
+         FROM unnest(generate_series(-1, 1)) AS gx(a),
+              unnest(generate_series(-1, 1)) AS gy(b)),
+scat AS (SELECT tx + dx AS rx, ty + dy AS ry,
+                CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END AS own
+         FROM blk, offs
+         WHERE tx + dx BETWEEN 0 AND 31 AND ty + dy BETWEEN 0 AND 31),
+cell AS (SELECT rx, ry, sum(own) AS x, sum(1 - own) AS r
+         FROM scat GROUP BY rx, ry),
+cm AS (SELECT x, r,
+              (least(rx + 1, 31) - greatest(rx - 1, 0) + 1)
+            * (least(ry + 1, 31) - greatest(ry - 1, 0) + 1) - 1 AS m FROM cell),
+a AS (SELECT coalesce(sum(x), 0) AS b, coalesce(sum(x * r), 0) AS a2,
+             coalesce(sum(x * (m - r)), 0) AS bw FROM cm)
+SELECT CAST(1024 AS BIGINT) AS n_cells, CAST(b AS BIGINT) AS n_black,
+       CAST(a2 // 2 AS BIGINT) AS bb, CAST(bw AS BIGINT) AS bw,
+       CAST(3906 - a2 // 2 - bw AS BIGINT) AS ww,
+       CAST(floor((3906.0 * CAST(b * (b - 1) AS DOUBLE) / 1047552.0)
+                  * 1048576.0) AS BIGINT) AS exp_bb_q20
+FROM a
 """,
         "tile_cover": f"""
 WITH v(poly_id, x, y) AS (VALUES {", ".join(

@@ -454,8 +454,14 @@ def _cell_ring_table(
     have x = 0 AND r = 0, so spatial statistics over the FULL grid fold
     them in via closed forms on grid totals instead of materializing
     4^level rows (see tile_moran_i / tile_getis_g)."""
-    res = 1 << level
     t = _tile_counts(points, level, box, coords, weight_col)
+    return _ring_scatter(t, 1 << level)
+
+
+def _ring_scatter(t: DataFrame, res: int) -> DataFrame:
+    """(tx, ty, n) tile table -> (rx, ry, x, r, m) ring table (the
+    scatter half of `_cell_ring_table`, reusable for derived tile
+    tables such as the binary mark of `tile_join_counts`)."""
     offs = _ring_offsets(1, include_self=True)
     scat = (
         t.select("tx", "ty", "n", F.explode(offs).alias("_o"))
@@ -695,6 +701,68 @@ def tile_local_moran(
         F.col("m").cast("long").alias("m"),
         quad.cast("int").alias("quad"),
         ii_q20.cast("long").alias("ii_q20"),
+    )
+
+
+def tile_join_counts(
+    points: DataFrame,
+    level: int,
+    box: float = 1000.0,
+    coords: tuple[str, str] = ("x", "y"),
+    min_count: int = 1,
+) -> DataFrame:
+    """Join-count statistics (Cliff-Ord BB/BW/WW) for the binary
+    density mark "tile holds >= min_count points" over the full
+    4^level queen-contiguity grid — the categorical companion of
+    tile_moran_i (which needs an interval mark).
+
+    -> ONE row: (n_cells, n_black, bb, bw, ww, exp_bb_q20) where
+    bb/bw/ww are the UNORDERED adjacent same/mixed-color pair counts
+    (bb + bw + ww = total queen joins), and exp_bb_q20 =
+    floor(2^20 * Wp * B*(B-1) / (n*(n-1))) — the expected BB under
+    nonfree (hypergeometric) placement of the B black cells, so
+    bb >> exp_bb reads "black cells cluster".  All counts are exact
+    integers; the expectation is exact-integer-ratio -> ONE f64 tree.
+
+    Exactness bookkeeping: with b_i in {0,1}, A = sum_i b_i * rB_i
+    counts ordered black-black joins (even; BB = A/2), and
+    BW = sum_i b_i*(m_i - rB_i) counts each mixed join exactly once
+    (from its black endpoint).  White cells fold in via the grid
+    totals: WW = Wp - BB - BW with Wp = (4*res*(res-1) +
+    4*(res-1)^2)/2.  Scale shape: one point aggregation, one
+    black-tile ring scatter, one global agg."""
+    res = 1 << level
+    n_cells = res * res
+    wp = (4 * res * (res - 1) + 4 * (res - 1) * (res - 1)) // 2
+    t = _tile_counts(points, level, box, coords)
+    blk = t.where(F.col("n") >= F.lit(int(min_count))).select(
+        "tx", "ty", F.lit(1).cast("long").alias("n")
+    )
+    cell = _ring_scatter(blk, res)
+    # coalesce(0): an empty black set aggregates NULL sums
+    agg = cell.agg(
+        F.coalesce(F.sum("x"), F.lit(0)).alias("_b"),
+        F.coalesce(F.sum(F.col("x") * F.col("r")), F.lit(0)).alias("_a"),
+        F.coalesce(
+            F.sum(F.col("x") * (F.col("m") - F.col("r"))), F.lit(0)
+        ).alias("_bw"),
+    )
+    bb = F.expr("_a DIV 2").cast("long")
+    exp_bb_q20 = F.floor(
+        (
+            F.lit(float(wp))
+            * (F.col("_b") * (F.col("_b") - 1)).cast("double")
+            / F.lit(float(n_cells) * (n_cells - 1))
+        )
+        * F.lit(1048576.0)
+    )
+    return agg.select(
+        F.lit(n_cells).cast("long").alias("n_cells"),
+        F.col("_b").cast("long").alias("n_black"),
+        bb.alias("bb"),
+        F.col("_bw").cast("long").alias("bw"),
+        (F.lit(wp) - bb - F.col("_bw")).cast("long").alias("ww"),
+        exp_bb_q20.cast("long").alias("exp_bb_q20"),
     )
 
 

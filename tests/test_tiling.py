@@ -20,6 +20,7 @@ from spatialjoincountovershells_spark.operators.tiling import (
     tile_cover,
     tile_dbscan,
     tile_getis_g,
+    tile_join_counts,
     tile_kring_stats,
     tile_local_moran,
     tile_moran_i,
@@ -489,6 +490,52 @@ def test_tile_getis_weighted_vs_bruteforce(spark):
         for r in tile_getis_g(df, level=level, weight_col="w").collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("level,min_count", [(4, 3), (4, 1), (3, 10_000)])
+def test_tile_join_counts_vs_bruteforce(spark, level, min_count):
+    """BB/BW/WW join counts vs a literal python adjacency scan over
+    the full grid (empty cells white); bb+bw+ww always equals the
+    total queen joins; all-white degenerate case emits zeros."""
+    res = 1 << level
+    pts = _blobby_points(seed=41)
+    grid = _grid_counts(pts, level)
+    black = grid >= min_count
+    bb = bw = ww = 0
+    for a_ in range(res):
+        for b_ in range(res):
+            for da, db in ((0, 1), (1, -1), (1, 0), (1, 1)):
+                na, nb = a_ + da, b_ + db
+                if 0 <= na < res and 0 <= nb < res:
+                    pair = int(black[a_, b_]) + int(black[na, nb])
+                    if pair == 2:
+                        bb += 1
+                    elif pair == 1:
+                        bw += 1
+                    else:
+                        ww += 1
+    wp = (4 * res * (res - 1) + 4 * (res - 1) * (res - 1)) // 2
+    assert bb + bw + ww == wp
+    nb_ = int(black.sum())
+    n_cells = res * res
+    exp = int(np.floor(
+        (float(wp) * float(nb_ * (nb_ - 1)) / (float(n_cells) * (n_cells - 1)))
+        * 1048576.0
+    ))
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    )
+    r = tile_join_counts(df, level=level, min_count=min_count).collect()
+    assert len(r) == 1
+    got = r[0]
+    assert (got.n_cells, got.n_black, got.bb, got.bw, got.ww,
+            got.exp_bb_q20) == (n_cells, nb_, bb, bw, ww, exp)
+    if min_count == 10_000:
+        assert (nb_, bb, bw) == (0, 0, 0) and ww == wp
+    elif min_count == 3:
+        # blobby data, sparse black set: observed BB >> expected
+        assert 0 < nb_ < n_cells // 2
+        assert got.bb * 1048576 > 2 * got.exp_bb_q20
 
 
 def test_tile_cover_vs_bruteforce(spark):
