@@ -288,6 +288,7 @@ def tile_kring_stats(
     k: int = 1,
     box: float = 1000.0,
     coords: tuple[str, str] = ("x", "y"),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """H3-style kRing neighborhood aggregation: per-tile point counts
     smoothed over the (2k+1)^2 Chebyshev ring -> one row per OCCUPIED
@@ -295,6 +296,10 @@ def tile_kring_stats(
     incl. self, n_kring_tiles occupied ring tiles incl. self).  Ring
     neighbors off the grid edge are omitted (no wraparound — the
     density-smoothing analog of H3's truncated edge rings).
+    `weight_col` switches both sums from point counts to an integer
+    mark summed per tile (same contract as shell_count's weight_col);
+    occupancy still means "holds >= 1 point", so zero-weight tiles
+    stay occupied.
 
     Scale shape: the point table aggregates ONCE per tile (map-side
     partials), then each occupied tile SCATTERS its count to its ring

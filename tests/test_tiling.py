@@ -150,6 +150,44 @@ def test_tile_kring_vs_bruteforce(spark, level, k):
         tile_kring_stats(df, level=level, k=0)
 
 
+def test_tile_kring_weighted_vs_bruteforce(spark):
+    """weight_col= sums an integer mark (incl. negatives and zeros)
+    instead of counts; occupancy stays point-presence so a zero-weight
+    tile still emits its row."""
+    level, k = 3, 1
+    rng = np.random.default_rng(29)
+    res = 1 << level
+    pts = rng.uniform(0, 1000.0, size=(250, 2))
+    wts = rng.integers(-3, 4, size=250)
+    df = spark.createDataFrame(
+        [(float(x), float(y), int(w)) for (x, y), w in zip(pts, wts)],
+        "x double, y double, w long",
+    )
+    got = {
+        r.tile_id: (r.n_points, r.kring_sum, r.n_kring_tiles)
+        for r in tile_kring_stats(df, level=level, k=k,
+                                  weight_col="w").collect()
+    }
+    ts = 1000.0 / res
+    tx = np.clip(np.floor(pts[:, 0] / ts).astype(np.int64), 0, res - 1)
+    ty = np.clip(np.floor(pts[:, 1] / ts).astype(np.int64), 0, res - 1)
+    wgrid = np.zeros((res, res), dtype=np.int64)
+    occ = np.zeros((res, res), dtype=bool)
+    np.add.at(wgrid, (tx, ty), wts)
+    occ[tx, ty] = True
+    want = {}
+    for a in range(res):
+        for b in range(res):
+            if not occ[a, b]:
+                continue
+            xs = slice(max(a - k, 0), min(a + k, res - 1) + 1)
+            ys = slice(max(b - k, 0), min(b + k, res - 1) + 1)
+            tid = int(morton_np(np.array([a]), np.array([b]))[0])
+            want[tid] = (int(wgrid[a, b]), int(wgrid[xs, ys][occ[xs, ys]].sum()),
+                         int(occ[xs, ys].sum()))
+    assert want and got == want
+
+
 def _grid_counts(pts, level):
     res = 1 << level
     ts = 1000.0 / res
