@@ -27,8 +27,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spatialjoincountovershells_spark.functions.keycoords import (  # noqa: E402
+    CONSTS as KEY_CONSTS,
     sql_coord,
     with_key_coords,
+)
+from spatialjoincountovershells_spark.operators.boxjoin import (  # noqa: E402
+    box_overlap_join,
 )
 from spatialjoincountovershells_spark.functions.phash import decode_phash  # noqa: E402
 from spatialjoincountovershells_spark.operators.cells import cell_stats, with_cell  # noqa: E402
@@ -401,6 +405,46 @@ def q_tile_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     hypergeometric expected BB."""
     return tile_join_counts(_parts(spark, sf_dir), level=5, box=BOX,
                             min_count=15)
+
+
+def _rects_tbl(spark: SparkSession, sf_dir: str, table: str, key: str,
+               idc: str) -> DataFrame:
+    """Deterministic rectangles keyed off a TPC-H table: mins from the
+    keycoords lanes 0/1, extents in [0, 40) from two sub-streams of
+    lane 2.  Every bound is an exact multiple of 1/64 (see
+    functions/keycoords.py), so overlap tests and intersection areas
+    are bit-exact in both engines."""
+    df = _read(spark, sf_dir, table).select(F.col(key).alias(idc))
+    k = F.col(idc)
+    # Column API, not selectExpr: Spark SQL parses the 64.0 literal as
+    # DECIMAL(3,1) and silently runs the pipeline in decimal arithmetic
+    x0 = ((k * F.lit(KEY_CONSTS[0])) % F.lit(64000)) / F.lit(64.0)
+    y0 = ((k * F.lit(KEY_CONSTS[1])) % F.lit(64000)) / F.lit(64.0)
+    w = ((k * F.lit(KEY_CONSTS[2])) % F.lit(2560)) / F.lit(64.0)
+    h = (
+        F.expr(f"({idc} * {KEY_CONSTS[2]}) DIV 2560") % F.lit(2560)
+    ) / F.lit(64.0)
+    return df.select(
+        k, x0.alias("xmin"), (x0 + w).alias("xmax"),
+        y0.alias("ymin"), (y0 + h).alias("ymax"),
+    )
+
+
+def q_box_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBR x MBR overlap join (the reference R-tree's native predicate,
+    Mbr.c:167-205) between order-keyed and customer-keyed rectangle
+    tables: PBSM tile partitioning at level 5 + reference-point dedup,
+    intersection area quantized to 1/4096 units (exact — all bounds
+    are 1/64 multiples)."""
+    a = _rects_tbl(spark, sf_dir, "orders", "o_orderkey", "a_id")
+    b = _rects_tbl(spark, sf_dir, "customer", "c_custkey", "b_id")
+    j = box_overlap_join(a, b, level=5, box=BOX)
+    return j.select(
+        "a_id", "b_id",
+        ((F.col("ix_xmax") - F.col("ix_xmin"))
+         * (F.col("ix_ymax") - F.col("ix_ymin"))
+         * F.lit(4096.0)).cast("long").alias("ix_area_q12"),
+    )
 
 
 def q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1593,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_lisa": q_tile_lisa,
         "tile_joins": q_tile_joins,
         "tile_cover": q_tile_cover,
+        "box_join": q_box_join,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
@@ -2110,6 +2155,31 @@ g AS (SELECT poly_id, gx.tx AS tx, gy.ty AS ty FROM r,
       unnest(generate_series(ty0, ty1)) AS gy(ty)),
 {morton_sql_ctes("g", "tx", "ty")}
 SELECT poly_id, tile_id FROM m5
+""",
+        "box_join": f"""
+WITH ra AS (SELECT o_orderkey AS a_id,
+                   {sql_coord("o_orderkey", 0)} AS _x0,
+                   {sql_coord("o_orderkey", 1)} AS _y0,
+                   ((o_orderkey * {KEY_CONSTS[2]}) % 2560) / 64.0 AS _w,
+                   (((o_orderkey * {KEY_CONSTS[2]}) // 2560) % 2560) / 64.0 AS _h
+            FROM orders),
+a AS (SELECT a_id, _x0 AS xmin, _x0 + _w AS xmax,
+             _y0 AS ymin, _y0 + _h AS ymax FROM ra),
+rb AS (SELECT c_custkey AS b_id,
+                   {sql_coord("c_custkey", 0)} AS _x0,
+                   {sql_coord("c_custkey", 1)} AS _y0,
+                   ((c_custkey * {KEY_CONSTS[2]}) % 2560) / 64.0 AS _w,
+                   (((c_custkey * {KEY_CONSTS[2]}) // 2560) % 2560) / 64.0 AS _h
+            FROM customer),
+b AS (SELECT b_id, _x0 AS xmin, _x0 + _w AS xmax,
+             _y0 AS ymin, _y0 + _h AS ymax FROM rb)
+SELECT a.a_id, b.b_id,
+       CAST((least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin))
+          * (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin))
+          * 4096.0 AS BIGINT) AS ix_area_q12
+FROM a, b
+WHERE a.xmin <= b.xmax AND b.xmin <= a.xmax
+  AND a.ymin <= b.ymax AND b.ymin <= a.ymax
 """,
         "dedup_exact": """
 SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id, count(*) AS n_copies
