@@ -34,6 +34,9 @@ from spatialjoincountovershells_spark.functions.keycoords import (  # noqa: E402
 from spatialjoincountovershells_spark.operators.boxjoin import (  # noqa: E402
     box_overlap_join,
 )
+from spatialjoincountovershells_spark.operators.idw import (  # noqa: E402
+    idw_interpolate,
+)
 from spatialjoincountovershells_spark.functions.phash import decode_phash  # noqa: E402
 from spatialjoincountovershells_spark.operators.cells import cell_stats, with_cell  # noqa: E402
 from spatialjoincountovershells_spark.operators.dedup import (  # noqa: E402
@@ -397,6 +400,20 @@ def q_tile_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadrant + floor(I_i * 2^20), exact integer sums over the full
     grid, one f64 division."""
     return tile_local_moran(_parts(spark, sf_dir), level=5, box=BOX)
+
+
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation (power=2, r=50) of the
+    integer mark o_orderkey % 97 at the customer-keyed query points;
+    exact decimal sums of floor(2^30/d^2) weights, estimate quantized
+    to floor(est * 2^10).  Exact key collisions (c_custkey ==
+    o_orderkey gives identical coords) exercise the d=0 branch."""
+    q = _halos(spark, sf_dir)
+    d = _parts(spark, sf_dir).withColumn(
+        "v", (F.col("particle_id") % 97).cast("long")
+    )
+    return idw_interpolate(q, d, radius=float(EDGES[1]), value_col="v",
+                           power=2, box=BOX, dtype="float64")
 
 
 def q_tile_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1638,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_joins": q_tile_joins,
         "tile_cover": q_tile_cover,
         "box_join": q_box_join,
+        "idw": q_idw,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
@@ -2155,6 +2173,32 @@ g AS (SELECT poly_id, gx.tx AS tx, gy.ty AS ty FROM r,
       unnest(generate_series(ty0, ty1)) AS gy(ty)),
 {morton_sql_ctes("g", "tx", "ty")}
 SELECT poly_id, tile_id FROM m5
+""",
+        "idw": f"""
+WITH h AS ({_halos_cte()}),
+p AS (SELECT o_orderkey AS particle_id, {sql_coord("o_orderkey", 0)} AS x,
+             {sql_coord("o_orderkey", 1)} AS y, {sql_coord("o_orderkey", 2)} AS z,
+             o_orderkey % 97 AS v FROM orders),
+j AS (SELECT h.halo_id, p.v, {_D2} AS d2 FROM h, p),
+f AS (SELECT * FROM j WHERE d2 < 2500.0),
+w AS (SELECT halo_id, v, (d2 = 0.0) AS ex,
+             CASE WHEN d2 = 0.0 THEN NULL
+                  ELSE CAST(floor(least(1073741824.0 / d2,
+                                        4.611686018427387904e18)) AS BIGINT)
+             END AS wq
+      FROM f),
+a AS (SELECT halo_id, count(*) AS nn,
+             sum(CASE WHEN ex THEN 1 ELSE 0 END) AS nx,
+             sum(CASE WHEN ex THEN v END) AS vx,
+             sum(CASE WHEN NOT ex THEN CAST(wq AS HUGEINT) END) AS den,
+             sum(CASE WHEN NOT ex THEN CAST(wq AS HUGEINT) * v END) AS num
+      FROM w GROUP BY halo_id)
+SELECT halo_id, CAST(nn AS BIGINT) AS n_neighbors,
+       CAST(CASE WHEN nx > 0
+                 THEN floor((CAST(vx AS DOUBLE) / CAST(nx AS DOUBLE)) * 1024.0)
+                 ELSE floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1024.0)
+            END AS BIGINT) AS idw_q
+FROM a
 """,
         "box_join": f"""
 WITH ra AS (SELECT o_orderkey AS a_id,
