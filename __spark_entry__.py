@@ -64,6 +64,7 @@ from spatialjoincountovershells_spark.operators.correlation import (  # noqa: E4
     pair_totals,
 )
 from spatialjoincountovershells_spark.operators.shell_count import (  # noqa: E402
+    range_anti_join,
     range_join_pairs,
     shell_count,
     shell_totals,
@@ -400,6 +401,22 @@ def q_tile_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadrant + floor(I_i * 2^20), exact integer sums over the full
     grid, one f64 division."""
     return tile_local_moran(_parts(spark, sf_dir), level=5, box=BOX)
+
+
+def q_range_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion zones: order-keyed points with NO site (every 50th
+    customer, 30 sites) within strict d < 100; survivors pass through,
+    coords integer-quantized x64 for the hash check."""
+    sites = _halos(spark, sf_dir).where(F.col("halo_id") % 50 == 0)
+    p = _parts(spark, sf_dir)
+    out = range_anti_join(p, sites, radius=float(EDGES[2]), box=BOX,
+                          dtype="float64")
+    return out.select(
+        "particle_id",
+        (F.col("x") * 64).cast("long").alias("xq"),
+        (F.col("y") * 64).cast("long").alias("yq"),
+        (F.col("z") * 64).cast("long").alias("zq"),
+    )
 
 
 def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1637,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_shells": q_weighted_shells,
         "two_point_xi": q_two_point_xi,
         "range_pairs": q_range_pairs,
+        "range_anti": q_range_anti,
         "semi_filtered_shell_count": q_semi_filtered_shell_count,
         "cell_assign": q_cell_assign,
         "cell_stats": q_cell_stats,
@@ -1873,6 +1891,14 @@ WITH h AS ({_halos_cte("supplier", "s_suppkey")}),
 p AS (SELECT o_orderkey AS particle_id, {sql_coord("o_orderkey", 0)} AS x,
       {sql_coord("o_orderkey", 1)} AS y, {sql_coord("o_orderkey", 2)} AS z FROM orders)
 SELECT h.halo_id, p.particle_id FROM h, p WHERE {_D2} < 6400.0
+""",
+        "range_anti": f"""
+WITH h AS ({_halos_cte()} WHERE c_custkey % 50 = 0),
+p AS (SELECT o_orderkey AS particle_id, {sql_coord("o_orderkey", 0)} AS x,
+      {sql_coord("o_orderkey", 1)} AS y, {sql_coord("o_orderkey", 2)} AS z FROM orders)
+SELECT p.particle_id, CAST(p.x * 64 AS BIGINT) AS xq,
+       CAST(p.y * 64 AS BIGINT) AS yq, CAST(p.z * 64 AS BIGINT) AS zq
+FROM p WHERE NOT EXISTS (SELECT 1 FROM h WHERE {_D2} < 10000.0)
 """,
         "semi_filtered_shell_count": _shell_count_sql(
             _halos_cte()

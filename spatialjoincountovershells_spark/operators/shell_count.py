@@ -999,6 +999,46 @@ def range_join_pairs(
     return out if include_distance else out.drop("d2")
 
 
+def range_anti_join(
+    particles: DataFrame,
+    sites: DataFrame,
+    radius: float,
+    box: float = 1000.0,
+    dtype: str = "float32",
+    p_coords: tuple[str, str, str] = ("x", "y", "z"),
+    s_coords: tuple[str, str, str] = ("x", "y", "z"),
+    ncells: int | None = None,
+) -> DataFrame:
+    """Exclusion-zone filter: rows of `particles` with NO site at
+    strict d < radius (periodic min-image) — the negation of the J3
+    range join (``range_join_pairs``), the geofencing scrub shape.
+    Rows pass through with ALL their columns.
+
+    Plan: the site table (the small side by workload shape) explodes
+    its ring cover and broadcasts; ONE broadcast ``left_anti`` join
+    keyed on cell_id carries the distance predicate in the join
+    condition, so the big table is scanned exactly once, never
+    shuffled, and emits survivors map-side.  A particle matching no
+    ring cell never even evaluates the distance.  Semantics equal
+    NOT EXISTS(site with d^2 < r^2): the ring cover contains every
+    cell a violating site could occupy, so anti-join misses nothing."""
+    edges = np.asarray(
+        [radius], dtype=np.float32 if dtype == "float32" else np.float64
+    )
+    r2 = squared_edges(edges)
+    rmax = float(edges[-1])
+    if not rmax < box / 2:
+        raise ValueError(f"radius={rmax} must be < box/2={box / 2}")
+    nc = ncells or grid_ncells(rmax, box)
+    s = sites.select(*[F.col(c).alias(a) for c, a in zip(s_coords, _H)])
+    s = explode_ring(s, nc, box, cols=_H, k=1, prune_radius=rmax,
+                     out="_scell")
+    p = with_cell(particles, nc, box, cols=p_coords, out="_pcell")
+    d2 = squared_distance_expr(_H, p_coords, box, dtype)
+    cond = (F.col("_pcell") == F.col("_scell")) & (d2 < F.lit(float(r2[0])))
+    return p.join(F.broadcast(s), cond, "left_anti").drop("_pcell")
+
+
 def shell_totals(counts: DataFrame, id_col: str = "halo_id") -> DataFrame:
     """A2 (corrected): grand total per shell over all halos.
 
