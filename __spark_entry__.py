@@ -54,6 +54,10 @@ from spatialjoincountovershells_spark.operators.corpus import (  # noqa: E402
     pack_sequences,
     stratified_sample,
 )
+from spatialjoincountovershells_spark.operators.clustering import (  # noqa: E402
+    dbscan_points,
+    lloyd_kmeans,
+)
 from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
 from spatialjoincountovershells_spark.operators.pip import point_in_polygon  # noqa: E402
 from spatialjoincountovershells_spark.operators.semi_join import filter_halos  # noqa: E402
@@ -1632,6 +1636,116 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, k=3, n_centroids=n_cent, n_probe=4)
 
 
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-level DBSCAN (eps=65, min_pts=4) over 2000 pseudo-random
+    synth points (seed 44, the same splitmix64 stream the oracle
+    re-derives via _phash_cte).  eps is chosen sub-percolation (mean
+    degree ~2.3) so the run exercises all three point classes — at
+    sf0.01: 793 core / 556 border / 651 noise across 152 clusters —
+    without a giant component blowing up the oracle's transitive
+    closure."""
+    pts = decode_phash(
+        synth_points(spark, 2000, seed=44, id_col="point_id"),
+        dtype="float64",
+    )
+    return dbscan_points(pts, eps=65.0, min_pts=4, id_col="point_id")
+
+
+def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-lattice Lloyd k-means over the embeddings table (k=8,
+    2 assignment rounds) — the deterministic semantic-clustering step
+    (domain balancing / semantic dedup) with a bit-exact unrolled-CTE
+    DuckDB twin."""
+    return lloyd_kmeans(_read(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def _dbscan_sql(eps: float = 65.0, min_pts: int = 4,
+                n: int = 2000, seed: int = 44) -> str:
+    """DuckDB twin of q_dbscan: cross-join eps-neighborhoods, closed-
+    ball core rule, recursive-CTE components over core-core edges
+    labeled by min reachable core id, border = min core-neighbor
+    label, noise = -1."""
+    return f"""
+WITH RECURSIVE {_phash_cte("pts0", n, seed)},
+pts AS (SELECT id AS pid, x, y, z FROM pts0),
+pr AS (SELECT h.pid AS pa, p.pid AS pb FROM pts h, pts p
+       WHERE h.pid <> p.pid AND {_D2} < {eps * eps!r}),
+deg AS (SELECT pa AS pid, count(*) AS n FROM pr GROUP BY 1),
+core AS (SELECT pid FROM deg WHERE n + 1 >= {min_pts}),
+ce AS (SELECT pa, pb FROM pr
+       WHERE pa IN (SELECT pid FROM core) AND pb IN (SELECT pid FROM core)
+         AND pa < pb),
+e AS (SELECT pa AS s, pb AS d FROM ce UNION SELECT pb, pa FROM ce),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
+),
+clus AS (SELECT s AS pid, least(s, min(d)) AS cl FROM reach GROUP BY s),
+corelab AS (SELECT c.pid, coalesce(clus.cl, c.pid) AS cluster_id
+            FROM core c LEFT JOIN clus ON c.pid = clus.pid),
+border AS (SELECT pr.pa AS pid, min(cb.cluster_id) AS cluster_id
+           FROM pr JOIN corelab cb ON pr.pb = cb.pid
+           WHERE pr.pa NOT IN (SELECT pid FROM core) GROUP BY pr.pa),
+lab AS (SELECT pid, cluster_id, 1 AS is_core FROM corelab
+        UNION ALL
+        SELECT pid, cluster_id, 0 AS is_core FROM border)
+SELECT p.pid AS point_id,
+       CAST(coalesce(l.cluster_id, -1) AS BIGINT) AS cluster_id,
+       CAST(coalesce(l.is_core, 0) AS INTEGER) AS is_core
+FROM pts p LEFT JOIN lab l ON p.pid = l.pid
+"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                scale: int = 1024) -> str:
+    """DuckDB twin of q_kmeans_embed: the Lloyd loop unrolled to
+    `iters` assignment CTEs with an integer-floor centroid update
+    between each — every step exact int64 (CLAUDE.md determinism
+    contract)."""
+    dist2 = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> (q.q[i] - {{c}}.c[i]) * (q.q[i] - {{c}}.c[i])))"
+    )
+
+    def assign(name: str, cent: str) -> str:
+        d2 = dist2.format(c=cent)
+        return (
+            f"{name} AS (SELECT q.vec_id, {cent}.cl, CAST({d2} AS BIGINT) AS dist2\n"
+            f"  FROM q, {cent}\n"
+            f"  QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+            f"ORDER BY dist2, {cent}.cl) = 1)"
+        )
+
+    def update(name: str, asg: str) -> str:
+        return (
+            f"{name}_ex AS (SELECT {asg}.cl, u.d, q.q[u.d] AS v\n"
+            f"  FROM {asg} JOIN q USING (vec_id),\n"
+            f"  (SELECT unnest(generate_series(1, {dim})) AS d) u),\n"
+            f"{name}_s AS (SELECT cl, d, sum(v) AS sv, count(*) AS n "
+            f"FROM {name}_ex GROUP BY 1, 2),\n"
+            f"{name} AS (SELECT cl, array_agg(CAST(floor(CAST(sv AS DOUBLE) / n) "
+            f"AS BIGINT) ORDER BY d) AS c FROM {name}_s GROUP BY cl)"
+        )
+
+    parts = [
+        f"q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT)) AS q "
+        f"FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) "
+        f"AS cl, q AS c FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(iters):
+        parts.append(assign(f"a{i + 1}", f"c{i}"))
+        if i < iters - 1:
+            parts.append(update(f"c{i + 1}", f"a{i + 1}"))
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vec_id, CAST(cl AS BIGINT) AS cluster_id, dist2 FROM a{iters}"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1715,6 +1829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "cosine_dedup": q_cosine_dedup,
         "embed_dedup_clusters": q_embed_dedup_clusters,
+        "dbscan": q_dbscan,
+        "kmeans_embed": q_kmeans_embed,
     }
 
 
@@ -2455,4 +2571,6 @@ FROM o
         "ann_ivf": _ann_ivf_sql(),
         "cosine_dedup": _cosine_dedup_sql(),
         "embed_dedup_clusters": _embed_dedup_clusters_sql(),
+        "dbscan": _dbscan_sql(),
+        "kmeans_embed": _kmeans_sql(),
     }

@@ -1,0 +1,215 @@
+"""Distributed clustering operators: point-level DBSCAN over the
+spatial cell grid, and an integer-lattice Lloyd k-means over embedding
+vectors.
+
+Both are DataFrame compositions of operators the engine already has —
+DBSCAN is the eps-range self-join (``shell_count.range_join_pairs``,
+the reference's RangeSearch surface, ``src/objects/ArraySTR/
+RangeSearch.c:11-52``) followed by the pointer-jumping connected
+components used for near-dup clustering (``dedup.dedup_clusters``);
+k-means is a broadcast-centroid assign + one exploded partial-agg
+update per round.  Determinism contract (CLAUDE.md): every output
+column is integral, every arithmetic step is exact int64, so each
+operator has a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import dedup_clusters
+from .shell_count import range_join_pairs
+
+
+def dbscan_points(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    box: float = 1000.0,
+    id_col: str = "point_id",
+    coords: tuple[str, str, str] = ("x", "y", "z"),
+    dtype: str = "float64",
+    ncells: int | None = None,
+) -> DataFrame:
+    """Point-level DBSCAN -> (id_col, cluster_id long, is_core int).
+
+    Classic DBSCAN semantics with a deterministic labeling rule:
+
+    * neighbor     = other point at squared distance < eps^2 (periodic
+      min-image, the same strict-< predicate as every range op here);
+    * core point   = point with >= min_pts points in its closed
+      eps-ball (itself + neighbors, the textbook definition);
+    * cluster      = connected component of the core-core neighbor
+      graph, labeled by its minimum core id (so labels don't depend
+      on visit order, unlike the sequential algorithm);
+    * border point = non-core with >= 1 core neighbor, assigned the
+      MINIMUM label among its core neighbors (sequential DBSCAN gives
+      border ties to whichever cluster scans first; min is the
+      order-free pin);
+    * noise        = everything else, cluster_id = -1.
+
+    Scale shape: the eps-neighborhood pairs come from the cell-grid
+    range join (pairs shuffle on cell_id, never O(n^2)); degree count
+    and border assignment are partial-aggregated groupBys on the pair
+    table; components run O(log diameter) label-propagation rounds on
+    the core-core edge list only (``dedup_clusters``).  No driver
+    collect anywhere; the pair table is persisted because three
+    downstream branches (degree, core edges, border assignment)
+    consume it.
+    """
+    pid2 = "__nbr_id"
+    right = points.select(F.col(id_col).alias(pid2), *coords)
+    pairs = range_join_pairs(
+        points,
+        right,
+        radius=eps,
+        box=box,
+        dtype=dtype,
+        id_col=id_col,
+        particle_id_col=pid2,
+        h_coords=coords,
+        p_coords=coords,
+        ncells=ncells,
+    ).where(F.col(id_col) != F.col(pid2))
+    # three consumers below; directed pairs (both orders present)
+    pairs = pairs.persist()
+
+    if min_pts <= 1:
+        # isolated points never reach the pair table but DO satisfy
+        # the closed-ball rule (|ball| = 1 >= min_pts): every point
+        # is core
+        core = points.select(id_col)
+    else:
+        deg = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_nbrs"))
+        core = deg.where(F.col("n_nbrs") + 1 >= min_pts).select(id_col)
+
+    core_b = core.select(F.col(id_col).alias(pid2))
+    core_edges = (
+        pairs.join(core, id_col)
+        .join(core_b, pid2)
+        .where(F.col(id_col) < F.col(pid2))
+    )
+    lab = dedup_clusters(
+        core_edges, id_a=id_col, id_b=pid2,
+        out_id=id_col, out_cluster="cluster_id",
+    )
+    # isolated core points (no core neighbor) are their own cluster
+    corelab = core.join(lab, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col).cast("long")).alias("cluster_id"),
+    )
+
+    border = (
+        pairs.join(core, id_col, "left_anti")
+        .join(
+            corelab.select(
+                F.col(id_col).alias(pid2), F.col("cluster_id").alias("_ncl")
+            ),
+            pid2,
+        )
+        .groupBy(id_col)
+        .agg(F.min("_ncl").alias("cluster_id"))
+    )
+
+    labeled = corelab.select(
+        id_col, "cluster_id", F.lit(1).alias("is_core")
+    ).unionByName(border.select(id_col, "cluster_id", F.lit(0).alias("is_core")))
+    return points.select(id_col).join(labeled, id_col, "left").select(
+        id_col,
+        F.coalesce("cluster_id", F.lit(-1).cast("long")).alias("cluster_id"),
+        F.coalesce("is_core", F.lit(0)).alias("is_core"),
+    )
+
+
+def lloyd_kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """Integer-lattice Lloyd k-means -> (id_col, cluster_id long,
+    dist2 long): `iters` assignment rounds with an update between each
+    (iters=2 means assign -> update -> assign).
+
+    Embedding clustering is the semantic-dedup / domain-balancing step
+    of a training-data pipeline; this is the deterministic variant
+    that the cross-engine gate can hash-check:
+
+    * vectors quantize once to q_d = floor(x_d * scale) int64 (scale a
+      power of two, so float32 -> float64 * scale is EXACT and the
+      floor is engine-independent);
+    * distances are exact int64 sums of squared integer diffs —
+      order-independent, no float accumulation;
+    * centroid update is the integer-floor mean floor(S_d / n): the
+      double division S/n of int64s with n <= rows is correctly
+      rounded and >= 1/n away from any other integer, so its floor is
+      exact in every engine;
+    * init = the k rows with smallest id; assignment ties break to the
+      smallest cluster index; empty clusters drop out (deterministic).
+
+    Scale shape: the centroid table is k rows — assignment is a
+    broadcast nested-loop join + one window (or min_by) per point,
+    fully JVM (`zip_with`/`aggregate` codegen); the update explodes to
+    (rows x dim) and partial-aggregates per (cluster, dim), the
+    standard shuffle-light mean.  No driver-side math beyond the k-row
+    init.
+    """
+    q = emb.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"cast(floor(cast(x as double) * {scale}.0) as bigint))"
+        ).alias("q"),
+    ).persist()  # probed once per assignment round
+
+    cent = (
+        q.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("long")
+            .alias("cl"),
+            F.col("q").alias("c"),
+        )
+    )
+
+    dist2 = F.expr(
+        "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), "
+        "0L, (s, v) -> s + v)"
+    )
+    assign = None
+    for i in range(iters):
+        w = Window.partitionBy(id_col).orderBy("dist2", "cl")
+        assign = (
+            q.crossJoin(F.broadcast(cent))
+            .select(F.col(id_col), F.col("cl"), dist2.alias("dist2"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if i < iters - 1:
+            ex = assign.join(q, id_col).select(
+                "cl", F.posexplode("q").alias("d", "v")
+            )
+            cent = (
+                ex.groupBy("cl", "d")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .withColumn(
+                    "m", F.floor(F.col("s").cast("double") / F.col("n"))
+                )
+                .groupBy("cl")
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(d, m))), "
+                        "s -> s.m)"
+                    ).alias("c")
+                )
+            )
+    return assign.select(
+        F.col(id_col),
+        F.col("cl").alias("cluster_id"),
+        F.col("dist2").cast("long").alias("dist2"),
+    )

@@ -1,0 +1,152 @@
+"""Property tests for operators/clustering.py: point-level DBSCAN and
+integer-lattice Lloyd k-means, each pinned against an independent
+numpy brute-force mirror (the same three-engine discipline as
+test_hash_ops / test_properties)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatialjoincountovershells_spark.functions.phash import decode_phash
+from spatialjoincountovershells_spark.operators.clustering import (
+    dbscan_points,
+    lloyd_kmeans,
+)
+from spatialjoincountovershells_spark.sources.synth import (
+    synth_points,
+    synth_points_np,
+)
+
+BOX = 1000.0
+
+
+def _brute_dbscan(pos: np.ndarray, eps: float, min_pts: int):
+    """Reference DBSCAN with the operator's deterministic labeling:
+    clusters = CC of core-core graph labeled by min core id, border =
+    min core-neighbor label, noise = -1.  Periodic min-image metric."""
+    n = len(pos)
+    d = np.abs(pos[:, None, :] - pos[None, :, :])
+    d = np.minimum(d, BOX - d)
+    d2 = (d ** 2).sum(axis=2)
+    nbr = (d2 < eps * eps) & ~np.eye(n, dtype=bool)
+    core = nbr.sum(axis=1) + 1 >= min_pts
+
+    # union-find over core-core edges
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in np.flatnonzero(core):
+        for j in np.flatnonzero(nbr[i] & core):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+
+    label = np.full(n, -1, dtype=np.int64)
+    for i in np.flatnonzero(core):
+        label[i] = find(i)
+    for i in np.flatnonzero(~core):
+        cn = np.flatnonzero(nbr[i] & core)
+        if len(cn):
+            label[i] = min(label[j] for j in cn)
+    return label, core
+
+
+@pytest.mark.parametrize("eps,min_pts", [(65.0, 4), (65.0, 1), (30.0, 3)])
+def test_dbscan_matches_brute_force(spark, eps, min_pts):
+    n, seed = 400, 44
+    pts = decode_phash(
+        synth_points(spark, n, seed=seed, id_col="point_id"), dtype="float64"
+    )
+    got = {
+        r["point_id"]: (r["cluster_id"], r["is_core"])
+        for r in dbscan_points(pts, eps=eps, min_pts=min_pts,
+                               id_col="point_id").collect()
+    }
+    pos = synth_points_np(n, seed).astype(np.float64)
+    label, core = _brute_dbscan(pos, eps, min_pts)
+    assert len(got) == n
+    for i in range(n):
+        assert got[i] == (label[i], int(core[i])), f"point {i}"
+
+
+def test_dbscan_min_pts_one_all_singleton_cores(spark):
+    """eps below any pair distance + min_pts=1: every point is an
+    isolated core, its own cluster, no borders, no noise."""
+    n = 64
+    pts = decode_phash(
+        synth_points(spark, n, seed=7, id_col="point_id"), dtype="float64"
+    )
+    rows = dbscan_points(pts, eps=1e-6, min_pts=1, id_col="point_id").collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == r["point_id"] and r["is_core"] == 1
+               for r in rows)
+
+
+def test_dbscan_partition_independent(spark):
+    pts = decode_phash(
+        synth_points(spark, 300, seed=9, id_col="point_id"), dtype="float64"
+    )
+    a = sorted(map(tuple, dbscan_points(pts, 65.0, 4, id_col="point_id")
+                   .collect()))
+    b = sorted(map(tuple, dbscan_points(pts.repartition(13), 65.0, 4,
+                                        id_col="point_id").collect()))
+    assert a == b
+
+
+def _brute_kmeans(vecs: np.ndarray, ids: np.ndarray, k: int, iters: int,
+                  scale: int = 1024):
+    """numpy mirror of lloyd_kmeans: int64 lattice, floor-mean update,
+    (dist2, cl) tie-break, init = k smallest ids."""
+    q = np.floor(vecs.astype(np.float64) * scale).astype(np.int64)
+    order = np.argsort(ids)
+    cent = {j: q[order[j]].copy() for j in range(k)}
+    assign = None
+    for it in range(iters):
+        cls = sorted(cent)
+        d2 = np.stack(
+            [((q - cent[j][None, :]) ** 2).sum(axis=1) for j in cls], axis=1
+        )
+        pick = d2.argmin(axis=1)  # argmin takes first on ties = smallest cl
+        assign = {
+            int(ids[i]): (int(cls[pick[i]]), int(d2[i, pick[i]]))
+            for i in range(len(ids))
+        }
+        if it < iters - 1:
+            cent = {}
+            for j in set(cls[p] for p in pick):
+                m = q[[cls[pick[i]] == j for i in range(len(ids))]]
+                cent[j] = np.floor(m.sum(axis=0) / len(m)).astype(np.int64)
+    return assign
+
+
+def test_kmeans_matches_brute_force(spark):
+    rng = np.random.default_rng(3)
+    n, dim, k = 120, 16, 5
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["dist2"])
+        for r in lloyd_kmeans(df, k=k, iters=3).collect()
+    }
+    want = _brute_kmeans(vecs, ids, k, iters=3)
+    assert got == want
+
+
+def test_kmeans_partition_independent(spark):
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, lloyd_kmeans(df, k=4, iters=2).collect()))
+    b = sorted(map(tuple,
+                   lloyd_kmeans(df.repartition(11), k=4, iters=2).collect()))
+    assert a == b
