@@ -57,6 +57,7 @@ from spatialjoincountovershells_spark.operators.corpus import (  # noqa: E402
 from spatialjoincountovershells_spark.operators.clustering import (  # noqa: E402
     dbscan_points,
     lloyd_kmeans,
+    semantic_dedup,
 )
 from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
 from spatialjoincountovershells_spark.operators.pip import point_in_polygon  # noqa: E402
@@ -1659,6 +1660,20 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd_kmeans(_read(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means partition (k=8,
+    2 rounds) + within-cluster exact integer-cosine near-dup with the
+    deterministic keep-min-id rule — the cluster-bounded alternative
+    to the LSH-banded cosine_dedup path.  Threshold 0.43: the synth
+    embeddings carry no planted duplicates (max pairwise cosine
+    ~0.513 at sf0.01), so the paper's 0.95+ would be vacuous here;
+    0.43 exercises both keep branches and the co-clustering gate."""
+    return semantic_dedup(
+        _read(spark, sf_dir, "embeddings"), k=8, iters=2,
+        min_sim_1e6=430_000,
+    )
+
+
 def _dbscan_sql(eps: float = 65.0, min_pts: int = 4,
                 n: int = 2000, seed: int = 44) -> str:
     """DuckDB twin of q_dbscan: cross-join eps-neighborhoods, closed-
@@ -1697,12 +1712,12 @@ FROM pts p LEFT JOIN lab l ON p.pid = l.pid
 """
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
-                scale: int = 1024) -> str:
-    """DuckDB twin of q_kmeans_embed: the Lloyd loop unrolled to
-    `iters` assignment CTEs with an integer-floor centroid update
-    between each — every step exact int64 (CLAUDE.md determinism
-    contract)."""
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
+                 scale: int = 1024) -> str:
+    """CTE chain of the unrolled Lloyd loop (quantize `q`, init `c0`,
+    assignment `a1..a{iters}` with integer-floor centroid updates
+    between) — shared by the kmeans_embed and semantic_dedup oracles;
+    every step exact int64 (CLAUDE.md determinism contract)."""
     dist2 = (
         f"list_sum(list_transform(generate_series(1, {dim}), "
         f"i -> (q.q[i] - {{c}}.c[i]) * (q.q[i] - {{c}}.c[i])))"
@@ -1739,11 +1754,43 @@ def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
         parts.append(assign(f"a{i + 1}", f"c{i}"))
         if i < iters - 1:
             parts.append(update(f"c{i + 1}", f"a{i + 1}"))
-    body = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                scale: int = 1024) -> str:
+    """DuckDB twin of q_kmeans_embed."""
     return (
-        f"WITH {body}\n"
+        f"WITH {_kmeans_ctes(k, iters, dim, scale)}\n"
         f"SELECT vec_id, CAST(cl AS BIGINT) AS cluster_id, dist2 FROM a{iters}"
     )
+
+
+def _semantic_dedup_sql(k: int = 8, iters: int = 2, min_sim_1e6: int = 430_000,
+                        dim: int = 64, scale: int = 1024) -> str:
+    """DuckDB twin of q_semantic_dedup: the shared Lloyd CTEs + a
+    within-cluster smaller-id pair scan with the engine's pinned
+    integer-cosine tree (verbatim mirror of _cosine_dedup_sql's
+    expression)."""
+    sim = ("CASE WHEN na2 * nb2 = 0 THEN 0 "
+           "ELSE CAST(floor((CAST(dot AS DOUBLE) / sqrt(CAST(na2 * nb2 AS DOUBLE)))"
+           " * 1000000.0) AS BIGINT) END")
+    return f"""
+WITH {_kmeans_ctes(k, iters, dim, scale)},
+asg AS (SELECT vec_id, CAST(cl AS BIGINT) AS cluster_id FROM a{iters}),
+mm AS (SELECT asg.vec_id, asg.cluster_id, q.q FROM asg JOIN q USING (vec_id)),
+pr AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+  list_sum(list_transform(generate_series(1, {dim}), d -> a.q[d] * b.q[d])) AS dot,
+  list_sum(list_transform(generate_series(1, {dim}), d -> a.q[d] * a.q[d])) AS na2,
+  list_sum(list_transform(generate_series(1, {dim}), d -> b.q[d] * b.q[d])) AS nb2
+  FROM mm a JOIN mm b ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id),
+dup AS (SELECT ida, min(idb) AS dup_of FROM pr
+        WHERE ({sim}) >= {min_sim_1e6} GROUP BY ida)
+SELECT asg.vec_id, asg.cluster_id,
+       CAST(CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       CAST(coalesce(dup.dup_of, -1) AS BIGINT) AS dup_of
+FROM asg LEFT JOIN dup ON asg.vec_id = dup.ida
+"""
 
 
 # ---------------------------------------------------------------- contract
@@ -1831,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dedup_clusters": q_embed_dedup_clusters,
         "dbscan": q_dbscan,
         "kmeans_embed": q_kmeans_embed,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2573,4 +2621,5 @@ FROM o
         "embed_dedup_clusters": _embed_dedup_clusters_sql(),
         "dbscan": _dbscan_sql(),
         "kmeans_embed": _kmeans_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
     }

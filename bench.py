@@ -57,8 +57,10 @@ EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign",
                  "video_frames", "audio_stats",
                  "decontaminate", "repetition_stats",
                  # round-3 additions: per-probe min join (G-function),
-                 # per-user session windows, pyramid self-join
-                 "g_function", "event_sessions", "tile_adaptive")
+                 # per-user session windows, pyramid self-join,
+                 # clustering (range-join DBSCAN, Lloyd, SemDeDup)
+                 "g_function", "event_sessions", "tile_adaptive",
+                 "dbscan", "kmeans_embed", "semantic_dedup")
 
 
 def sf_of(sf_dir: str) -> float:

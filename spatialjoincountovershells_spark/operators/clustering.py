@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from .dedup import dedup_clusters
 from .shell_count import range_join_pairs
 
+__all__ = ["dbscan_points", "lloyd_kmeans", "semantic_dedup"]
+
 
 def dbscan_points(
     points: DataFrame,
@@ -212,4 +214,93 @@ def lloyd_kmeans(
         F.col(id_col),
         F.col("cl").alias("cluster_id"),
         F.col("dist2").cast("long").alias("dist2"),
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    min_sim_1e6: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus with k-means, then find
+    near-duplicates by EXACT pairwise cosine *within each cluster only*
+    -> (id_col, cluster_id long, keep int, dup_of long).
+
+    Deterministic drop rule (order-free variant of the paper's
+    sequential scan): a row is dropped (keep=0) iff SOME same-cluster
+    row with a SMALLER id has cosine similarity >= min_sim_1e6/1e6;
+    ``dup_of`` is the minimum such id (-1 for keepers).  This is a
+    superset of the sequential rule's drops (a row similar only to an
+    already-dropped smaller row still drops) but is independent of
+    visit order and partitioning, which is what the cross-engine gate
+    needs.  sim_1e6 is the engine's pinned cosine: exact int64
+    dot/norms on the floor(x*scale) lattice + one fixed
+    correctly-rounded f64 tree (same formula as
+    ``similarity.cosine_dedup_pairs``), bit-exact in DuckDB.
+
+    Scale shape: clustering bounds the quadratic term — the pair join
+    is an equi-join on cluster_id, so total work is O(sum c_i^2) with
+    c_i ~ n/k; pick k proportional to n (the paper uses n/k ~ 1e4 at
+    corpus scale) and the per-key pair volume stays flat.  Compare
+    ``cosine_dedup_pairs`` (LSH-banded candidates) — SemDeDup trades
+    its recall bound for a guaranteed candidate budget per cluster.
+    """
+    asg = lloyd_kmeans(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    ).select(id_col, "cluster_id")
+    q = emb.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"cast(floor(cast(x as double) * {scale}.0) as bigint))"
+        ).alias("_q"),
+    )
+    m = asg.join(q, id_col).persist()  # both sides of the pair join
+
+    a = m.select(
+        F.col(id_col).alias("_ida"), "cluster_id", F.col("_q").alias("_qa")
+    )
+    b = m.select(
+        F.col(id_col).alias("_idb"), "cluster_id", F.col("_q").alias("_qb")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(_qa, _qb, (x, y) -> x * y), 0L, (s, v) -> s + v)"
+    )
+    n2 = lambda c: F.expr(  # noqa: E731
+        f"aggregate(transform({c}, v -> v * v), 0L, (s, v) -> s + v)"
+    )
+    j = (
+        a.join(b, "cluster_id")
+        .where(F.col("_idb") < F.col("_ida"))
+        .withColumn("_dot", dot)
+        .withColumn("_na2", n2("_qa"))
+        .withColumn("_nb2", n2("_qb"))
+    )
+    sim = F.when(
+        F.col("_na2") * F.col("_nb2") == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.floor(
+            (F.col("_dot").cast("double")
+             / F.sqrt((F.col("_na2") * F.col("_nb2")).cast("double")))
+            * F.lit(1e6)
+        ).cast("long")
+    )
+    dup = (
+        j.withColumn("_sim", sim)
+        .where(F.col("_sim") >= F.lit(int(min_sim_1e6)))
+        .groupBy("_ida")
+        .agg(F.min("_idb").alias("dup_of"))
+    )
+    return asg.join(
+        dup.select(F.col("_ida").alias(id_col), "dup_of"), id_col, "left"
+    ).select(
+        id_col,
+        "cluster_id",
+        F.when(F.col("dup_of").isNull(), 1).otherwise(0).alias("keep"),
+        F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
     )

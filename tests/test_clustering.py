@@ -11,6 +11,7 @@ from spatialjoincountovershells_spark.functions.phash import decode_phash
 from spatialjoincountovershells_spark.operators.clustering import (
     dbscan_points,
     lloyd_kmeans,
+    semantic_dedup,
 )
 from spatialjoincountovershells_spark.sources.synth import (
     synth_points,
@@ -139,6 +140,50 @@ def test_kmeans_matches_brute_force(spark):
         for r in lloyd_kmeans(df, k=k, iters=3).collect()
     }
     want = _brute_kmeans(vecs, ids, k, iters=3)
+    assert got == want
+
+
+def test_semantic_dedup_matches_brute_force(spark):
+    """Planted near-dup pairs: base vectors + tiny perturbations of
+    earlier rows.  Check against a numpy mirror of the full contract
+    (kmeans assign -> within-cluster pairs -> pinned cosine tree ->
+    smaller-id drop rule)."""
+    rng = np.random.default_rng(11)
+    n, dim, k, tau = 90, 12, 4, 950_000
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    for i in range(60, 90):  # rows 60-89 = near-dups of rows 0-29
+        vecs[i] = vecs[i - 60] + rng.normal(scale=1e-3, size=dim).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["keep"], r["dup_of"])
+        for r in semantic_dedup(df, k=k, iters=2, min_sim_1e6=tau).collect()
+    }
+
+    asg = _brute_kmeans(vecs, ids, k, iters=2)
+    q = np.floor(vecs.astype(np.float64) * 1024).astype(np.int64)
+    want = {}
+    n_drop = 0
+    for i in range(n):
+        cl = asg[i][0]
+        dup_of = -1
+        for j in range(i):
+            if asg[j][0] != cl:
+                continue
+            dot = int((q[i] * q[j]).sum())
+            na2, nb2 = int((q[i] ** 2).sum()), int((q[j] ** 2).sum())
+            sim = 0 if na2 * nb2 == 0 else int(
+                np.floor(dot / np.sqrt(float(na2 * nb2)) * 1e6)
+            )
+            if sim >= tau:
+                dup_of = j
+                break  # smallest j = min dup_of
+        want[i] = (cl, 1 if dup_of < 0 else 0, dup_of)
+        n_drop += dup_of >= 0
+    assert n_drop >= 20, "planting failed to co-cluster"
     assert got == want
 
 
