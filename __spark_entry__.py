@@ -89,6 +89,7 @@ from spatialjoincountovershells_spark.operators.similarity import (  # noqa: E40
     lsh_cosine_pairs,
 )
 from spatialjoincountovershells_spark.operators.text import (  # noqa: E402
+    bm25_scores,
     chunk_documents,
     doc_fingerprint,
     lang_guess,
@@ -1674,6 +1675,42 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("spark", "hash", "window", "vector")
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed 4-term
+    query — the retrieval-quality scoring step (all-integer quantized
+    contract, see text.bm25_scores)."""
+    return bm25_scores(_read(spark, sf_dir, "documents"), list(BM25_TERMS))
+
+
+def _bm25_sql(terms=BM25_TERMS) -> str:
+    """DuckDB twin of q_bm25: identical tokenize/avgdl/idf/tf-part
+    integer pipeline, `//` mirroring Spark's DIV (all operands
+    positive, so truncating and floor division agree)."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents),
+lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST((16 * sum(dl)) // count(*) AS BIGINT) AS a FROM lens),
+hits AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM hits
+       WHERE term IN ({inlist}) GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id,
+    ((2 * n_docs - 2 * df + 1) * 1024) // (2 * df + 1) AS idf,
+    (22 * tf * a * 1024) // (10 * tf * a + 3 * a + 144 * dl) AS tfp
+  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_hit,
+       CAST(sum(idf * tfp) AS BIGINT) AS score_q
+FROM s GROUP BY doc_id
+"""
+
+
 def _dbscan_sql(eps: float = 65.0, min_pts: int = 4,
                 n: int = 2000, seed: int = 44) -> str:
     """DuckDB twin of q_dbscan: cross-join eps-neighborhoods, closed-
@@ -1879,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": q_dbscan,
         "kmeans_embed": q_kmeans_embed,
         "semantic_dedup": q_semantic_dedup,
+        "bm25": q_bm25,
     }
 
 
@@ -2622,4 +2660,5 @@ FROM o
         "dbscan": _dbscan_sql(),
         "kmeans_embed": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "bm25": _bm25_sql(),
     }

@@ -7,6 +7,7 @@ oracles match exactly.
 * lang_guess       — stopword-hit language heuristic
 * doc_fingerprint  — min polynomial window hash (pure codegen exprs)
 * repetition_stats — Gopher-style intra-document repetition signals
+* bm25_scores      — Okapi BM25 retrieval scoring, all-integer contract
 """
 
 from __future__ import annotations
@@ -292,4 +293,79 @@ def chunk_documents(
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.col("chunk_text"),
         F.length("chunk_text").cast("long").alias("n_chars"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms
+    (Robertson & Walker's Okapi weighting, the retrieval/quality-
+    filtering standard) -> (id_col, n_hit int, score_q long) for docs
+    matching >= 1 term.
+
+    Deterministic all-integer contract (no logs, no float division —
+    bit-exact in any ANSI engine):
+
+    * token    = maximal [a-z0-9]+ run of lower(text);
+    * avgdl_16 = (16 * total_tokens) DIV n_docs — the corpus average
+      doc length carried as a x16 fixed-point integer;
+    * idf_1024 = ((2N - 2df + 1) * 1024) DIV (2df + 1) — the rational
+      core of the Robertson-Sparck-Jones idf with the log dropped
+      (monotone in the same argument, strictly positive for df <= N,
+      which also removes classic BM25's negative-idf wart);
+    * tf part  = 2.2*tf / (tf + 1.2*(0.25 + 0.75*dl/avgdl)) at the
+      standard k1=1.2, b=0.75, cleared of denominators:
+      tfp_1024 = (22 * tf * A * 1024) DIV (10*tf*A + 3*A + 144*dl)
+      with A = avgdl_16;
+    * score_q  = sum over matched terms of idf_1024 * tfp_1024 (exact
+      int64; fits while 2N*1024 * 2253 < 2^63, i.e. N < ~2*10^12).
+
+    Scale shape: the term list is a literal broadcast predicate pushed
+    into the explode, so only query-term occurrences ever shuffle (a
+    few rows per matching doc, never the corpus); tf and df are
+    map-side-combined groupBys on that tiny table; corpus stats (N,
+    total tokens) are one scalar agg cross-joined back; df is a
+    broadcast join on term.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.expr(
+            f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
+        ).alias("_t"),
+    )
+    lens = toks.select(id_col, F.size("_t").cast("long").alias("_dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n_docs"), F.sum("_dl").alias("_tot")
+    ).select(
+        "_n_docs", F.expr("CAST((16 * _tot) DIV _n_docs AS LONG)").alias("_a")
+    )
+    hits = (
+        toks.select(id_col, F.explode("_t").alias("_term"))
+        .where(F.col("_term").isin([t.lower() for t in terms]))
+    )
+    tf = hits.groupBy(id_col, "_term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.expr("((2 * _n_docs - 2 * _df + 1) * 1024) DIV (2 * _df + 1)"),
+        )
+        .withColumn(
+            "_tfp",
+            F.expr(
+                "(22 * _tf * _a * 1024) DIV "
+                "(10 * _tf * _a + 3 * _a + 144 * _dl)"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_hit"),
+        F.sum(F.col("_idf") * F.col("_tfp")).alias("score_q"),
     )

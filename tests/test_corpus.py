@@ -413,3 +413,60 @@ def test_pack_sequences_planted(spark):
                                         range_size=rng).collect()
             }
             assert got == want, (rng,)
+
+
+# ---------------------------------------------------------------- bm25
+
+def test_bm25_matches_brute_force(spark):
+    """bm25_scores vs a pure-python mirror of the integer contract,
+    on docs crafted to exercise tf saturation, doc-length damping and
+    df weighting; plus ranking sanity (rarer term outranks common one
+    at equal tf/dl)."""
+    import re
+
+    from spatialjoincountovershells_spark.operators.text import bm25_scores
+
+    docs = [
+        (0, "spark spark spark join join"),          # high tf on 'spark'
+        (1, "spark join " + "pad " * 50),            # long doc, damped
+        (2, "vector join"),                          # rare term 'vector'
+        (3, "spark join"),                           # common terms only
+        (4, "no query words at all " + "pad " * 10),
+        (5, ""),                                     # empty doc
+        (6, "SPARK, Spark; sPaRk!"),                 # case/punct folding
+    ]
+    terms = ["spark", "vector"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_hit"], r["score_q"])
+        for r in bm25_scores(df, terms).collect()
+    }
+
+    tok = {i: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t] for i, s in docs}
+    n_docs = len(docs)
+    a = (16 * sum(len(t) for t in tok.values())) // n_docs
+    dfreq = {
+        q: sum(1 for t in tok.values() if q in t) for q in terms
+    }
+    want = {}
+    for i, t in tok.items():
+        score, hits = 0, 0
+        for q in terms:
+            tf = t.count(q)
+            if not tf:
+                continue
+            hits += 1
+            idf = ((2 * n_docs - 2 * dfreq[q] + 1) * 1024) // (2 * dfreq[q] + 1)
+            tfp = (22 * tf * a * 1024) // (10 * tf * a + 3 * a + 144 * len(t))
+            score += idf * tfp
+        if hits:
+            want[i] = (hits, score)
+    assert got == want
+    assert 4 not in got and 5 not in got
+    # rare 'vector' (df=1) must outrank common 'spark' (df=4) at tf=1
+    # and comparable dl: doc 2 over doc 3
+    assert got[2][1] > got[3][1]
+    # tf saturation still monotone: 3x 'spark' (doc 0) > 1x (doc 3)
+    assert got[0][1] > got[3][1]
+    # case/punctuation folding: doc 6 = 3x 'spark' like doc 0's tf
+    assert got[6][0] == 1
