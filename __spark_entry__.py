@@ -57,6 +57,7 @@ from spatialjoincountovershells_spark.operators.corpus import (  # noqa: E402
 from spatialjoincountovershells_spark.operators.clustering import (  # noqa: E402
     dbscan_points,
     lloyd_kmeans,
+    pq_encode,
     semantic_dedup,
 )
 from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
@@ -1675,6 +1676,38 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes over the embeddings table (m=4
+    subspaces of 16 dims, 16 codewords each, 2 Lloyd rounds) — the
+    IVF+PQ compression companion of ann_ivf."""
+    return pq_encode(_read(spark, sf_dir, "embeddings"),
+                     m=4, k=16, iters=2, dim=64)
+
+
+def _pq_sql(m: int = 4, k: int = 16, iters: int = 2, dim: int = 64,
+            scale: int = 1024) -> str:
+    """DuckDB twin of q_pq_encode: m prefixed copies of the shared
+    unrolled-Lloyd CTE chain, one per embedding slice, joined on
+    vec_id."""
+    d = dim // m
+    chains = ",\n".join(
+        _kmeans_ctes(k, iters, d, scale, prefix=f"s{j}_", slice_off=j * d)
+        for j in range(m)
+    )
+    cols = ", ".join(
+        f"CAST(s{j}_a{iters}.cl AS BIGINT) AS code_{j}" for j in range(m)
+    )
+    total = " + ".join(f"s{j}_a{iters}.dist2" for j in range(m))
+    joins = " ".join(
+        f"JOIN s{j}_a{iters} USING (vec_id)" for j in range(1, m)
+    )
+    return (
+        f"WITH {chains}\n"
+        f"SELECT vec_id, {cols}, CAST({total} AS BIGINT) AS dist2\n"
+        f"FROM s0_a{iters} {joins}"
+    )
+
+
 BM25_TERMS = ("spark", "hash", "window", "vector")
 
 
@@ -1750,29 +1783,34 @@ FROM pts p LEFT JOIN lab l ON p.pid = l.pid
 
 
 def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
-                 scale: int = 1024) -> str:
-    """CTE chain of the unrolled Lloyd loop (quantize `q`, init `c0`,
-    assignment `a1..a{iters}` with integer-floor centroid updates
-    between) — shared by the kmeans_embed and semantic_dedup oracles;
-    every step exact int64 (CLAUDE.md determinism contract)."""
+                 scale: int = 1024, prefix: str = "",
+                 slice_off: int = 0) -> str:
+    """CTE chain of the unrolled Lloyd loop (quantize `{p}q`, init
+    `{p}c0`, assignment `{p}a1..a{iters}` with integer-floor centroid
+    updates between) — shared by the kmeans_embed / semantic_dedup /
+    pq_encode oracles; every step exact int64 (CLAUDE.md determinism
+    contract).  `prefix` namespaces the CTEs so several chains coexist
+    in one query (PQ subspaces); `slice_off`+`dim` select the
+    1-based-inclusive embedding slice [off+1 .. off+dim]."""
+    p = prefix
     dist2 = (
         f"list_sum(list_transform(generate_series(1, {dim}), "
-        f"i -> (q.q[i] - {{c}}.c[i]) * (q.q[i] - {{c}}.c[i])))"
+        f"i -> ({p}q.q[i] - {{c}}.c[i]) * ({p}q.q[i] - {{c}}.c[i])))"
     )
 
     def assign(name: str, cent: str) -> str:
         d2 = dist2.format(c=cent)
         return (
-            f"{name} AS (SELECT q.vec_id, {cent}.cl, CAST({d2} AS BIGINT) AS dist2\n"
-            f"  FROM q, {cent}\n"
-            f"  QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+            f"{name} AS (SELECT {p}q.vec_id, {cent}.cl, CAST({d2} AS BIGINT) AS dist2\n"
+            f"  FROM {p}q, {cent}\n"
+            f"  QUALIFY row_number() OVER (PARTITION BY {p}q.vec_id "
             f"ORDER BY dist2, {cent}.cl) = 1)"
         )
 
     def update(name: str, asg: str) -> str:
         return (
-            f"{name}_ex AS (SELECT {asg}.cl, u.d, q.q[u.d] AS v\n"
-            f"  FROM {asg} JOIN q USING (vec_id),\n"
+            f"{name}_ex AS (SELECT {asg}.cl, u.d, {p}q.q[u.d] AS v\n"
+            f"  FROM {asg} JOIN {p}q USING (vec_id),\n"
             f"  (SELECT unnest(generate_series(1, {dim})) AS d) u),\n"
             f"{name}_s AS (SELECT cl, d, sum(v) AS sv, count(*) AS n "
             f"FROM {name}_ex GROUP BY 1, 2),\n"
@@ -1780,17 +1818,19 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
             f"AS BIGINT) ORDER BY d) AS c FROM {name}_s GROUP BY cl)"
         )
 
+    vec = (f"embedding[{slice_off + 1}:{slice_off + dim}]"
+           if slice_off or dim != 64 else "embedding")
     parts = [
-        f"q AS (SELECT vec_id, list_transform(embedding, "
+        f"{p}q AS (SELECT vec_id, list_transform({vec}, "
         f"x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT)) AS q "
         f"FROM embeddings)",
-        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) "
-        f"AS cl, q AS c FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k}))",
+        f"{p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) "
+        f"AS cl, q AS c FROM (SELECT * FROM {p}q ORDER BY vec_id LIMIT {k}))",
     ]
     for i in range(iters):
-        parts.append(assign(f"a{i + 1}", f"c{i}"))
+        parts.append(assign(f"{p}a{i + 1}", f"{p}c{i}"))
         if i < iters - 1:
-            parts.append(update(f"c{i + 1}", f"a{i + 1}"))
+            parts.append(update(f"{p}c{i + 1}", f"{p}a{i + 1}"))
     return ",\n".join(parts)
 
 
@@ -1917,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embed": q_kmeans_embed,
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
+        "pq_encode": q_pq_encode,
     }
 
 
@@ -2661,4 +2702,5 @@ FROM o
         "kmeans_embed": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "bm25": _bm25_sql(),
+        "pq_encode": _pq_sql(),
     }

@@ -60,7 +60,8 @@ EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign",
                  # per-user session windows, pyramid self-join,
                  # clustering (range-join DBSCAN, Lloyd, SemDeDup)
                  "g_function", "event_sessions", "tile_adaptive",
-                 "dbscan", "kmeans_embed", "semantic_dedup", "bm25")
+                 "dbscan", "kmeans_embed", "semantic_dedup", "bm25",
+                 "pq_encode")
 
 
 def sf_of(sf_dir: str) -> float:

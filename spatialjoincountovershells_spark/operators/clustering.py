@@ -1,8 +1,10 @@
 """Distributed clustering operators: point-level DBSCAN over the
-spatial cell grid, and an integer-lattice Lloyd k-means over embedding
-vectors.
+spatial cell grid, an integer-lattice Lloyd k-means over embedding
+vectors, and the two training-pipeline compositions built on it —
+SemDeDup semantic dedup and product-quantization encoding.
 
-Both are DataFrame compositions of operators the engine already has —
+The spatial ops are DataFrame compositions of operators the engine
+already has —
 DBSCAN is the eps-range self-join (``shell_count.range_join_pairs``,
 the reference's RangeSearch surface, ``src/objects/ArraySTR/
 RangeSearch.c:11-52``) followed by the pointer-jumping connected
@@ -21,7 +23,7 @@ from pyspark.sql import functions as F
 from .dedup import dedup_clusters
 from .shell_count import range_join_pairs
 
-__all__ = ["dbscan_points", "lloyd_kmeans", "semantic_dedup"]
+__all__ = ["dbscan_points", "lloyd_kmeans", "semantic_dedup", "pq_encode"]
 
 
 def dbscan_points(
@@ -303,4 +305,60 @@ def semantic_dedup(
         "cluster_id",
         F.when(F.col("dup_of").isNull(), 1).otherwise(0).alias("keep"),
         F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1024,
+) -> DataFrame:
+    """Product-quantization encoding (Jegou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"): split each
+    vector into `m` contiguous subspaces of dim/m, train an
+    independent `k`-codeword Lloyd codebook per subspace, and emit
+    each row's code word per subspace plus the total int64
+    quantization error -> (id_col, code_0..code_{m-1} long, dist2
+    long).  With ``ann_ivf`` (the coarse quantizer) this is the
+    IVF+PQ compression pipeline: m*log2(k) bits per vector instead of
+    dim floats.
+
+    Every subspace runs the same deterministic integer-lattice Lloyd
+    as ``lloyd_kmeans`` (init = k smallest ids, floor-mean updates,
+    (dist2, cl) tie-break), so the composite has a bit-exact DuckDB
+    twin of m prefixed CTE chains.
+
+    Scale shape: each subspace is an independent broadcast-k-row
+    assignment over a column slice — m small jobs over one cached
+    quantized projection, joined back on the id; no pairwise term
+    anywhere (codebook training is linear per round).
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d = dim // m
+    out = None
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * d + 1, d).alias(vec_col),
+        )
+        a = lloyd_kmeans(
+            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            scale=scale,
+        ).select(
+            id_col,
+            F.col("cluster_id").alias(f"code_{j}"),
+            F.col("dist2").alias(f"_d{j}"),
+        )
+        out = a if out is None else out.join(a, id_col)
+    total = sum(F.col(f"_d{j}") for j in range(m))
+    return out.select(
+        id_col,
+        *[F.col(f"code_{j}") for j in range(m)],
+        total.cast("long").alias("dist2"),
     )

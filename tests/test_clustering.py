@@ -195,3 +195,34 @@ def test_kmeans_partition_independent(spark):
     b = sorted(map(tuple,
                    lloyd_kmeans(df.repartition(11), k=4, iters=2).collect()))
     assert a == b
+
+
+def test_pq_encode_matches_brute_force(spark):
+    """pq_encode vs the numpy Lloyd mirror run per subspace; total
+    dist2 must be the sum of per-subspace quantization errors."""
+    from spatialjoincountovershells_spark.operators.clustering import pq_encode
+
+    rng = np.random.default_rng(17)
+    n, dim, m, k = 100, 16, 4, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: tuple(r[f"code_{j}"] for j in range(m)) + (r["dist2"],)
+        for r in pq_encode(df, m=m, k=k, iters=2, dim=dim).collect()
+    }
+    d = dim // m
+    subs = [
+        _brute_kmeans(vecs[:, j * d:(j + 1) * d], ids, k, iters=2)
+        for j in range(m)
+    ]
+    want = {
+        int(i): tuple(subs[j][int(i)][0] for j in range(m))
+        + (sum(subs[j][int(i)][1] for j in range(m)),)
+        for i in ids
+    }
+    assert got == want
