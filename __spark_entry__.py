@@ -57,6 +57,7 @@ from spatialjoincountovershells_spark.operators.corpus import (  # noqa: E402
 from spatialjoincountovershells_spark.operators.clustering import (  # noqa: E402
     dbscan_points,
     lloyd_kmeans,
+    pq_ann_topk,
     pq_encode,
     semantic_dedup,
 )
@@ -1708,6 +1709,58 @@ def _pq_sql(m: int = 4, k: int = 16, iters: int = 2, dim: int = 64,
     )
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive PQ asymmetric-distance top-3 self-search over the
+    embeddings table (m=4 x k=16 codebooks) — the ADC correctness
+    anchor; the candidate-bounded IVF+PQ composition is pinned by
+    test_pq_ann_ivf_candidates_subset."""
+    return pq_ann_topk(_read(spark, sf_dir, "embeddings"),
+                       k_nn=3, m=4, k=16, iters=2, dim=64)
+
+
+def _pq_ann_sql(k_nn: int = 3, m: int = 4, k: int = 16, iters: int = 2,
+                dim: int = 64, scale: int = 1024) -> str:
+    """DuckDB twin of q_pq_ann: the m prefixed Lloyd chains again,
+    plus per-subspace LUTs (query slice x final codebook c_{iters-1})
+    and the m-lookup ADC sum."""
+    d = dim // m
+    chains = ",\n".join(
+        _kmeans_ctes(k, iters, d, scale, prefix=f"s{j}_", slice_off=j * d)
+        for j in range(m)
+    )
+    code_cols = ", ".join(f"s{j}_a{iters}.cl AS code_{j}" for j in range(m))
+    code_joins = " ".join(
+        f"JOIN s{j}_a{iters} USING (vec_id)" for j in range(1, m)
+    )
+    luts = ",\n".join(
+        f"lut{j} AS (SELECT q.vec_id AS query_id, c.cl, "
+        f"CAST(list_sum(list_transform(generate_series(1, {d}), "
+        f"i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS BIGINT) AS d "
+        f"FROM s{j}_q q, s{j}_c{iters - 1} c)"
+        for j in range(m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.cl = n.code_{j} "
+        f"AND l{j}.query_id = l0.query_id"
+        for j in range(1, m)
+    )
+    total = " + ".join(f"l{j}.d" for j in range(m))
+    return f"""
+WITH {chains},
+codes AS (SELECT vec_id AS neighbor_id, {code_cols}
+  FROM s0_a{iters} {code_joins}),
+{luts},
+adc AS (SELECT l0.query_id, n.neighbor_id, {total} AS adc_d2
+  FROM codes n JOIN lut0 l0 ON l0.cl = n.code_0 {lut_joins}
+  WHERE l0.query_id <> n.neighbor_id)
+SELECT query_id, neighbor_id,
+       CAST(rnk AS INTEGER) AS rank, CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY adc_d2, neighbor_id) AS rnk FROM adc)
+WHERE rnk <= {k_nn}
+"""
+
+
 BM25_TERMS = ("spark", "hash", "window", "vector")
 
 
@@ -1958,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "pq_encode": q_pq_encode,
+        "pq_ann": q_pq_ann,
     }
 
 
@@ -2703,4 +2757,5 @@ FROM o
         "semantic_dedup": _semantic_dedup_sql(),
         "bm25": _bm25_sql(),
         "pq_encode": _pq_sql(),
+        "pq_ann": _pq_ann_sql(),
     }

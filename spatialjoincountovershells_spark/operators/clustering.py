@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from .dedup import dedup_clusters
 from .shell_count import range_join_pairs
 
-__all__ = ["dbscan_points", "lloyd_kmeans", "semantic_dedup", "pq_encode"]
+__all__ = ["dbscan_points", "lloyd_kmeans", "semantic_dedup", "pq_encode",
+           "pq_ann_topk"]
 
 
 def dbscan_points(
@@ -163,12 +164,27 @@ def lloyd_kmeans(
     """
     q = emb.select(
         F.col(id_col),
-        F.expr(
-            f"transform({vec_col}, x -> "
-            f"cast(floor(cast(x as double) * {scale}.0) as bigint))"
-        ).alias("q"),
+        _quantize(vec_col, scale).alias("q"),
     ).persist()  # probed once per assignment round
+    assign, _ = _lloyd(q, k, iters, id_col)
+    return assign.select(
+        F.col(id_col),
+        F.col("cl").alias("cluster_id"),
+        F.col("dist2").cast("long").alias("dist2"),
+    )
 
+
+def _quantize(vec_col: str, scale: int):
+    return F.expr(
+        f"transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * {scale}.0) as bigint))"
+    )
+
+
+def _lloyd(q: DataFrame, k: int, iters: int, id_col: str):
+    """The Lloyd loop over an already-quantized (id, q) frame ->
+    (assignment (id, cl, dist2), codebook (cl, c)) where the codebook
+    is the one the LAST assignment ran against (c_{iters-1})."""
     cent = (
         q.orderBy(id_col)
         .limit(k)
@@ -212,11 +228,7 @@ def lloyd_kmeans(
                     ).alias("c")
                 )
             )
-    return assign.select(
-        F.col(id_col),
-        F.col("cl").alias("cluster_id"),
-        F.col("dist2").cast("long").alias("dist2"),
-    )
+    return assign, cent
 
 
 def semantic_dedup(
@@ -361,4 +373,85 @@ def pq_encode(
         id_col,
         *[F.col(f"code_{j}") for j in range(m)],
         total.cast("long").alias("dist2"),
+    )
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    k_nn: int = 3,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1024,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k search (the ADC of Jegou et al.
+    2011 §IV) -> (query_id, neighbor_id, rank, adc_d2): approximate
+    nearest neighbors where corpus vectors exist ONLY as m code words
+    and each query builds an (m x k) lookup table of exact int64
+    distances to every codeword — a candidate's distance is m table
+    lookups summed, never a dim-length dot product.
+
+    Self-search semantics like ann_ivf: every corpus row queries,
+    self-pairs excluded, ties break on neighbor_id.  adc_d2 is the
+    quantization-approximate distance (exact int64 given the
+    codebooks), NOT the true L2 — the standard ADC trade.
+
+    candidates: (query_id, neighbor_id) pairs to score (e.g.
+    ``similarity.ivf_candidates`` — together they are IVF+PQ, FAISS's
+    IVFPQ index expressed as two DataFrame ops).  Default None scores
+    ALL pairs: the exhaustive-ADC baseline, O(n^2) rows but O(m) work
+    per row.
+
+    Scale shape: the m codebooks are k rows each and the per-query LUT
+    is (n_queries x k) rows per subspace — all broadcast; the pair
+    table (candidate-bounded or exhaustive) flows through m broadcast
+    hash joins and one window.  The corpus ships as codes (m longs),
+    never as vectors.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d = dim // m
+    q = emb.select(F.col(id_col), _quantize(vec_col, scale).alias("q")).persist()
+
+    lut_d2 = F.expr(
+        "aggregate(zip_with(_qs, c, (a, b) -> (a - b) * (a - b)), "
+        "0L, (s, v) -> s + v)"
+    )
+    codes, luts = None, []
+    for j in range(m):
+        sub = q.select(id_col, F.expr(f"slice(q, {j * d + 1}, {d})").alias("q"))
+        asg, cent = _lloyd(sub, k, iters, id_col)
+        cj = asg.select(id_col, F.col("cl").alias(f"code_{j}"))
+        codes = cj if codes is None else codes.join(cj, id_col)
+        luts.append(
+            q.select(
+                F.col(id_col).alias("query_id"),
+                F.expr(f"slice(q, {j * d + 1}, {d})").alias("_qs"),
+            )
+            .crossJoin(F.broadcast(cent))
+            .select("query_id", F.col("cl").alias(f"code_{j}"),
+                    lut_d2.alias(f"_d{j}"))
+        )
+
+    corpus = codes.withColumnRenamed(id_col, "neighbor_id")
+    if candidates is None:
+        pairs = corpus.crossJoin(q.select(F.col(id_col).alias("query_id")))
+    else:
+        pairs = candidates.select("query_id", "neighbor_id").join(
+            corpus, "neighbor_id"
+        )
+    pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    for j in range(m):
+        pairs = pairs.join(F.broadcast(luts[j]), ["query_id", f"code_{j}"])
+    adc = sum(F.col(f"_d{j}") for j in range(m)).cast("long")
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        pairs.select("query_id", "neighbor_id", adc.alias("adc_d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_nn)
+        .select("query_id", "neighbor_id", "rank", "adc_d2")
     )

@@ -100,9 +100,10 @@ def test_dbscan_partition_independent(spark):
 
 
 def _brute_kmeans(vecs: np.ndarray, ids: np.ndarray, k: int, iters: int,
-                  scale: int = 1024):
+                  scale: int = 1024, return_cent: bool = False):
     """numpy mirror of lloyd_kmeans: int64 lattice, floor-mean update,
-    (dist2, cl) tie-break, init = k smallest ids."""
+    (dist2, cl) tie-break, init = k smallest ids.  With return_cent,
+    also yields the codebook the LAST assignment ran against."""
     q = np.floor(vecs.astype(np.float64) * scale).astype(np.int64)
     order = np.argsort(ids)
     cent = {j: q[order[j]].copy() for j in range(k)}
@@ -122,7 +123,7 @@ def _brute_kmeans(vecs: np.ndarray, ids: np.ndarray, k: int, iters: int,
             for j in set(cls[p] for p in pick):
                 m = q[[cls[pick[i]] == j for i in range(len(ids))]]
                 cent[j] = np.floor(m.sum(axis=0) / len(m)).astype(np.int64)
-    return assign
+    return (assign, cent) if return_cent else assign
 
 
 def test_kmeans_matches_brute_force(spark):
@@ -226,3 +227,102 @@ def test_pq_encode_matches_brute_force(spark):
         for i in ids
     }
     assert got == want
+
+
+def _brute_pq_ann(vecs, ids, m, k, iters, k_nn, scale=1024):
+    """numpy ADC mirror: per-subspace Lloyd codes + codebooks, lookup
+    distances from QUERY slice to the NEIGHBOR's codeword, top-k by
+    (adc, neighbor_id)."""
+    n, dim = vecs.shape
+    d = dim // m
+    q = np.floor(vecs.astype(np.float64) * scale).astype(np.int64)
+    parts = [
+        _brute_kmeans(vecs[:, j * d:(j + 1) * d], ids, k, iters,
+                      scale=scale, return_cent=True)
+        for j in range(m)
+    ]
+    pos = {int(i): r for r, i in enumerate(ids)}
+    out = {}
+    for qi in ids:
+        cands = []
+        for ni in ids:
+            if ni == qi:
+                continue
+            adc = 0
+            for j, (asg, cent) in enumerate(parts):
+                code = asg[int(ni)][0]
+                qs = q[pos[int(qi)], j * d:(j + 1) * d]
+                adc += int(((qs - cent[code]) ** 2).sum())
+            cands.append((adc, int(ni)))
+        cands.sort()
+        out[int(qi)] = [
+            (int(ni), r + 1, adc) for r, (adc, ni) in enumerate(cands[:k_nn])
+        ]
+    return out
+
+
+def test_pq_ann_matches_brute_force(spark):
+    from spatialjoincountovershells_spark.operators.clustering import pq_ann_topk
+
+    rng = np.random.default_rng(23)
+    n, dim, m, k, k_nn = 80, 16, 4, 8, 3
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {}
+    for r in pq_ann_topk(df, k_nn=k_nn, m=m, k=k, iters=2, dim=dim).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["rank"], r["adc_d2"])
+        )
+    for v in got.values():
+        v.sort(key=lambda t: t[1])
+    want = _brute_pq_ann(vecs, ids, m, k, iters=2, k_nn=k_nn)
+    assert got == want
+
+
+def test_pq_ann_ivf_candidates_subset(spark):
+    """candidates= route: with the all-pairs candidate set the output
+    is identical to exhaustive ADC; with IVF candidates every emitted
+    (query, neighbor) pair carries the same adc_d2 as exhaustive and
+    per-query at most k_nn rows."""
+    from spatialjoincountovershells_spark.operators.clustering import pq_ann_topk
+    from spatialjoincountovershells_spark.operators.similarity import (
+        ivf_candidates,
+    )
+
+    rng = np.random.default_rng(29)
+    n, dim, m, k, k_nn = 60, 16, 4, 8, 3
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    ex = sorted(map(tuple, pq_ann_topk(df, k_nn=k_nn, m=m, k=k, iters=2,
+                                       dim=dim).collect()))
+    allp = spark.createDataFrame(
+        [(a, b) for a in range(n) for b in range(n) if a != b],
+        "query_id long, neighbor_id long",
+    )
+    via_all = sorted(map(tuple, pq_ann_topk(
+        df, k_nn=k_nn, m=m, k=k, iters=2, dim=dim, candidates=allp
+    ).collect()))
+    assert via_all == ex
+
+    cands = ivf_candidates(df, n_centroids=8, n_probe=2)
+    via_ivf = pq_ann_topk(df, k_nn=k_nn, m=m, k=k, iters=2, dim=dim,
+                          candidates=cands).collect()
+    ex_adc = {(q, nb): d for (q, nb, _, d) in ex}
+    # exhaustive adc for ALL pairs (recompute via rank-free route):
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_d2"]
+        for r in pq_ann_topk(df, k_nn=n, m=m, k=k, iters=2, dim=dim).collect()
+    }
+    per_q = {}
+    for r in via_ivf:
+        assert full[(r["query_id"], r["neighbor_id"])] == r["adc_d2"]
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert per_q and max(per_q.values()) <= k_nn
