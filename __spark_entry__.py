@@ -64,6 +64,12 @@ from spatialjoincountovershells_spark.operators.clustering import (  # noqa: E40
 from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
 from spatialjoincountovershells_spark.operators.pip import point_in_polygon  # noqa: E402
 from spatialjoincountovershells_spark.operators.semi_join import filter_halos  # noqa: E402
+from spatialjoincountovershells_spark.operators.sketches import (  # noqa: E402
+    countmin_estimate,
+    countmin_sketch,
+    kmv_distinct,
+    kmv_hash_sql,
+)
 from spatialjoincountovershells_spark.operators.correlation import (  # noqa: E402
     landy_szalay_xi,
     nn_dist_cdf,
@@ -1761,6 +1767,90 @@ WHERE rnk <= {k_nn}
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event_type (k=32; true cardinality
+    150 per group at sf0.01, so the estimator branch is live) — the
+    deterministic mergeable-sketch analog of approx_count_distinct."""
+    return kmv_distinct(_read(spark, sf_dir, "events"),
+                        ["event_type"], "user_id", k=32)
+
+
+def _kmv_sql(k: int = 32) -> str:
+    """DuckDB twin of q_kmv_distinct: kmv_hash_sql emits SQL valid in
+    both engines, so the hash expression is literally shared."""
+    from spatialjoincountovershells_spark.functions.texthash import P
+
+    h = kmv_hash_sql("user_id")
+    return f"""
+WITH dh AS (SELECT event_type, {h} AS h FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, h,
+      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM dh),
+a AS (SELECT event_type, CAST(count(*) AS INTEGER) AS n_kept,
+             CAST(max(h) AS BIGINT) AS kth_hash
+      FROM r WHERE rn <= {k} GROUP BY 1)
+SELECT event_type, n_kept, kth_hash,
+  CAST(CASE WHEN n_kept < {k} THEN n_kept
+       ELSE {(k - 1) * P} // kth_hash END AS BIGINT) AS est_distinct
+FROM a
+"""
+
+
+CM_TERMS = ("spark", "hash", "window", "vector", "join",
+            "zzz_absent", "q7")
+CM_D, CM_W = 4, 512
+
+
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token-frequency estimates over the documents corpus
+    for 7 probe terms (5 real, 1 absent, 1 short-rare) — the bounded-
+    state frequency sketch; est >= true always, pinned by
+    test_countmin_never_undercounts."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    )).alias("tok"))
+    sk = countmin_sketch(toks, "tok", d=CM_D, w=CM_W)
+    qs = spark.createDataFrame([(t,) for t in CM_TERMS], "term string")
+    return countmin_estimate(sk, qs, "term", d=CM_D, w=CM_W)
+
+
+def _countmin_sql(terms=CM_TERMS, d: int = CM_D, w: int = CM_W) -> str:
+    """DuckDB twin of q_countmin: same poly+affine buckets via
+    poly_hash_duck / affine_sql (the affine text is engine-shared)."""
+    from spatialjoincountovershells_spark.functions.texthash import (
+        affine_sql,
+        poly_hash_duck,
+    )
+
+    base_tok = poly_hash_duck("tok")
+    base_term = poly_hash_duck("term")
+    tok_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT {i} AS row, {affine_sql(base_tok, i)} % {w} AS bucket FROM toks"
+        for i in range(d)
+    )
+    probe_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT term, {i} AS row, {affine_sql(base_term, i)} % {w} AS bucket "
+        f"FROM terms"
+        for i in range(d)
+    )
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks0 AS (SELECT unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+  FROM documents),
+toks AS (SELECT tok FROM toks0),
+grid0 AS ({tok_rows}),
+grid AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+         FROM grid0 GROUP BY 1, 2),
+terms AS (SELECT * FROM (VALUES {vals}) AS t(term)),
+probes AS ({probe_rows})
+SELECT p.term,
+       CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est_count
+FROM probes p LEFT JOIN grid g USING (row, bucket)
+GROUP BY 1
+"""
+
+
 BM25_TERMS = ("spark", "hash", "window", "vector")
 
 
@@ -2012,6 +2102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "pq_encode": q_pq_encode,
         "pq_ann": q_pq_ann,
+        "kmv_distinct": q_kmv_distinct,
+        "countmin": q_countmin,
     }
 
 
@@ -2758,4 +2850,6 @@ FROM o
         "bm25": _bm25_sql(),
         "pq_encode": _pq_sql(),
         "pq_ann": _pq_ann_sql(),
+        "kmv_distinct": _kmv_sql(),
+        "countmin": _countmin_sql(),
     }

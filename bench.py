@@ -61,7 +61,7 @@ EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign",
                  # clustering (range-join DBSCAN, Lloyd, SemDeDup)
                  "g_function", "event_sessions", "tile_adaptive",
                  "dbscan", "kmeans_embed", "semantic_dedup", "bm25",
-                 "pq_encode", "pq_ann")
+                 "pq_encode", "pq_ann", "kmv_distinct", "countmin")
 
 
 def sf_of(sf_dir: str) -> float:
