@@ -122,6 +122,7 @@ from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     tile_rollup,
 )
 from spatialjoincountovershells_spark.operators.events import (  # noqa: E402
+    asof_join,
     event_pairs_within,
     funnel,
     retention,
@@ -627,6 +628,14 @@ def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog of the spatial cell join."""
     return event_pairs_within(_read(spark, sf_dir, "events"),
                               "click", "purchase", window_s=14400)
+
+
+def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF backward join (kdb aj / merge_asof): every purchase
+    matched to the user's latest click at-or-before it, 1h tolerance;
+    one union + one user-key window, never a pair join."""
+    return asof_join(_read(spark, sf_dir, "events"),
+                     "purchase", "click", tolerance_s=3600)
 
 
 def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2066,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "event_retention": q_event_retention,
         "event_attribution": q_event_attribution,
+        "event_asof": q_event_asof,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "corpus_clean": q_corpus_clean,
@@ -2739,6 +2749,30 @@ j AS (SELECT e.user_id, f.cohort_day,
 SELECT cohort_day, day_offset,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM j WHERE day_offset >= 0 GROUP BY cohort_day, day_offset
+""",
+        "event_asof": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+           FROM events WHERE event_type IN ('click', 'purchase')),
+w AS (SELECT user_id, event_id, us, tag,
+        last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us, tag, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid,
+        last_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us, tag, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rus
+      FROM e),
+k AS (SELECT user_id, event_id, us,
+        CASE WHEN rus IS NOT NULL AND us - rus <= 3600000000
+             THEN rid END AS rid,
+        CASE WHEN rus IS NOT NULL AND us - rus <= 3600000000
+             THEN rus END AS rus
+      FROM w WHERE tag = 1)
+SELECT user_id, event_id, us AS ts_us,
+       COALESCE(rid, -1) AS match_id,
+       COALESCE(rus, -1) AS match_ts_us,
+       COALESCE(us - rus, -1) AS lag_us
+FROM k
 """,
         "event_attribution": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),

@@ -280,3 +280,77 @@ def retention(
             F.col("n_users").cast("long").alias("n_users"),
         )
     )
+
+
+def asof_join(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    tolerance_s: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user AS-OF join (kdb `aj` / pandas `merge_asof` backward /
+    Flink temporal join): every `left_type` event matched to the
+    LATEST `right_type` event of the same user at-or-before it ->
+    (user_col, id_col, ts_us, match_id, match_ts_us, lag_us), the
+    match columns -1 when nothing qualifies.
+
+    Deterministic contract: match = the right event maximizing
+    (ts, event_id) with ts_r <= ts_l (exact-ts matches allowed; equal
+    right timestamps break to the larger id); with `tolerance_s`, a
+    match older than the tolerance is discarded (-1), matching
+    merge_asof's tolerance= semantics.  All times exact epoch-µs.
+
+    Scale shape: this is NOT a pair join — both event streams union
+    into ONE user-key shuffle, a single running `last(..., ignorenulls)`
+    window carries the latest right row forward, so cost is one sort
+    per user partition regardless of how many rights precede each
+    left (the interval-join op `event_pairs_within` is the one that
+    pays per-pair; as-of never does).  Skewed users cost one
+    partition's sort, not a blowup.
+    """
+    base = events.select(
+        F.col(user_col),
+        F.col(id_col).alias("_eid"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col("event_type").alias("_etype"),
+    ).where(F.col("_etype").isin([left_type, right_type]))
+    # rights sort before lefts at equal ts (exact matches allowed);
+    # equal-ts rights resolve to the larger id (the window's last row)
+    tagged = base.select(
+        user_col, "_eid", "_us",
+        F.when(F.col("_etype") == right_type, 0).otherwise(1).alias("_tag"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("_us", "_tag", "_eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r_id = F.last(F.when(F.col("_tag") == 0, F.col("_eid")),
+                  ignorenulls=True).over(w)
+    r_us = F.last(F.when(F.col("_tag") == 0, F.col("_us")),
+                  ignorenulls=True).over(w)
+    out = (
+        tagged.withColumn("_rid", r_id)
+        .withColumn("_rus", r_us)
+        .where(F.col("_tag") == 1)
+    )
+    if tolerance_s is not None:
+        tol_us = int(tolerance_s) * 1_000_000
+        keep = F.col("_rus").isNotNull() & (
+            F.col("_us") - F.col("_rus") <= F.lit(tol_us)
+        )
+        out = out.withColumn("_rid", F.when(keep, F.col("_rid"))).withColumn(
+            "_rus", F.when(keep, F.col("_rus"))
+        )
+    return out.select(
+        F.col(user_col),
+        F.col("_eid").alias(id_col),
+        F.col("_us").alias("ts_us"),
+        F.coalesce("_rid", F.lit(-1).cast("long")).alias("match_id"),
+        F.coalesce("_rus", F.lit(-1).cast("long")).alias("match_ts_us"),
+        F.coalesce(F.col("_us") - F.col("_rus"),
+                   F.lit(-1).cast("long")).alias("lag_us"),
+    )

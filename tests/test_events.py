@@ -249,3 +249,66 @@ def test_event_pairs_within_vs_bruteforce(spark):
     }
     assert all(a != b for a, b in got_cc)
     assert (1, 2) in got_cc and (2, 1) in got_cc
+
+
+def test_asof_join_vs_bruteforce(spark):
+    """AS-OF backward join vs a python brute force.  Pinned edge
+    cases: exact-ts right matches (ts_r == ts_l qualifies); two
+    rights at the SAME ts resolve to the larger event_id; a left with
+    no prior right gets -1 sentinels; tolerance discards stale
+    matches but keeps the row; users are isolated."""
+    from spatialjoincountovershells_spark.operators.events import asof_join
+
+    S = 1_000_000
+    rows = [
+        # user 1: clicks (rights) at 10, 10, 50; purchases (lefts)
+        # at 5 (no prior), 10 (exact-ts tie), 60, 200
+        _ev(1, 1, 10 * S, "click", 0.0),
+        _ev(2, 1, 10 * S, "click", 0.0),   # same ts, larger id wins
+        _ev(3, 1, 50 * S, "click", 0.0),
+        _ev(10, 1, 5 * S, "purchase", 0.0),
+        _ev(11, 1, 10 * S, "purchase", 0.0),
+        _ev(12, 1, 60 * S, "purchase", 0.0),
+        _ev(13, 1, 200 * S, "purchase", 0.0),
+        # user 2: right exists only for user 2
+        _ev(20, 2, 0 * S, "click", 0.0),
+        _ev(21, 2, 1 * S, "purchase", 0.0),
+        # noise type is ignored entirely
+        _ev(30, 1, 55 * S, "view", 0.0),
+    ]
+    ev = _mk_events(spark, rows)
+
+    def brute(tol_s):
+        out = {}
+        evs = [(r[0], int((r[1] - T0) / dt.timedelta(microseconds=1)),
+                r[2], r[3]) for r in rows]
+        for le, lus, lu, lt in evs:
+            if lt != "purchase":
+                continue
+            cands = [(rus, re_) for re_, rus, ru, rt in evs
+                     if rt == "click" and ru == lu and rus <= lus]
+            if not cands:
+                out[le] = (lu, lus, -1, -1, -1)
+                continue
+            rus, rid = max(cands)
+            if tol_s is not None and lus - rus > tol_s * S:
+                out[le] = (lu, lus, -1, -1, -1)
+            else:
+                out[le] = (lu, lus, rid, rus, lus - rus)
+        return out
+
+    for tol in (None, 100):
+        got = {
+            r.event_id: (r.user_id, r.ts_us, r.match_id,
+                         r.match_ts_us, r.lag_us)
+            for r in asof_join(ev, "purchase", "click",
+                               tolerance_s=tol).collect()
+        }
+        base = int(T0.replace(tzinfo=dt.timezone.utc)
+                   .timestamp() * 1_000_000)
+        want = {le: (lu, base + lus,
+                     rid, (base + rus) if rus >= 0 else -1, lag)
+                for le, (lu, lus, rid, rus, lag) in brute(tol).items()}
+        assert got == want, tol
+    # pinned: purchase@10 matched click id 2 (exact ts, larger id);
+    # purchase@5 got -1; tol=100 drops purchase@200's match (lag 150s)
