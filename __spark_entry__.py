@@ -42,6 +42,7 @@ from spatialjoincountovershells_spark.operators.cells import cell_stats, with_ce
 from spatialjoincountovershells_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     dedup_clusters,
+    dup_spans,
     minhash_lsh_pairs,
     simhash_pairs,
     ngram_jaccard_pairs,
@@ -719,6 +720,13 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_read(spark, sf_dir, "documents"))
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring coverage per doc (Lee et al. 2021
+    substring dedup): corpus-duplicated 24-gram seeds merged into
+    maximal spans, coverage in chars."""
+    return dup_spans(_read(spark, sf_dir, "documents"), k=24)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: concat-and-chunk placement of every
     document in the global id-ordered token stream, 512-token training
@@ -878,6 +886,36 @@ bands AS ({band_selects})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_hit
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+
+
+def _dup_spans_sql(k: int = 24, min_count: int = 2) -> str:
+    """DuckDB twin of operators/dedup.py dup_spans(): same k-gram hash
+    family, same count-over-window seed rule, same gap<=k island merge."""
+    h = poly_hash_fixed_duck(f"substr(text, u, {k})", k)
+    return f"""
+WITH g AS (SELECT doc_id, u, {h} AS h
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, length(text) - {k - 1})) AS u
+        FROM documents WHERE length(text) >= {k})),
+c AS (SELECT doc_id, u, count(*) OVER (PARTITION BY h) AS cnt FROM g),
+s AS (SELECT doc_id, u,
+        CASE WHEN lag(u) OVER w IS NULL OR u - lag(u) OVER w > {k}
+             THEN 1 ELSE 0 END AS ns
+      FROM c WHERE cnt >= {min_count}
+      WINDOW w AS (PARTITION BY doc_id ORDER BY u)),
+si AS (SELECT doc_id, u,
+        sum(ns) OVER (PARTITION BY doc_id ORDER BY u
+                      ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+sp AS (SELECT doc_id, sid, max(u) - min(u) + {k} AS len
+       FROM si GROUP BY 1, 2),
+a AS (SELECT doc_id, count(*) AS n, sum(len) AS chars, max(len) AS mx
+      FROM sp GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(chars, 0) AS BIGINT) AS dup_chars,
+       CAST(COALESCE(mx, 0) AS BIGINT) AS max_span_chars
+FROM documents d LEFT JOIN a USING (doc_id)
 """
 
 
@@ -2091,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
+        "dup_spans": q_dup_spans,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
         "sjcs_images": q_sjcs_images,
@@ -2852,6 +2891,7 @@ SELECT doc_id,
 FROM p
 """,
         "pii_scrub": _pii_scrub_sql(),
+        "dup_spans": _dup_spans_sql(k=24),
         "pack_sequences": f"""
 WITH t AS (SELECT doc_id, CAST({tokens} AS BIGINT) AS n_tokens FROM documents),
 o AS (SELECT doc_id, n_tokens,

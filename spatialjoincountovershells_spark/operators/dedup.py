@@ -495,3 +495,99 @@ def simhash_pairs(
     See ``hamming_pairs`` for the banding/recall contract."""
     sig = simhash(df, text_col, id_col)
     return hamming_pairs(sig, "simhash", id_col, bands, max_hamming)
+
+
+def dup_spans(
+    df: DataFrame,
+    k: int = 24,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring coverage per document (the substring
+    dedup of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better") -> one row per input document:
+    (id_col, n_dup_spans, dup_chars, max_span_chars), all long, zeros
+    for clean documents.
+
+    A position u in a document is a *seed* iff its character k-gram
+    occurs >= `min_count` times across the whole corpus (occurrences
+    inside the same document count — self-repetition is dedup-worthy
+    too).  Seeds whose starts are within k of each other merge into
+    maximal spans; a span seeded at [s..e] covers exactly
+    [s, e + k - 1] (the merge rule gap <= k guarantees contiguous
+    coverage), so dup_chars is the exact number of characters lying in
+    some corpus-duplicated k-gram run.  Documents shorter than k have
+    no k-gram and report zeros.
+
+    K-grams compare by the SQL-derivable polynomial hash
+    (functions/texthash.py), so the DuckDB oracle is bit-exact; the
+    31-bit range means a rare hash collision can mark a non-duplicate
+    k-gram as duplicated — deterministically, identically in every
+    engine (production would widen the hash; the pipeline shape is
+    unchanged).
+
+    Scale shape (vs the reference suffix-array formulation, which is
+    single-node): one codegen scan fans each doc to (id, u, h) rows —
+    no Python; ONE shuffle on h attaches the global occurrence count
+    (count-over-window: every seed row needs its count back, so a
+    partial-agg groupBy would only add a second shuffle); one shuffle
+    on id merges seed islands with two ordered windows.  Cost is
+    O(k * chars) compute and O(chars) shuffle rows — the same
+    corpus-linear bound as the suffix-array pass, in exchange for
+    k-char resolution instead of arbitrary-length matches.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.texthash import P, POWS
+
+    terms = " + ".join(
+        f"ascii(substring({text_col}, u + {j}, 1)) * {POWS[j]}L"
+        for j in range(k)
+    )
+    grams = (
+        df.where(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k - 1}), "
+                    f"u -> ({terms}) % {P})"
+                )
+            ).alias("_p0", "_h"),
+        )
+        .select(F.col(id_col), (F.col("_p0") + 1).alias("_u"), "_h")
+    )
+    seeds = grams.withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    ).where(F.col("_cnt") >= min_count)
+    wo = Window.partitionBy(id_col).orderBy("_u")
+    flagged = seeds.withColumn(
+        "_ns",
+        F.when(
+            F.lag("_u").over(wo).isNull()
+            | (F.col("_u") - F.lag("_u").over(wo) > k),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_sid",
+        F.sum("_ns").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = flagged.groupBy(id_col, "_sid").agg(
+        (F.max("_u") - F.min("_u") + k).alias("_len")
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_len").alias("_chars"),
+        F.max("_len").alias("_max"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            F.coalesce("_max", F.lit(0)).cast("long").alias("max_span_chars"),
+        )
+    )

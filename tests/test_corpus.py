@@ -470,3 +470,82 @@ def test_bm25_matches_brute_force(spark):
     assert got[0][1] > got[3][1]
     # case/punctuation folding: doc 6 = 3x 'spark' like doc 0's tf
     assert got[6][0] == 1
+
+
+def test_dup_spans_planted(spark):
+    """dup_spans vs a python brute force on planted duplication.
+    Pinned: within-doc repetition counts toward min_count; spans
+    merge iff start gap <= k (gap == k+1 stays split); coverage is
+    exact (max(u) - min(u) + k); short docs report zeros; clean docs
+    report zeros; a duplicated k-gram shared ACROSS docs seeds both."""
+    from spatialjoincountovershells_spark.operators.dedup import dup_spans
+
+    k = 8
+    shared = "ABCDEFGH"          # exactly k chars, planted in docs 1+2
+    docs = [
+        (1, "xx" + shared + "qqqqqqqqqq"),            # seed at u=3
+        (2, "yyyyy" + shared + "zz" + shared),        # seeds at 6 and 16
+        (3, "unique-text-no-repeats-at-all-here"),    # clean
+        (4, "short"),                                 # len < k -> zeros
+        (5, "PPPPPPPPPPPPPPPP"),                      # self-repeating run
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def brute():
+        from collections import Counter
+
+        grams = Counter()
+        pos = {}
+        for d, t in docs:
+            us = []
+            for u in range(1, len(t) - k + 2):
+                g = t[u - 1 : u - 1 + k]
+                grams[g] += 1
+                us.append((u, g))
+            pos[d] = us
+        out = {}
+        for d, _ in docs:
+            seeds = [u for u, g in pos.get(d, []) if grams[g] >= 2]
+            spans = []
+            for u in seeds:
+                if spans and u - spans[-1][1] <= k:
+                    spans[-1][1] = u
+                else:
+                    spans.append([u, u])
+            lens = [e - s + k for s, e in spans]
+            out[d] = (len(lens), sum(lens), max(lens, default=0))
+        return out
+
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_chars, r.max_span_chars)
+        for r in dup_spans(df, k=k).collect()
+    }
+    assert got == brute()
+    # pinned plants: doc 5's run of 16 P's has 9 seeds all merging to
+    # ONE span covering the whole 16 chars
+    assert got[5] == (1, 16, 16)
+    assert got[3] == (0, 0, 0) and got[4] == (0, 0, 0)
+    assert got[1][0] == 1 and got[2][0] == 2
+
+
+def test_dup_spans_gap_boundary(spark):
+    """Two seeds exactly k apart merge; k+1 apart split."""
+    from spatialjoincountovershells_spark.operators.dedup import dup_spans
+
+    k = 4
+    g1, g2 = "AAAA", "BBBB"
+    # doc 10: g1 at u=1, g2 at u=1+k=5      -> one span of 2k chars
+    # doc 11: g1 at u=1, g2 at u=k+2=6      -> two spans
+    docs = [
+        (10, g1 + g2),
+        (11, g1 + "x" + g2),
+        (12, g1 + g2),   # duplicates both grams so they seed
+        (13, g1 + "y" + g2),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_chars, r.max_span_chars)
+        for r in dup_spans(df, k=k).collect()
+    }
+    assert got[10] == (1, 8, 8)
+    assert got[11] == (2, 8, 4)
