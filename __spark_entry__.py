@@ -53,6 +53,7 @@ from spatialjoincountovershells_spark.operators.corpus import (  # noqa: E402
     corpus_clean_stats,
     decontaminate,
     pack_sequences,
+    split_assign,
     stratified_sample,
 )
 from spatialjoincountovershells_spark.operators.clustering import (  # noqa: E402
@@ -106,6 +107,7 @@ from spatialjoincountovershells_spark.operators.text import (  # noqa: E402
     quality_score,
     repetition_stats,
     text_stats,
+    token_topk,
 )
 from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     image_tile_stats,
@@ -725,6 +727,23 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring dedup): corpus-duplicated 24-gram seeds merged into
     maximal spans, coverage in chars."""
     return dup_spans(_read(spark, sf_dir, "documents"), k=24)
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vocabulary head per language: 16 most frequent [a-z0-9]+
+    tokens, occurrence + document counts, lexicographic tie-break."""
+    return token_topk(_read(spark, sf_dir, "documents"), k=16, by="lang")
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: 80/10/10 keyed by the
+    source domain (every source's docs land in one split), pure
+    hash function of the key — reproducible, partition-independent."""
+    return split_assign(
+        _read(spark, sf_dir, "documents"),
+        {"train": 800000, "val": 100000, "test": 100000},
+        group_col="source",
+    )
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2130,6 +2149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "dup_spans": q_dup_spans,
+        "token_topk": q_token_topk,
+        "split_assign": q_split_assign,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
         "sjcs_images": q_sjcs_images,
@@ -2892,6 +2913,29 @@ FROM p
 """,
         "pii_scrub": _pii_scrub_sql(),
         "dup_spans": _dup_spans_sql(k=24),
+        "token_topk": """
+WITH toks AS (SELECT lang, doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')) AS token
+  FROM documents),
+c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM toks GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        ORDER BY n_occurrences DESC, token ASC) AS rk FROM c)
+SELECT lang, CAST(rk AS INTEGER) AS rank, token, n_occurrences, n_docs
+FROM r WHERE rk <= 16
+""",
+        "split_assign": f"""
+WITH h AS (SELECT doc_id,
+    ({affine_sql(poly_hash_duck("source"), 113)} % 1000000) AS hv
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN hv < 800000 THEN 'train'
+       WHEN hv < 900000 THEN 'val'
+       ELSE 'test' END AS split
+FROM h
+""",
         "pack_sequences": f"""
 WITH t AS (SELECT doc_id, CAST({tokens} AS BIGINT) AS n_tokens FROM documents),
 o AS (SELECT doc_id, n_tokens,

@@ -365,3 +365,55 @@ def pack_sequences(
             .alias("n_seq_spans"),
         )
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    fracs_1e6: dict[str, int],
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    stream: int = 113,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment -> every input
+    row tagged (id_col, split string) — the dataset-split step of a
+    training pipeline, with optional group-level leakage safety.
+
+    `fracs_1e6` maps split name -> parts-per-million and MUST sum to
+    exactly 1,000,000; a row lands in the split whose cumulative
+    interval (in the dict's listed order) contains hash(key) % 10^6.
+    key = `group_col` when given (so ALL rows sharing a group —
+    same user, same source domain, same near-dup cluster id — land in
+    ONE split and can never leak train->test), else the row id.
+
+    The hash is the universal affine family of functions/texthash.py
+    (string keys go through the polynomial base hash first), so the
+    assignment is a pure function of the key: partition-independent,
+    reproducible across runs/engines/backfills, no RNG state — adding
+    rows later never reassigns existing ones (the property a random
+    split cannot give you).  Proportions are exact in expectation per
+    stratum of any independent column; group-keyed splits are
+    proportional in GROUPS, not rows (a heavy group drags its rows
+    with it — that is the point).
+
+    One narrow codegen projection, no shuffle, no Python.
+    """
+    from ..functions.texthash import P, affine_sql, poly_hash_spark
+
+    total = sum(fracs_1e6.values())
+    if total != 1_000_000:
+        raise ValueError(f"fracs_1e6 must sum to 1000000, got {total}")
+    key_col = group_col if group_col is not None else id_col
+    dt = dict(docs.dtypes)[key_col]
+    base = (
+        poly_hash_spark(key_col)
+        if dt == "string"
+        else f"({key_col} % {P})"
+    )
+    h = f"({affine_sql(base, stream)} % 1000000)"
+    cum = 0
+    expr = None
+    for name, frac in fracs_1e6.items():
+        cum += int(frac)
+        cond = F.expr(h) < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.select(F.col(id_col), expr.alias("split"))

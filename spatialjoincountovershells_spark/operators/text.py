@@ -369,3 +369,54 @@ def bm25_scores(
         F.count(F.lit(1)).cast("int").alias("n_hit"),
         F.sum(F.col("_idf") * F.col("_tfp")).alias("score_q"),
     )
+
+
+def token_topk(
+    df: DataFrame,
+    k: int = 32,
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact corpus vocabulary head: the k most frequent tokens per
+    `by` group -> (by, rank int, token string, n_occurrences,
+    n_docs long) — the frequency-table step of tokenizer-vocab
+    building and of stopword/boilerplate inspection.
+
+    Token CONTRACT (same as bm25_scores): maximal [a-z0-9]+ runs of
+    lower(text).  Deterministic total order: rank by occurrence count
+    desc, then token asc — ties can never reorder across engines.
+
+    Scale shape: one codegen explode of the corpus scan; the groupBy
+    (by, token) shuffle is map-side combined, so shuffle rows are
+    bounded by DISTINCT (group, token) — Zipf makes that tiny relative
+    to the corpus; the rank window then runs on the aggregated table
+    (vocab-sized, not corpus-sized).  No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(by),
+        F.col(id_col),
+        F.explode(
+            F.expr(f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')")
+        ).alias("token"),
+    )
+    cnt = toks.groupBy(by, "token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    w = Window.partitionBy(by).orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(by),
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )

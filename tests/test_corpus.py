@@ -549,3 +549,89 @@ def test_dup_spans_gap_boundary(spark):
     }
     assert got[10] == (1, 8, 8)
     assert got[11] == (2, 8, 4)
+
+
+def test_token_topk_planted(spark):
+    """token_topk vs a python Counter.  Pinned: [a-z0-9]+ run
+    tokenization of lower(text); rank orders by count desc then token
+    asc (deterministic ties); per-group independence; n_docs counts
+    distinct docs, not occurrences."""
+    from collections import Counter
+
+    from spatialjoincountovershells_spark.operators.text import token_topk
+
+    docs = [
+        (1, "en", "the cat the dog THE bird"),
+        (2, "en", "cat and dog and cat"),
+        (3, "fr", "le chat le chien"),
+        (4, "fr", "aaa bbb aaa bbb"),          # tie between aaa and bbb
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = [
+        (r.lang, r.rank, r.token, r.n_occurrences, r.n_docs)
+        for r in token_topk(df, k=3, by="lang")
+        .orderBy("lang", "rank")
+        .collect()
+    ]
+    import re
+
+    occ, dc = Counter(), Counter()
+    for d, lg, t in docs:
+        toks = [x for x in re.split("[^a-z0-9]+", t.lower()) if x]
+        for tok in toks:
+            occ[(lg, tok)] += 1
+        for tok in set(toks):
+            dc[(lg, tok)] += 1
+    want = []
+    for lg in ("en", "fr"):
+        items = sorted(
+            ((tok, n) for (g, tok), n in occ.items() if g == lg),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        want += [
+            (lg, i + 1, tok, n, dc[(lg, tok)])
+            for i, (tok, n) in enumerate(items)
+        ]
+    assert got == want
+    # pinned: 'cat' and 'the' both count 3 (case-folded); the tie
+    # resolves lexicographically so en rank1 = cat (across 2 docs)
+    assert got[0] == ("en", 1, "cat", 3, 2)
+    assert got[1] == ("en", 2, "the", 3, 1)
+    fr = [g for g in got if g[0] == "fr"]
+    assert (fr[0][2], fr[1][2]) == ("aaa", "bbb") or fr[0][2] == "le"
+
+
+def test_split_assign_properties(spark):
+    """split_assign: fracs validated; assignment is a pure function of
+    the key (partition-independent); group_col keeps every row of a
+    group in one split; empirical proportions near the requested ones."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from spatialjoincountovershells_spark.operators.corpus import split_assign
+
+    rows = [(i, f"src{i % 37}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    fr = {"train": 800000, "val": 100000, "test": 100000}
+
+    with _pytest.raises(ValueError):
+        split_assign(df, {"train": 999999})
+
+    a = {r.doc_id: r.split for r in split_assign(df, fr).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in split_assign(df.repartition(13), fr).collect()
+    }
+    assert a == b and len(a) == 4000
+    n = Counter(a.values())
+    assert 0.7 < n["train"] / 4000 < 0.9
+    assert n["train"] + n["val"] + n["test"] == 4000
+
+    g = split_assign(df, fr, group_col="source").collect()
+    by_src = {}
+    for r, (i, src) in zip(sorted(g, key=lambda r: r.doc_id), rows):
+        by_src.setdefault(src, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_src.values())
+    # and the 37 groups spread over >1 split
+    assert len({next(iter(s)) for s in by_src.values()}) >= 2
