@@ -67,8 +67,11 @@ from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
 from spatialjoincountovershells_spark.operators.pip import point_in_polygon  # noqa: E402
 from spatialjoincountovershells_spark.operators.semi_join import filter_halos  # noqa: E402
 from spatialjoincountovershells_spark.operators.sketches import (  # noqa: E402
+    bloom_might_contain,
+    bloom_words,
     countmin_estimate,
     countmin_sketch,
+    hist_quantiles,
     kmv_distinct,
     kmv_hash_sql,
 )
@@ -126,6 +129,7 @@ from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
 )
 from spatialjoincountovershells_spark.operators.events import (  # noqa: E402
     asof_join,
+    rolling_counts,
     event_pairs_within,
     funnel,
     retention,
@@ -1917,6 +1921,100 @@ GROUP BY 1
 """
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1h/24h per-user event features for every event (RANGE
+    frames over exact epoch-µs; quantized value sums) — the rolling-
+    aggregate backfill of an online feature pipeline."""
+    return rolling_counts(_read(spark, sf_dir, "events"),
+                          windows_s=(3600, 86400))
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter of each event_type's user set, materialized as its
+    8 int64 words (63 usable bits each) — the mergeable join-pruning
+    membership sketch."""
+    return bloom_words(_read(spark, sf_dir, "events"),
+                       ["event_type"], "user_id", m_words=8, k=4)
+
+
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership probes (user ids 0..399 x every event_type) against
+    the q_bloom_filter sketches: hit=1 may-contain, hit=0 definitely
+    absent — no false negatives by construction."""
+    ev = _read(spark, sf_dir, "events")
+    sk = bloom_words(ev, ["event_type"], "user_id", m_words=8, k=4)
+    probes = (
+        ev.select("event_type").distinct()
+        .crossJoin(spark.range(400).select(F.col("id").alias("uid")))
+    )
+    return bloom_might_contain(sk, probes, ["event_type"], "uid",
+                               m_words=8, k=4)
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P50/P95/P99 of the event value per event_type via the mergeable
+    fixed-bin histogram (bin = clamp(floor(v*8), 0, 511)) — the
+    bounded-state quantile shape that survives 100 TB."""
+    return hist_quantiles(_read(spark, sf_dir, "events"),
+                          ["event_type"], "value")
+
+
+def _bloom_bits_duck(base: str, m_words: int = 8, k: int = 4,
+                     stream0: int = 64) -> list[tuple[str, str]]:
+    """(word_idx_sql, mask_sql) per hash — DuckDB twin of the bloom
+    bit layout (63 usable bits/word; 1<<63 range-checks in DuckDB)."""
+    nbits = 63 * m_words
+    out = []
+    for i in range(k):
+        h = f"({affine_sql(base, stream0 + i)} % {nbits})"
+        out.append((
+            f"CAST({h} // 63 AS INTEGER)",
+            f"(1::BIGINT << CAST({h} % 63 AS INTEGER))",
+        ))
+    return out
+
+
+def _bloom_filter_sql() -> str:
+    bits = _bloom_bits_duck("base")
+    rows = "\n  UNION ALL\n  ".join(
+        f"SELECT event_type, {w} AS word_idx, {m} AS mask FROM b"
+        for w, m in bits
+    )
+    return f"""
+WITH b AS (SELECT event_type, ((user_id % 2147483647) + 2147483647)
+                  % 2147483647 AS base FROM events),
+bits AS ({rows}),
+w AS (SELECT event_type, word_idx, bit_or(mask) AS word
+      FROM bits GROUP BY 1, 2),
+grid AS (SELECT DISTINCT event_type, CAST(g.i AS INTEGER) AS word_idx
+         FROM events, generate_series(0, 7) g(i))
+SELECT grid.event_type, grid.word_idx,
+       CAST(COALESCE(w.word, 0) AS BIGINT) AS word
+FROM grid LEFT JOIN w USING (event_type, word_idx)
+"""
+
+
+def _bloom_probe_sql() -> str:
+    bits = _bloom_bits_duck("base")
+    rows = "\n  UNION ALL\n  ".join(
+        f"SELECT event_type, uid, {w} AS word_idx, {m} AS mask FROM p"
+        for w, m in bits
+    )
+    return f"""
+WITH sk AS ({_bloom_filter_sql()}),
+p AS (SELECT DISTINCT event_type, g.uid,
+             ((g.uid % 2147483647) + 2147483647) % 2147483647 AS base
+      FROM events, generate_series(0, 399) g(uid)),
+bits AS ({rows})
+SELECT b.event_type, CAST(b.uid AS BIGINT) AS uid,
+       CAST(min(CASE WHEN (sk.word & b.mask) = b.mask THEN 1 ELSE 0 END)
+            AS INTEGER) AS hit
+FROM bits b JOIN sk ON sk.event_type = b.event_type
+                   AND sk.word_idx = b.word_idx
+GROUP BY 1, 2
+"""
+
+
 BM25_TERMS = ("spark", "hash", "window", "vector")
 
 
@@ -2174,6 +2272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": q_pq_ann,
         "kmv_distinct": q_kmv_distinct,
         "countmin": q_countmin,
+        "rolling_features": q_rolling_features,
+        "bloom_filter": q_bloom_filter,
+        "bloom_probe": q_bloom_probe,
+        "value_quantiles": q_value_quantiles,
     }
 
 
@@ -2970,4 +3072,39 @@ FROM o
         "pq_ann": _pq_ann_sql(),
         "kmv_distinct": _kmv_sql(),
         "countmin": _countmin_sql(),
+        "rolling_features": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CAST(floor(coalesce(value, 0) * 1024) AS BIGINT) AS vq
+           FROM events)
+SELECT user_id, event_id, ts_us,
+  CAST(count(*) OVER w1 AS BIGINT) AS n_3600s,
+  CAST(sum(vq) OVER w1 AS BIGINT) AS vq_3600s,
+  CAST(count(*) OVER w2 AS BIGINT) AS n_86400s,
+  CAST(sum(vq) OVER w2 AS BIGINT) AS vq_86400s
+FROM e
+WINDOW w1 AS (PARTITION BY user_id ORDER BY ts_us
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+       w2 AS (PARTITION BY user_id ORDER BY ts_us
+              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+""",
+        "bloom_filter": _bloom_filter_sql(),
+        "bloom_probe": _bloom_probe_sql(),
+        "value_quantiles": """
+WITH h AS (SELECT event_type,
+        CAST(least(greatest(floor(value * 8.0), 0), 511) AS BIGINT) AS bin,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+c AS (SELECT event_type, bin, cnt,
+        CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+             AS BIGINT) AS cum,
+        CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      FROM h),
+x AS (SELECT c.*, q.q_ppm FROM c,
+      (VALUES (500000::BIGINT), (950000::BIGINT), (990000::BIGINT))
+        q(q_ppm))
+SELECT event_type, q_ppm, bin, cum AS n_le, tot AS n_total
+FROM x
+WHERE cum >= (q_ppm * tot + 999999) // 1000000
+  AND cum - cnt < (q_ppm * tot + 999999) // 1000000
+""",
     }

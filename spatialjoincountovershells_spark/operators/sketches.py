@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from ..functions.texthash import P, affine_sql
 
 __all__ = ["kmv_distinct", "kmv_hash_sql", "countmin_sketch",
-           "countmin_estimate"]
+           "countmin_estimate", "bloom_words", "bloom_might_contain",
+           "hist_quantiles"]
 
 
 def kmv_hash_sql(value: str) -> str:
@@ -158,4 +159,189 @@ def countmin_estimate(
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(query_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0).cast("long"))).alias("est_count"))
+    )
+
+
+def bloom_words(
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    m_words: int = 8,
+    k: int = 4,
+    stream0: int = 64,
+) -> DataFrame:
+    """Bloom filter per group (Bloom 1970), materialized as its int64
+    words -> (group_cols..., word_idx int, word long), at most m_words
+    rows per group regardless of input size — the join-pruning /
+    membership sketch (build once over the big side's keys, broadcast,
+    drop probe rows whose k bits aren't all set before the real join).
+
+    Hash i (i < k) of value v sets bit h_{stream0+i}(base(v)) % (63 *
+    m_words); bit b lives in word b DIV 63 at position b % 63 — 63
+    usable bits per word because DuckDB's `<<` range-checks 1 << 63,
+    and one dead bit costs ~1.6% capacity.  Zero words are emitted (a
+    fixed m_words rows per group), so merging sketches is a plain
+    groupBy bit_or and the oracle's row set is deterministic.
+
+    Scale shape: one codegen projection fans each row to its <= k
+    distinct (group, word_idx, mask) rows; the groupBy bit_or is
+    map-side combined, so shuffle volume is bounded by m_words per
+    (partition, group) — bounded-state, order-independent, mergeable.
+    """
+    from ..functions.texthash import poly_hash_spark
+
+    dt = dict(df.dtypes).get(value)
+    base = (
+        poly_hash_spark(value)
+        if dt == "string"
+        else f"(((CAST({value} AS BIGINT) % {P}) + {P}) % {P})"
+    )
+    nbits = 63 * m_words
+    masks = [
+        F.struct(
+            F.expr(f"CAST(({affine_sql(base, stream0 + i)} % {nbits}) DIV 63 AS INT)")
+            .alias("word_idx"),
+            F.expr(
+                f"shiftleft(1L, CAST(({affine_sql(base, stream0 + i)} % {nbits}) % 63 AS INT))"
+            ).alias("mask"),
+        )
+        for i in range(k)
+    ]
+    set_bits = (
+        df.select(*group_cols, F.explode(F.array(*masks)).alias("_wm"))
+        .select(*group_cols, "_wm.word_idx", "_wm.mask")
+        .groupBy(*group_cols, "word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+    # emit the full m_words grid per group so the sketch shape (and
+    # the oracle's row set) is input-independent
+    grid = (
+        df.select(*group_cols)
+        .distinct()
+        .crossJoin(
+            df.sparkSession.range(m_words).select(
+                F.col("id").cast("int").alias("word_idx")
+            )
+        )
+    )
+    return grid.join(set_bits, [*group_cols, "word_idx"], "left").select(
+        *group_cols,
+        "word_idx",
+        F.coalesce("word", F.lit(0).cast("long")).alias("word"),
+    )
+
+
+def bloom_might_contain(
+    sketch: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    value: str,
+    m_words: int = 8,
+    k: int = 4,
+    stream0: int = 64,
+) -> DataFrame:
+    """Membership test against ``bloom_words`` grids -> probe rows +
+    (hit int): 1 iff ALL k bits are set in the group's filter (maybe
+    present — false positives possible, never false negatives: pinned
+    by test_bloom_never_false_negative).
+
+    Scale shape: the sketch is m_words rows per group — broadcast;
+    probes fan to their <= k word lookups, one broadcast join, one
+    per-probe min agg.  This is exactly the runtime-filter shape
+    engines build for join pruning (probe rows failing `hit` skip the
+    expensive join).
+    """
+    from ..functions.texthash import poly_hash_spark
+
+    dt = dict(probes.dtypes).get(value)
+    base = (
+        poly_hash_spark(value)
+        if dt == "string"
+        else f"(((CAST({value} AS BIGINT) % {P}) + {P}) % {P})"
+    )
+    nbits = 63 * m_words
+    masks = [
+        F.struct(
+            F.expr(f"CAST(({affine_sql(base, stream0 + i)} % {nbits}) DIV 63 AS INT)")
+            .alias("word_idx"),
+            F.expr(
+                f"shiftleft(1L, CAST(({affine_sql(base, stream0 + i)} % {nbits}) % 63 AS INT))"
+            ).alias("mask"),
+        )
+        for i in range(k)
+    ]
+    want = probes.select(
+        *group_cols, F.col(value), F.explode(F.array(*masks)).alias("_wm")
+    ).select(*group_cols, value, "_wm.word_idx", "_wm.mask")
+    joined = want.join(F.broadcast(sketch), [*group_cols, "word_idx"], "left")
+    ok = F.when(
+        (F.coalesce("word", F.lit(0)).bitwiseAND(F.col("mask"))) == F.col("mask"), 1
+    ).otherwise(0)
+    return (
+        joined.select(*group_cols, value, ok.alias("_ok"))
+        .groupBy(*group_cols, value)
+        .agg(F.min("_ok").cast("int").alias("hit"))
+    )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs_ppm: tuple[int, ...] = (500000, 950000, 990000),
+    scale: int = 8,
+    n_bins: int = 512,
+) -> DataFrame:
+    """Mergeable-histogram quantiles per group -> one row per (group,
+    quantile): (group_cols..., q_ppm long, bin long, n_le long,
+    n_total long) — the P50/P95/P99 query of a metrics pipeline, in
+    the fixed-bin-histogram form that actually scales (the exact
+    per-group sort does not; t-digest/KLL are float-register sketches
+    no cross-engine gate can check).
+
+    Binning CONTRACT: bin = clamp(floor(value * scale), 0, n_bins-1)
+    (one correctly-rounded f64 multiply — identical IEEE result in
+    every engine); NULL values are dropped.  The reported quantile is
+    the smallest bin whose cumulative count reaches ceil(q * n) =
+    (q_ppm * n_total + 999999) DIV 1000000 — i.e. the bin holding the
+    lower empirical quantile; n_le is the cumulative count through
+    that bin.  Groups never disappear: every group emits one row per
+    requested quantile.
+
+    Scale shape: the histogram is a map-side-combined groupBy bounded
+    by n_bins rows per (partition, group) — histograms merge by adding
+    counts, so this is one bounded shuffle however large the input;
+    the window + quantile selection then run on the n_bins-sized
+    aggregate, never the raw data.
+    """
+    b = F.least(
+        F.greatest(F.floor(F.col(value_col) * float(scale)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    wo = Window.partitionBy(*group_cols).orderBy("bin")
+    wall = Window.partitionBy(*group_cols)
+    cum = (
+        hist.withColumn("_cum", F.sum("_cnt").over(wo))
+        .withColumn("_tot", F.sum("_cnt").over(wall))
+    )
+    qcol = F.explode(
+        F.array([F.lit(int(q)).cast("long") for q in qs_ppm])
+    ).alias("q_ppm")
+    x = cum.select(*group_cols, "bin", "_cnt", "_cum", "_tot", qcol)
+    kq = F.expr("(q_ppm * _tot + 999999) DIV 1000000")
+    return (
+        x.where((F.col("_cum") >= kq) & (F.col("_cum") - F.col("_cnt") < kq))
+        .select(
+            *group_cols,
+            "q_ppm",
+            F.col("bin"),
+            F.col("_cum").alias("n_le"),
+            F.col("_tot").alias("n_total"),
+        )
     )

@@ -312,3 +312,46 @@ def test_asof_join_vs_bruteforce(spark):
         assert got == want, tol
     # pinned: purchase@10 matched click id 2 (exact ts, larger id);
     # purchase@5 got -1; tol=100 drops purchase@200's match (lag 150s)
+
+
+def test_rolling_counts_vs_bruteforce(spark):
+    """Trailing-window features vs a python double loop.  Pinned:
+    window [t-W, t] inclusive both ends; equal-ts events all count for
+    each other (RANGE frame); own row counts; value quantized
+    floor(v*1024) before summing; NULL value adds 0."""
+    from spatialjoincountovershells_spark.operators.events import (
+        rolling_counts,
+    )
+
+    S = 1_000_000
+    rows = [
+        _ev(1, 1, 0 * S, "view", 1.5),
+        _ev(2, 1, 30 * S, "view", -0.3),
+        _ev(3, 1, 60 * S, "view", 2.0),    # exactly W after event 1
+        _ev(4, 1, 61 * S, "view", 0.0),    # event 1 just fell out
+        _ev(5, 1, 61 * S, "view", 7.25),   # tied ts with 4
+        _ev(9, 2, 45 * S, "view", 10.0),   # user isolation
+    ]
+    ev = _mk_events(spark, rows)
+    W = 60
+    got = {
+        r.event_id: (r.n_60s, r.vq_60s)
+        for r in rolling_counts(ev, windows_s=(W,)).collect()
+    }
+    evs = [(r[0], int((r[1] - T0) / dt.timedelta(microseconds=1)),
+            r[2], r[4]) for r in rows]
+    want = {}
+    for eid, us, user, _v in evs:
+        inw = [
+            (e2, v2)
+            for e2, us2, u2, v2 in evs
+            if u2 == user and us - W * S <= us2 <= us
+        ]
+        want[eid] = (
+            len(inw),
+            sum(int(math.floor(v * 1024)) for _, v in inw),
+        )
+    assert got == want
+    # pinned: event 3 still sees event 1 (exactly W, inclusive); events
+    # 4 and 5 (tied ts) see each other plus 2 and 3, but not event 1
+    assert got[3][0] == 3 and got[4][0] == 4 and got[5][0] == 4

@@ -117,3 +117,79 @@ def test_countmin_sketch_bounded_and_mergeable(spark):
     for kk, v in gb.items():
         merged[kk] = merged.get(kk, 0) + v
     assert merged == gu
+
+
+def test_bloom_never_false_negative_and_merge(spark):
+    """Every inserted key must hit; absent keys hit rarely; the sketch
+    of a union equals the bit_or merge of the parts' sketches."""
+    from pyspark.sql import functions as F
+
+    from spatialjoincountovershells_spark.operators.sketches import (
+        bloom_might_contain,
+        bloom_words,
+    )
+
+    rows = [("g1", i) for i in range(200)] + [("g2", i) for i in range(50, 80)]
+    df = spark.createDataFrame(rows, "grp string, uid long")
+    sk = bloom_words(df, ["grp"], "uid", m_words=8, k=4)
+    grid = {(r.grp, r.word_idx): r.word for r in sk.collect()}
+    assert len(grid) == 16  # full 8-word grid for both groups
+
+    # no false negatives
+    probes = spark.createDataFrame(rows, "grp string, uid long").distinct()
+    got = bloom_might_contain(sk, probes, ["grp"], "uid", m_words=8, k=4)
+    assert got.where(F.col("hit") == 0).count() == 0
+
+    # absent keys: g2 only inserted 30 keys into 504 bits -> low fp
+    absent = spark.createDataFrame(
+        [("g2", i) for i in range(10_000, 10_400)], "grp string, uid long"
+    )
+    fp = bloom_might_contain(sk, absent, ["grp"], "uid", m_words=8, k=4)
+    fp_rate = fp.where(F.col("hit") == 1).count() / 400
+    assert fp_rate < 0.10, fp_rate
+
+    # mergeability: bit_or of the halves' grids == grid of the union
+    h1 = bloom_words(df.where(F.col("uid") < 100), ["grp"], "uid")
+    h2 = bloom_words(df.where(F.col("uid") >= 100), ["grp"], "uid")
+    merged = (
+        h1.unionAll(h2)
+        .groupBy("grp", "word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
+    assert {(r.grp, r.word_idx): r.word for r in merged.collect()} == grid
+
+
+def test_hist_quantiles_vs_bruteforce(spark):
+    """hist_quantiles vs a python brute force of its own contract, and
+    vs numpy's inverted-CDF quantile at the bin level.  Pinned: the
+    row's bin is the smallest with cum >= ceil(q*n); clamping at 0 and
+    n_bins-1; NULLs dropped; every group emits every quantile."""
+    import math
+
+    from spatialjoincountovershells_spark.operators.sketches import (
+        hist_quantiles,
+    )
+
+    vals = {
+        "a": [0.01 * i for i in range(100)] + [5.0] * 17 + [-3.0, 1e9],
+        "b": [0.5],
+    }
+    rows = [(g, v) for g, vs in vals.items() for v in vs] + [("a", None)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    qs = (500000, 950000, 990000)
+    got = {
+        (r.grp, r.q_ppm): (r.bin, r.n_le, r.n_total)
+        for r in hist_quantiles(df, ["grp"], "value", qs_ppm=qs).collect()
+    }
+    assert len(got) == 2 * len(qs)
+    for g, vs in vals.items():
+        bins = sorted(min(max(math.floor(v * 8), 0), 511) for v in vs)
+        n = len(bins)
+        for q in qs:
+            k = (q * n + 999999) // 1000000
+            want_bin = bins[k - 1]
+            n_le = sum(1 for b in bins if b <= want_bin)
+            assert got[(g, q)] == (want_bin, n_le, n), (g, q)
+    # clamp pins: -3.0 -> bin 0 present in group a's histogram; 1e9 ->
+    # bin 511 is a's p99+ tail only if ceil(.99*119)=118th value
+    assert got[("b", 500000)] == (4, 1, 1)  # floor(0.5*8)=4
