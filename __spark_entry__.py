@@ -664,6 +664,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(minhash_lsh_pairs(_read(spark, sf_dir, "documents")))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (3 unrolled rounds) over the
+    minhash-LSH near-dup pair graph — centrality for canonical-doc
+    selection inside near-dup families."""
+    from spatialjoincountovershells_spark.operators.graph import pagerank
+
+    return pagerank(minhash_lsh_pairs(_read(spark, sf_dir, "documents")),
+                    iters=3)
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-survivor pipeline: quality + language + exact
     dedup + near-dup cluster canonicalization, oracle-checked
@@ -940,6 +950,30 @@ SELECT d.doc_id,
        CAST(COALESCE(mx, 0) AS BIGINT) AS max_span_chars
 FROM documents d LEFT JOIN a USING (doc_id)
 """
+
+
+
+def _pagerank_sql(iters: int = 3, damping: int = 850) -> str:
+    """DuckDB twin of q_pagerank: the same unrolled integer rounds over
+    the _minhash_lsh_sql pair graph (sum is HUGEINT in DuckDB — cast
+    back to BIGINT each round)."""
+    base_pm = (1000 - damping) * 1000
+    ctes = f"""
+p AS (SELECT doc_a, doc_b FROM ({_minhash_lsh_sql()}) mp),
+e AS (SELECT doc_a AS s, doc_b AS d FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT s AS id, 1000000::BIGINT AS r FROM deg)"""
+    prev = "r0"
+    for t in range(1, iters + 1):
+        ctes += f""",
+r{t} AS (SELECT e.d AS id,
+    CAST({base_pm} + ({damping} * sum({prev}.r // deg.deg)) // 1000
+         AS BIGINT) AS r
+  FROM e JOIN {prev} ON {prev}.id = e.s JOIN deg ON deg.s = e.s
+  GROUP BY 1)"""
+        prev = f"r{t}"
+    return f"WITH {ctes}\nSELECT id AS doc_id, r AS pr_q FROM {prev}"
 
 
 def _dedup_clusters_ctes(pairs_sql: str | None = None) -> str:
@@ -2233,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof": q_event_asof,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "pagerank": q_pagerank,
         "corpus_clean": q_corpus_clean,
         "corpus_clean_stats": q_corpus_clean_stats,
         "simhash": q_simhash,
@@ -2968,6 +3003,7 @@ FROM m5 GROUP BY tile_id
         "image_tiles": _image_tiles_sql(),
         "minhash_lsh": _minhash_lsh_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "pagerank": _pagerank_sql(),
         "corpus_clean": _corpus_clean_sql(tokens, lang_case),
         "corpus_clean_stats": _corpus_clean_stats_sql(tokens, lang_case),
         "doc_chunks": _doc_chunks_sql(),

@@ -635,3 +635,47 @@ def test_split_assign_properties(spark):
     assert all(len(s) == 1 for s in by_src.values())
     # and the 37 groups spread over >1 split
     assert len({next(iter(s)) for s in by_src.values()}) >= 2
+
+
+def test_pagerank_vs_bruteforce(spark):
+    """pagerank vs a python replay of the exact integer recurrence on
+    a planted graph (star + triangle + isolated pair).  Pinned: hub
+    outranks leaves; symmetric nodes tie exactly; partition count
+    does not change any value (integer sums commute)."""
+    from spatialjoincountovershells_spark.operators.graph import pagerank
+
+    pairs = [(1, 2), (1, 3), (1, 4), (1, 5),        # star around 1
+             (10, 11), (11, 12), (10, 12),          # triangle
+             (20, 21)]                              # pair
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    def brute(iters=3, damping=850):
+        from collections import defaultdict
+
+        edges = defaultdict(list)
+        for a, b in pairs:
+            edges[a].append(b)
+            edges[b].append(a)
+        deg = {u: len(vs) for u, vs in edges.items()}
+        r = {u: 1_000_000 for u in edges}
+        for _ in range(iters):
+            inc = defaultdict(int)
+            for u, vs in edges.items():
+                for v in vs:
+                    inc[v] += r[u] // deg[u]
+            r = {
+                v: (1000 - damping) * 1000 + (damping * inc[v]) // 1000
+                for v in edges
+            }
+        return r
+
+    got = {r.doc_id: r.pr_q for r in pagerank(df, iters=3).collect()}
+    assert got == brute()
+    got2 = {
+        r.doc_id: r.pr_q
+        for r in pagerank(df.repartition(7), iters=3).collect()
+    }
+    assert got2 == got
+    assert got[1] > got[2] and got[2] == got[3] == got[4] == got[5]
+    assert got[10] == got[11] == got[12]
+    assert got[20] == got[21]
