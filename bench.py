@@ -61,7 +61,12 @@ EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign",
                  # clustering (range-join DBSCAN, Lloyd, SemDeDup)
                  "g_function", "event_sessions", "tile_adaptive",
                  "dbscan", "kmeans_embed", "semantic_dedup", "bm25",
-                 "pq_encode", "pq_ann", "kmv_distinct", "countmin")
+                 "pq_encode", "pq_ann", "kmv_distinct", "countmin",
+                 # late round-3 additions: substring-dedup spans,
+                 # RANGE-frame rolling features, pair-graph PageRank,
+                 # histogram quantiles
+                 "dup_spans", "rolling_features", "pagerank",
+                 "value_quantiles")
 
 
 def sf_of(sf_dir: str) -> float:

@@ -528,35 +528,57 @@ def dup_spans(
     unchanged).
 
     Scale shape (vs the reference suffix-array formulation, which is
-    single-node): one codegen scan fans each doc to (id, u, h) rows —
-    no Python; ONE shuffle on h attaches the global occurrence count
-    (count-over-window: every seed row needs its count back, so a
-    partial-agg groupBy would only add a second shuffle); one shuffle
-    on id merges seed islands with two ordered windows.  Cost is
-    O(k * chars) compute and O(chars) shuffle rows — the same
-    corpus-linear bound as the suffix-array pass, in exchange for
-    k-char resolution instead of arbitrary-length matches.
+    single-node): one scan fans each doc to (id, u, h) rows via an
+    Arrow-batched numpy kernel — a vectorized sliding dot product of
+    the codepoint array against POWS[:k] (a pure-SQL `transform`
+    lambda computes the identical values but Spark evaluates HOF
+    lambdas interpreted per element — k x L interpreter steps per doc,
+    measured ~25x slower at sf0.1; cf. the hoist note in
+    text.repetition_stats); ONE shuffle on h attaches the global
+    occurrence count (count-over-window: every seed row needs its
+    count back, so a partial-agg groupBy would only add a second
+    shuffle); one shuffle on id merges seed islands with two ordered
+    windows.  Cost is O(k * chars) vectorized compute and O(chars)
+    shuffle rows — the same corpus-linear bound as the suffix-array
+    pass, in exchange for k-char resolution instead of
+    arbitrary-length matches.
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
     from ..functions.texthash import P, POWS
 
-    terms = " + ".join(
-        f"ascii(substring({text_col}, u + {j}, 1)) * {POWS[j]}L"
-        for j in range(k)
-    )
-    grams = (
-        df.where(F.length(text_col) >= k)
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, length({text_col}) - {k - 1}), "
-                    f"u -> ({terms}) % {P})"
+    pows = np.array(POWS[:k][::-1], dtype=np.int64)  # convolve reverses
+
+    def _grams(batches):
+        for pdf in batches:
+            ids, us, hs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) < k:
+                    continue
+                # utf-32-le -> one uint32 codepoint per char, no loop.
+                # max |term sum| = 0x10FFFF * (P-1) * k < 2^63 for
+                # k <= 24 * 4: exact int64 like the SQL twin.
+                c = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                h = np.convolve(c, pows, mode="valid") % P
+                ids.extend([did] * len(h))
+                us.append(np.arange(1, len(h) + 1, dtype=np.int64))
+                hs.append(h)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "_u": np.concatenate(us),
+                        "_h": np.concatenate(hs),
+                    }
                 )
-            ).alias("_p0", "_h"),
-        )
-        .select(F.col(id_col), (F.col("_p0") + 1).alias("_u"), "_h")
+
+    id_dt = dict(df.dtypes)[id_col]
+    grams = df.select(id_col, text_col).mapInPandas(
+        _grams, schema=f"{id_col} {id_dt}, _u long, _h long"
     )
     seeds = grams.withColumn(
         "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h"))
