@@ -63,6 +63,16 @@ from spatialjoincountovershells_spark.operators.clustering import (  # noqa: E40
     pq_encode,
     semantic_dedup,
 )
+from spatialjoincountovershells_spark.operators.geo import (  # noqa: E402
+    chord_edges_km,
+    geo_nearest_site,
+    geo_shell_count,
+    geo_tile_sql,
+    geo_tile_stats,
+    geo_unit_sql,
+    sql_latlon,
+    with_key_latlon,
+)
 from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
 from spatialjoincountovershells_spark.operators.pip import point_in_polygon  # noqa: E402
 from spatialjoincountovershells_spark.operators.semi_join import filter_halos  # noqa: E402
@@ -2211,6 +2221,62 @@ FROM asg LEFT JOIN dup ON asg.vec_id = dup.ida
 """
 
 
+# ------------------------------------------------- geodetic (lat/lon) ops
+
+GEO_EDGES_KM = np.array([50.0, 100.0, 200.0, 400.0])
+_GEO_C2 = [float(v * v) for v in chord_edges_km(GEO_EDGES_KM)]
+_GEO_SHELL_CASE = (
+    f"CASE WHEN d2 < {_GEO_C2[0]!r} THEN 0 WHEN d2 < {_GEO_C2[1]!r} THEN 1 "
+    f"WHEN d2 < {_GEO_C2[2]!r} THEN 2 WHEN d2 < {_GEO_C2[3]!r} THEN 3 END"
+)
+
+
+def _geo_rows(spark, sf_dir, table, key, alias) -> DataFrame:
+    df = _read(spark, sf_dir, table).select(F.col(key).cast("long").alias(alias))
+    return with_key_latlon(df, alias)
+
+
+def _geo_cte(table: str, key: str, alias: str) -> str:
+    """(alias, x, y, z) on the quantized unit-sphere lattice, from keys."""
+    lat_sql, lon_sql = sql_latlon(key)
+    ux, uy, uz = geo_unit_sql(lat_sql, lon_sql)
+    return (
+        f"SELECT CAST({key} AS BIGINT) AS {alias}, {ux} AS x, {uy} AS y, "
+        f"{uz} AS z FROM {table}"
+    )
+
+
+_GEO_D2 = (
+    "((h.x - p.x) * (h.x - p.x) + (h.y - p.y) * (h.y - p.y))"
+    " + (h.z - p.z) * (h.z - p.z)"
+)
+
+
+def q_geo_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle count-over-shells on geo-tagged rows (the north-star
+    input shape): lat/lon embed on the quantized unit sphere, chord-
+    transformed edges, then the UNCHANGED shell_count kernel."""
+    probes = _geo_rows(spark, sf_dir, "customer", "c_custkey", "probe_id")
+    points = _geo_rows(spark, sf_dir, "orders", "o_orderkey", "point_id")
+    return geo_shell_count(probes, points, GEO_EDGES_KM, id_col="probe_id")
+
+
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse geocode: nearest of 25 broadcast sites per customer row,
+    exact integer chord d2, map-side-combined min(struct) — no pair
+    shuffle."""
+    rows = _geo_rows(spark, sf_dir, "customer", "c_custkey", "row_id")
+    sites = _geo_rows(spark, sf_dir, "nation", "n_nationkey", "site_id")
+    return geo_nearest_site(rows, sites)
+
+
+def q_geo_latlon_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equirectangular slippy tiles at level 5 (Z-order ids) over a
+    geo-tagged table: one map-side-combined groupBy on the tile key."""
+    df = _geo_rows(spark, sf_dir, "part", "p_partkey", "img_id")
+    return geo_tile_stats(df, level=5)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2311,6 +2377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter": q_bloom_filter,
         "bloom_probe": q_bloom_probe,
         "value_quantiles": q_value_quantiles,
+        "geo_shells": q_geo_shells,
+        "geo_nearest": q_geo_nearest,
+        "geo_latlon_tiles": q_geo_latlon_tiles,
     }
 
 
@@ -3143,4 +3212,26 @@ FROM x
 WHERE cum >= (q_ppm * tot + 999999) // 1000000
   AND cum - cnt < (q_ppm * tot + 999999) // 1000000
 """,
+        "geo_shells": f"""
+WITH h AS ({_geo_cte("customer", "c_custkey", "probe_id")}),
+p AS ({_geo_cte("orders", "o_orderkey", "point_id")}),
+d AS (SELECT h.probe_id, {_GEO_D2} AS d2 FROM h, p)
+SELECT probe_id, {_GEO_SHELL_CASE} AS shell_idx, count(*) AS cnt
+FROM d WHERE d2 < {_GEO_C2[-1]!r} GROUP BY probe_id, shell_idx
+""",
+        "geo_nearest": f"""
+WITH h AS ({_geo_cte("customer", "c_custkey", "row_id")}),
+p AS ({_geo_cte("nation", "n_nationkey", "site_id")}),
+d AS (SELECT h.row_id, p.site_id, CAST({_GEO_D2} AS BIGINT) AS d2,
+      row_number() OVER (PARTITION BY h.row_id
+                         ORDER BY {_GEO_D2}, p.site_id) AS rn
+      FROM h, p)
+SELECT row_id, site_id, d2 FROM d WHERE rn = 1
+""",
+        "geo_latlon_tiles": (
+            "WITH g0 AS (SELECT p_partkey, "
+            + "{} AS lat, {} AS lon FROM part),\n".format(*sql_latlon("p_partkey"))
+            + morton_sql_ctes("g0", *geo_tile_sql("lat", "lon", 5))
+            + "\nSELECT tile_id, count(*) AS n FROM m5 GROUP BY tile_id"
+        ),
     }

@@ -1,0 +1,259 @@
+"""Geodetic operator tests (operators/geo.py).
+
+The three-engine agreement test on the quantized unit-sphere embed is
+the load-bearing one: it is what entitles the hash-comparing driver
+gate to check the geo queries at all (cos/sin are the only
+non-correctly-rounded steps in the whole module — see geo.py header).
+Everything downstream of the embed is exact integer math, pinned here
+against brute-force numpy twins and hand-checked geodesy facts.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spatialjoincountovershells_spark.operators.geo import (
+    DEG2RAD,
+    GEO_QUANT,
+    R_EARTH_KM,
+    chord_edges_km,
+    geo_nearest_site,
+    geo_shell_count,
+    geo_tile_expr,
+    geo_tile_sql,
+    geo_tile_stats,
+    geo_unit_exprs,
+    geo_unit_np,
+    geo_unit_sql,
+    key_latlon_exprs,
+    latlon_np,
+    sql_latlon,
+    with_key_latlon,
+)
+from spatialjoincountovershells_spark.operators.tiling import morton_np
+
+
+def _latlon_df(spark, keys):
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    return with_key_latlon(df, "k")
+
+
+def test_geo_embed_three_engines(spark):
+    """Spark == DuckDB == numpy on the full embed pipeline over a key
+    range covering every table the contract queries touch."""
+    keys = np.arange(1, 4001, dtype=np.int64)
+    lat, lon = latlon_np(keys)
+    want = geo_unit_np(lat, lon)
+
+    sdf = _latlon_df(spark, keys)
+    qx, qy, qz = geo_unit_exprs(F.col("lat"), F.col("lon"))
+    got = (
+        sdf.select("k", qx.alias("qx"), qy.alias("qy"), qz.alias("qz"))
+        .orderBy("k").toPandas()[["qx", "qy", "qz"]].to_numpy()
+    )
+    np.testing.assert_array_equal(got, want)
+
+    lat_sql, lon_sql = sql_latlon("k")
+    ux, uy, uz = geo_unit_sql(lat_sql, lon_sql)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"k": keys}))
+    got_duck = con.execute(
+        f"SELECT {ux} AS qx, {uy} AS qy, {uz} AS qz FROM t ORDER BY k"
+    ).df().to_numpy()
+    np.testing.assert_array_equal(got_duck, want)
+
+
+def _brute_counts(pk, pl, hk, hl, edges_km):
+    """Exact quantized-chord brute force (the operator's numpy twin)."""
+    P = geo_unit_np(*latlon_np(pk)) if pl is None else geo_unit_np(*pl)
+    H = geo_unit_np(*latlon_np(hk)) if hl is None else geo_unit_np(*hl)
+    ch = chord_edges_km(edges_km)
+    c2 = ch * ch
+    d = P[None, :, :] - H[:, None, :]
+    d2 = (d[..., 0] ** 2 + d[..., 1] ** 2) + d[..., 2] ** 2
+    out = {}
+    for i in range(len(hk)):
+        sh = np.searchsorted(c2, d2[i], side="right")
+        inr = d2[i] < c2[-1]
+        for s in range(len(c2)):
+            n = int(np.sum(inr & (sh == s)))
+            if n:
+                out[(int(hk[i]), s)] = n
+    return out
+
+
+EDGES_KM = [50.0, 100.0, 200.0, 400.0]
+
+
+@pytest.mark.parametrize("plan", ["sql", "bcast"])
+def test_geo_shell_count_vs_bruteforce(spark, plan):
+    hk = np.arange(1, 41, dtype=np.int64)
+    pk = np.arange(1, 2001, dtype=np.int64)
+    # 400 km shells see few neighbors at 2000 uniform points; widen to
+    # guarantee nonzero shells: use a denser synthetic cluster too
+    want = _brute_counts(pk, None, hk, None, EDGES_KM)
+    probes = _latlon_df(spark, hk).withColumnRenamed("k", "probe_id")
+    points = _latlon_df(spark, pk)
+    got = {
+        (r.probe_id, r.shell_idx): r.cnt
+        for r in geo_shell_count(
+            probes, points, EDGES_KM, plan=plan
+        ).collect()
+    }
+    assert got == want
+
+
+def test_geo_shell_count_dense_cluster(spark):
+    """A dense cluster around one probe exercises every shell."""
+    rng = np.random.default_rng(7)
+    n = 500
+    lat = 48.0 + rng.uniform(-4.0, 4.0, n)   # ~+-445 km in lat
+    lon = 2.0 + rng.uniform(-6.0, 6.0, n)
+    plat = np.array([48.0]); plon = np.array([2.0])
+    want = _brute_counts(
+        np.arange(n), (lat, lon), np.array([1]), (plat, plon), EDGES_KM)
+    probes = spark.createDataFrame(
+        pd.DataFrame({"probe_id": [1], "lat": plat, "lon": plon}))
+    points = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    got = {
+        (r.probe_id, r.shell_idx): r.cnt
+        for r in geo_shell_count(probes, points, EDGES_KM).collect()
+    }
+    assert got == want
+    assert len(got) == 4  # all four shells hit
+
+
+def test_geo_known_distance_paris_london(spark):
+    """Hand-checked geodesy: Paris->London great-circle ~343.5 km ->
+    the [200, 400) shell, and nothing else."""
+    probes = spark.createDataFrame(
+        pd.DataFrame({"probe_id": [1], "lat": [48.8566], "lon": [2.3522]}))
+    points = spark.createDataFrame(
+        pd.DataFrame({"lat": [51.5074], "lon": [-0.1278]}))
+    rows = geo_shell_count(probes, points, EDGES_KM).collect()
+    assert [(r.probe_id, r.shell_idx, r.cnt) for r in rows] == [(1, 3, 1)]
+
+
+def test_geo_wrap_safety_antipodes(spark):
+    """Antipodal and far points must never enter a shell (the periodic
+    box's wrap margin cannot alias them in)."""
+    probes = spark.createDataFrame(
+        pd.DataFrame({"probe_id": [1], "lat": [0.0], "lon": [0.0]}))
+    points = spark.createDataFrame(pd.DataFrame({
+        "lat": [0.0, 0.0, 89.9, -45.0],
+        "lon": [180.0, 179.0, 0.0, 180.0],
+    }))
+    # even at the operator's maximum radius
+    edges = [1000.0, 6000.0]
+    assert geo_shell_count(probes, points, edges).count() == 0
+
+
+def test_geo_dateline_continuity(spark):
+    """Points straddling the antimeridian are ~2.2 km apart, not
+    ~40000 km: lon 179.99 vs -179.99."""
+    probes = spark.createDataFrame(
+        pd.DataFrame({"probe_id": [1], "lat": [0.0], "lon": [179.99]}))
+    points = spark.createDataFrame(
+        pd.DataFrame({"lat": [0.0], "lon": [-179.99]}))
+    rows = geo_shell_count(probes, points, [10.0, 100.0]).collect()
+    assert [(r.shell_idx, r.cnt) for r in rows] == [(0, 1)]
+
+
+def test_chord_edges_monotone_and_bounded():
+    ch = chord_edges_km([1.0, 10.0, 100.0, 1000.0, 6000.0])
+    assert np.all(np.diff(ch) > 0)
+    assert ch[-1] <= GEO_QUANT
+    with pytest.raises(ValueError):
+        chord_edges_km([100.0, 7000.0])
+    with pytest.raises(ValueError):
+        chord_edges_km([100.0, 50.0])
+
+
+def test_geo_nearest_site_vs_numpy(spark):
+    rows_k = np.arange(1, 301, dtype=np.int64)
+    site_k = np.arange(1, 26, dtype=np.int64)
+    R = geo_unit_np(*latlon_np(rows_k))
+    S = geo_unit_np(*latlon_np(site_k))
+    d = R[:, None, :] - S[None, :, :]
+    d2 = (d[..., 0] ** 2 + d[..., 1] ** 2) + d[..., 2] ** 2
+    best = np.argmin(d2, axis=1)  # argmin takes first == smallest id
+    want = {
+        int(rows_k[i]): (int(site_k[best[i]]), int(d2[i, best[i]]))
+        for i in range(len(rows_k))
+    }
+    rows = _latlon_df(spark, rows_k).withColumnRenamed("k", "row_id")
+    sites = _latlon_df(spark, site_k).withColumnRenamed("k", "site_id")
+    got = {
+        r.row_id: (r.site_id, r.d2)
+        for r in geo_nearest_site(rows, sites).collect()
+    }
+    assert got == want
+
+
+def test_geo_tile_three_engines(spark):
+    keys = np.arange(1, 2001, dtype=np.int64)
+    lat, lon = latlon_np(keys)
+    level = 5
+    res = 1 << level
+    tx = np.clip(np.floor(((lon + 180.0) / 360.0) * float(res)), 0, res - 1)
+    ty = np.clip(np.floor(((90.0 - lat) / 180.0) * float(res)), 0, res - 1)
+    want = morton_np(tx.astype(np.int64), ty.astype(np.int64))
+
+    sdf = _latlon_df(spark, keys)
+    got = (
+        sdf.select("k", geo_tile_expr(F.col("lat"), F.col("lon"), level)
+                   .alias("t"))
+        .orderBy("k").toPandas()["t"].to_numpy()
+    )
+    np.testing.assert_array_equal(got, want)
+
+    lat_sql, lon_sql = sql_latlon("k")
+    tx_sql, ty_sql = geo_tile_sql(lat_sql, lon_sql, level)
+    from spatialjoincountovershells_spark.operators.tiling import (
+        morton_sql_ctes,
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"k": keys}))
+    sql = (
+        "WITH " + morton_sql_ctes("t", tx_sql, ty_sql)
+        + " SELECT tile_id FROM m5 ORDER BY k"
+    )
+    got_duck = con.execute(sql).df()["tile_id"].to_numpy()
+    np.testing.assert_array_equal(got_duck, want)
+
+
+def test_geo_tile_clamps_poles_and_dateline(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "lat": [-90.0, 90.0, 0.0, 0.0],
+        "lon": [0.0, 0.0, 179.999, -180.0],
+    }))
+    level = 3
+    res = 1 << level
+    got = df.select(
+        geo_tile_expr(F.col("lat"), F.col("lon"), level).alias("t")
+    ).collect()
+    tids = [r.t for r in got]
+    assert all(0 <= t < res * res for t in tids)
+    # south pole -> ty = res-1 (clamped), north pole -> ty = 0
+    tx0 = res // 2  # lon 0 -> middle tile
+    assert tids[0] == morton_np(np.array([tx0]), np.array([res - 1]))[0]
+    assert tids[1] == morton_np(np.array([tx0]), np.array([0]))[0]
+    # east edge: tx = res-1; west edge: tx = 0
+    assert tids[2] == morton_np(np.array([res - 1]), np.array([res // 2]))[0]
+    assert tids[3] == morton_np(np.array([0]), np.array([res // 2]))[0]
+
+
+def test_geo_tile_stats_counts(spark):
+    keys = np.arange(1, 501, dtype=np.int64)
+    df = _latlon_df(spark, keys)
+    out = geo_tile_stats(df, level=2, latlon=("lat", "lon")).collect()
+    assert sum(r.n for r in out) == 500
+    assert all(0 <= r.tile_id < 16 for r in out)
+    # weighted variant
+    dfw = df.withColumn("w", (F.col("k") % 7).cast("long"))
+    outw = geo_tile_stats(dfw, level=2, weight_col="w").collect()
+    assert sum(r.wsum for r in outw) == int(sum(k % 7 for k in keys))
