@@ -65,6 +65,9 @@ from spatialjoincountovershells_spark.operators.clustering import (  # noqa: E40
 )
 from spatialjoincountovershells_spark.operators.geo import (  # noqa: E402
     chord_edges_km,
+    geo_equirect_exprs,
+    geo_equirect_sql,
+    geo_knn,
     geo_nearest_site,
     geo_shell_count,
     geo_tile_sql,
@@ -2277,6 +2280,26 @@ def q_geo_latlon_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_tile_stats(df, level=5)
 
 
+def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact great-circle kNN (k=3) via ring widening on the chord
+    lattice; d2 = exact integer squared chord."""
+    rows = _geo_rows(spark, sf_dir, "supplier", "s_suppkey", "row_id")
+    cands = _geo_rows(spark, sf_dir, "orders", "o_orderkey", "neighbor_id")
+    res = geo_knn(rows, cands, k=3)
+    return res.select("row_id", "neighbor_id", "rank",
+                      F.col("d2").cast("long").alias("d2"))
+
+
+def q_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot spots of geo-tagged rows: equirect projection
+    bridges lat/lon onto the planar tile grid, then the UNCHANGED
+    tile_getis_g operator (the 'where do images cluster' map)."""
+    df = _geo_rows(spark, sf_dir, "orders", "o_orderkey", "img_id")
+    x, y = geo_equirect_exprs(F.col("lat"), F.col("lon"), BOX)
+    return tile_getis_g(df.select(x.alias("x"), y.alias("y")),
+                        level=5, box=BOX)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2380,6 +2403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shells": q_geo_shells,
         "geo_nearest": q_geo_nearest,
         "geo_latlon_tiles": q_geo_latlon_tiles,
+        "geo_knn": q_geo_knn,
+        "geo_hotspots": q_geo_hotspots,
     }
 
 
@@ -3234,4 +3259,51 @@ SELECT row_id, site_id, d2 FROM d WHERE rn = 1
             + morton_sql_ctes("g0", *geo_tile_sql("lat", "lon", 5))
             + "\nSELECT tile_id, count(*) AS n FROM m5 GROUP BY tile_id"
         ),
+        "geo_knn": f"""
+WITH h AS ({_geo_cte("supplier", "s_suppkey", "row_id")}),
+p AS ({_geo_cte("orders", "o_orderkey", "neighbor_id")}),
+d AS (SELECT h.row_id, p.neighbor_id, CAST({_GEO_D2} AS BIGINT) AS d2 FROM h, p)
+SELECT row_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY row_id
+                               ORDER BY d2, neighbor_id) AS INTEGER) AS rank,
+       d2
+FROM d QUALIFY rank <= 3
+""",
+        "geo_hotspots": f"""
+WITH g AS (SELECT {sql_latlon("o_orderkey")[0]} AS lat,
+                  {sql_latlon("o_orderkey")[1]} AS lon FROM orders),
+p AS (SELECT {geo_equirect_sql("lat", "lon", 1000.0)[0]} AS x,
+             {geo_equirect_sql("lat", "lon", 1000.0)[1]} AS y FROM g),
+t AS (SELECT least(greatest(CAST(floor(x / 31.25) AS BIGINT), 0), 31) AS tx,
+             least(greatest(CAST(floor(y / 31.25) AS BIGINT), 0), 31) AS ty FROM p),
+tcnt AS (SELECT tx, ty, count(*) AS n FROM t GROUP BY tx, ty),
+offs AS (SELECT gx.a AS dx, gy.b AS dy
+         FROM unnest(generate_series(-1, 1)) AS gx(a),
+              unnest(generate_series(-1, 1)) AS gy(b)),
+scat AS (SELECT tx + dx AS rx, ty + dy AS ry, n,
+                CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END AS own
+         FROM tcnt, offs
+         WHERE tx + dx BETWEEN 0 AND 31 AND ty + dy BETWEEN 0 AND 31),
+cell AS (SELECT rx, ry, sum(own * n) AS cx, sum((1 - own) * n) AS cr
+         FROM scat GROUP BY rx, ry),
+cm AS (SELECT rx, ry, cx, cr,
+              (least(rx + 1, 31) - greatest(rx - 1, 0) + 1)
+            * (least(ry + 1, 31) - greatest(ry - 1, 0) + 1) AS w FROM cell),
+tot AS (SELECT CAST(sum(cx) AS HUGEINT) AS s,
+               sum(CAST(cx AS HUGEINT) * CAST(cx AS HUGEINT)) AS s2 FROM cell),
+{morton_sql_ctes("cm", "rx", "ry", out="gh")},
+g2 AS (SELECT tile_id, cx, cr, w,
+             CAST(1024 AS HUGEINT) * (CAST(cx AS HUGEINT) + CAST(cr AS HUGEINT))
+               - tot.s * CAST(w AS HUGEINT) AS a,
+             CAST(1024 AS HUGEINT) * tot.s2 - tot.s * tot.s AS b,
+             CAST(1024 AS HUGEINT) * CAST(w AS HUGEINT)
+               - CAST(w AS HUGEINT) * CAST(w AS HUGEINT) AS c
+      FROM gh5, tot)
+SELECT tile_id, CAST(cx AS BIGINT) AS n_points,
+       CAST(cx + cr AS BIGINT) AS ring_sum, CAST(w AS BIGINT) AS w,
+       CAST(floor((CAST(a AS DOUBLE)
+                   / sqrt(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / 1023.0))
+                  * 1048576.0) AS BIGINT) AS gi_q20
+FROM g2
+""",
     }

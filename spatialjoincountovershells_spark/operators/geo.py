@@ -37,6 +37,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.knn import knn
 from ..operators.shell_count import shell_count
 from ..operators.tiling import morton_expr
 
@@ -230,6 +231,65 @@ def geo_nearest_site(
         id_col,
         F.col("c.sid").alias(site_id_col),
         F.col("c.d2").alias("d2"),
+    )
+
+
+def geo_knn(
+    rows: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    id_col: str = "row_id",
+    neighbor_id_col: str = "neighbor_id",
+    row_latlon: tuple[str, str] = ("lat", "lon"),
+    cand_latlon: tuple[str, str] = ("lat", "lon"),
+    **knn_kwargs,
+) -> DataFrame:
+    """Exact k nearest neighbors by GREAT-CIRCLE distance
+    -> (id_col, neighbor_id_col, rank 1..k, d2).
+
+    Nearest-by-chord == nearest-by-great-circle (the chord map is
+    monotone), so this is the ring-widening ``knn`` operator on the
+    quantized chord lattice: same iterative k-ring search, same
+    window-flag bookkeeping, no driver collect.  ``d2`` is the exact
+    integer squared chord in lattice units; ties break to the smaller
+    neighbor id (deterministic cross-engine).
+    """
+    r = _embed(rows, *row_latlon, keep=[id_col])
+    c = _embed(candidates, *cand_latlon, keep=[neighbor_id_col])
+    return knn(
+        r, c, k, box=GEO_BOX, dtype="float64", id_col=id_col,
+        particle_id_col=neighbor_id_col, **knn_kwargs,
+    )
+
+
+def geo_equirect_exprs(lat: Column, lon: Column,
+                       box: float = 1000.0) -> tuple[Column, Column]:
+    """Equirectangular (plate-carrée) projection into the engine's
+    [0, box)^2 plane: x from lon, y from (90 - lat), each one division
+    + one multiply (both correctly rounded, mirrored by
+    ``geo_equirect_sql``).
+
+    This is the bridge that lets EVERY planar tile operator —
+    tile_rollup / tile_adaptive / tile_cover / tile_kring_stats /
+    tile_dbscan / tile_moran_i / tile_getis_g / tile_local_moran /
+    tile_join_counts / rasterize_points — run on geo-tagged rows
+    unchanged.  The statistics are then planar statistics of the
+    PROJECTED points (standard web-map tiling practice; tiles shrink
+    in ground area toward the poles) — use the chord-lattice operators
+    (geo_shell_count / geo_knn / geo_nearest_site) when metric
+    distances must be great-circle exact.
+    """
+    x = ((lon + F.lit(180.0)) / F.lit(360.0)) * F.lit(box)
+    y = ((F.lit(90.0) - lat) / F.lit(180.0)) * F.lit(box)
+    return x, y
+
+
+def geo_equirect_sql(lat_sql: str, lon_sql: str,
+                     box: float = 1000.0) -> tuple[str, str]:
+    """The identical projection as ANSI SQL (for DuckDB oracles)."""
+    return (
+        f"((({lon_sql}) + 180.0) / 360.0) * {box!r}",
+        f"((90.0 - ({lat_sql})) / 180.0) * {box!r}",
     )
 
 

@@ -194,6 +194,59 @@ def test_geo_nearest_site_vs_numpy(spark):
     assert got == want
 
 
+def test_geo_knn_vs_numpy(spark):
+    rows_k = np.arange(1, 31, dtype=np.int64)
+    cand_k = np.arange(1, 1001, dtype=np.int64)
+    R = geo_unit_np(*latlon_np(rows_k))
+    C = geo_unit_np(*latlon_np(cand_k))
+    d = R[:, None, :] - C[None, :, :]
+    d2 = (d[..., 0] ** 2 + d[..., 1] ** 2) + d[..., 2] ** 2
+    k = 4
+    want = {}
+    for i in range(len(rows_k)):
+        order = np.lexsort((cand_k, d2[i]))[:k]
+        want[int(rows_k[i])] = [
+            (int(cand_k[j]), r + 1, int(d2[i, j]))
+            for r, j in enumerate(order)
+        ]
+    from spatialjoincountovershells_spark.operators.geo import geo_knn
+    rows = _latlon_df(spark, rows_k).withColumnRenamed("k", "row_id")
+    cands = _latlon_df(spark, cand_k).withColumnRenamed("k", "neighbor_id")
+    out = geo_knn(rows, cands, k=k).collect()
+    got: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.row_id, r.rank)):
+        got.setdefault(r.row_id, []).append(
+            (r.neighbor_id, r.rank, int(r.d2)))
+    assert got == want
+
+
+def test_geo_equirect_bridges_tile_ops(spark):
+    """The equirect projection feeds planar tile operators unchanged:
+    per-tile counts off the projection equal a numpy twin."""
+    from spatialjoincountovershells_spark.operators.geo import (
+        geo_equirect_exprs,
+    )
+    from spatialjoincountovershells_spark.operators.tiling import (
+        rasterize_points,
+    )
+    keys = np.arange(1, 801, dtype=np.int64)
+    lat, lon = latlon_np(keys)
+    x = ((lon + 180.0) / 360.0) * 1000.0
+    y = ((90.0 - lat) / 180.0) * 1000.0
+    res = 8
+    tx = np.clip(np.floor(x / (1000.0 / res)), 0, res - 1).astype(np.int64)
+    ty = np.clip(np.floor(y / (1000.0 / res)), 0, res - 1).astype(np.int64)
+    want = {}
+    for t in tx * res + ty:
+        want[int(t)] = want.get(int(t), 0) + 1
+    df = _latlon_df(spark, keys)
+    ex, ey = geo_equirect_exprs(F.col("lat"), F.col("lon"))
+    proj = df.select(ex.alias("x"), ey.alias("y"))
+    out = rasterize_points(proj, res=res).collect()
+    got = {r.tile_id: r.n_points for r in out}
+    assert got == want
+
+
 def test_geo_tile_three_engines(spark):
     keys = np.arange(1, 2001, dtype=np.int64)
     lat, lon = latlon_np(keys)
