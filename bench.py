@@ -66,7 +66,10 @@ EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign",
                  # RANGE-frame rolling features, pair-graph PageRank,
                  # histogram quantiles
                  "dup_spans", "rolling_features", "pagerank",
-                 "value_quantiles")
+                 "value_quantiles",
+                 # geodetic: great-circle shells on the chord lattice
+                 # (lat/lon embed + the unchanged shell_count kernel)
+                 "geo_shells")
 
 
 def sf_of(sf_dir: str) -> float:
