@@ -15,6 +15,13 @@ Spark DataFrame library:
   children / multi-resolution rollup / bbox covering, plus a
   Z-order-clustered table layout (plans/pipeline.py:cluster_by_tile),
 * auto-correlation pair counts DD(r) (shell_count self-joined),
+* geodetic lat/lon operators (operators/geo.py): great-circle
+  count-over-shells / kNN / nearest-site on a quantized unit-sphere
+  chord lattice (the unchanged spatial kernels run on transformed
+  coordinates), equirectangular slippy tiles on the Morton hierarchy,
+  and the equirect bridge that runs every planar tile operator on
+  geo-tagged rows — with streaming twins (stream_geo_tile_counts,
+  stream_geo_shell_counts),
 * dedup / similarity / text-analysis operators for training-data
   pipelines, incl. perceptual-hash near-dup pairs on the images table,
   connected-component clustering of near-dup pairs (dedup_clusters,
@@ -62,6 +69,13 @@ from .operators.corpus import (
     stratified_sample,
 )
 from .operators.text import chunk_documents, repetition_stats
+from .operators.geo import (
+    geo_knn,
+    geo_nearest_site,
+    geo_shell_count,
+    geo_tile_expr,
+    geo_tile_stats,
+)
 
 __all__ = [
     "dedup_clusters",
@@ -105,6 +119,11 @@ __all__ = [
     "sample_frames",
     "frame_stats",
     "audio_window_stats",
+    "geo_knn",
+    "geo_nearest_site",
+    "geo_shell_count",
+    "geo_tile_expr",
+    "geo_tile_stats",
 ]
 
 __version__ = "0.1.0"

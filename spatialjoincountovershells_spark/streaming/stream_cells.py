@@ -180,3 +180,57 @@ def stream_shell_counts_stateful(
     return binned.groupBy(id_col).applyInPandasWithState(
         accumulate, out_t, state_t, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_geo_tile_counts(
+    stream: DataFrame,
+    level: int,
+    latlon: tuple[str, str] = ("lat", "lon"),
+    ts_col: str | None = None,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming geo-tagged rows -> per-slippy-tile (windowed) counts:
+    the live hot-spot map over arriving lat/lon rows (stateless tile
+    assignment, the same geo_tile_expr the batch path uses).
+
+    Without ts: complete-mode global per-tile counts.  With ts:
+    watermarked tumbling-window counts, append-mode safe.
+    """
+    from ..operators.geo import geo_tile_expr
+
+    lat, lon = (F.col(c) for c in latlon)
+    df = stream.withColumn("tile_id", geo_tile_expr(lat, lon, level))
+    if ts_col is None:
+        return df.groupBy("tile_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), "tile_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def stream_geo_shell_counts(
+    stream: DataFrame,
+    sites: DataFrame,
+    edges_km,
+    id_col: str = "site_id",
+    stream_latlon: tuple[str, str] = ("lat", "lon"),
+    site_latlon: tuple[str, str] = ("lat", "lon"),
+) -> DataFrame:
+    """Streaming GREAT-CIRCLE shell counts: arriving geo-tagged rows
+    against a static site table — e.g. "images within 1/5/25 km of each
+    POI, live".  Both sides embed on the quantized chord lattice
+    (operators/geo.py) and the unchanged stateless stream-static
+    ring join + bin stage runs on the shifted coordinates.
+    -> streaming (id_col, shell_idx, cnt); update/complete-mode sink
+    holds the running totals.
+    """
+    from ..operators.geo import GEO_BOX, _embed, chord_edges_km
+
+    p = _embed(stream, *stream_latlon, keep=[])
+    h = _embed(sites, *site_latlon, keep=[id_col])
+    return stream_shell_counts(
+        p, h, chord_edges_km(edges_km), box=GEO_BOX, dtype="float64",
+        id_col=id_col,
+    )

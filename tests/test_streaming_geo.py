@@ -1,0 +1,111 @@
+"""Streaming geodetic operators: live tile map + great-circle shell
+counts of arriving lat/lon rows vs their batch twins."""
+
+import time
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from spatialjoincountovershells_spark.operators.geo import (
+    geo_shell_count,
+    geo_tile_stats,
+    with_key_latlon,
+)
+from spatialjoincountovershells_spark.streaming.stream_cells import (
+    stream_geo_shell_counts,
+    stream_geo_tile_counts,
+)
+
+
+def _await_total(spark, query, table, col, want, timeout_s=90):
+    deadline = time.time() + timeout_s
+    n = 0
+    while time.time() < deadline:
+        n = spark.sql(
+            f"SELECT coalesce(sum({col}), 0) AS s FROM {table}"
+        ).collect()[0].s
+        if n is not None and n >= want:
+            return int(n)
+        query.processAllAvailable()
+    return int(n or 0)
+
+
+def test_stream_geo_tile_counts_matches_batch(spark):
+    n_rows, level = 400, 4
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1000")
+        .load()
+        .where((F.col("value") >= 1) & (F.col("value") <= n_rows))
+        .withColumnRenamed("value", "k")
+    )
+    agg = stream_geo_tile_counts(with_key_latlon(stream, "k"), level=level)
+    q = (
+        agg.writeStream.format("memory").queryName("geo_tiles_s")
+        .outputMode("complete").start()
+    )
+    try:
+        total = _await_total(spark, q, "geo_tiles_s", "n", n_rows)
+        assert total == n_rows
+        got = {
+            r.tile_id: r.n
+            for r in spark.sql("SELECT tile_id, n FROM geo_tiles_s").collect()
+        }
+    finally:
+        q.stop()
+    batch = with_key_latlon(
+        spark.range(1, n_rows + 1).withColumnRenamed("id", "k"), "k")
+    want = {
+        r.tile_id: r.n
+        for r in geo_tile_stats(batch, level=level).collect()
+    }
+    assert got == want
+
+
+def test_stream_geo_shell_counts_matches_batch(spark, tmp_path):
+    """File-source stream of lat/lon rows vs a static 10-site table:
+    the complete-mode sink must equal the batch geo_shell_count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_rows, edges_km = 600, [100.0, 400.0, 1500.0]
+    keys = np.arange(1, n_rows + 1, dtype=np.int64)
+    from spatialjoincountovershells_spark.operators.geo import latlon_np
+    lat, lon = latlon_np(keys)
+    src = tmp_path / "rows"
+    src.mkdir()
+    pq.write_table(pa.table({"lat": lat, "lon": lon}), src / "b1.parquet")
+
+    sites = with_key_latlon(
+        spark.range(1, 11).withColumnRenamed("id", "site_id"), "site_id")
+
+    stream = spark.readStream.schema("lat double, lon double").parquet(
+        str(src))
+    agg = stream_geo_shell_counts(stream, sites, edges_km)
+    q = (
+        agg.writeStream.format("memory").queryName("geo_shells_s")
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.site_id, r.shell_idx): r.cnt
+            for r in spark.sql(
+                "SELECT site_id, shell_idx, cnt FROM geo_shells_s"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    rows = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lat, lon)],
+        "lat double, lon double",
+    )
+    want = {
+        (r.probe_id, r.shell_idx): r.cnt
+        for r in geo_shell_count(
+            sites.withColumnRenamed("site_id", "probe_id"), rows, edges_km,
+            id_col="probe_id",
+        ).collect()
+    }
+    assert got == want
+    assert sum(got.values()) > 0
