@@ -995,9 +995,13 @@ def _dedup_clusters_ctes(pairs_sql: str | None = None) -> str:
     pairs) via transitive closure + min reachable id — the declarative
     twin of operators/dedup.py dedup_clusters' min-label propagation."""
     mh = pairs_sql if pairs_sql is not None else _minhash_lsh_sql()
+    # p/e MATERIALIZED: DuckDB otherwise re-inlines the whole pair
+    # pipeline into every transitive-closure iteration (the
+    # embed_dedup_clusters oracle ran 133s at sf0.01 vs 4s materialized,
+    # same rows - VERDICT r3 #3, keep the gate affordable)
     return f"""
-p AS (SELECT doc_a, doc_b FROM ({mh}) mp),
-e AS (SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p),
+p AS MATERIALIZED (SELECT doc_a, doc_b FROM ({mh}) mp),
+e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p),
 reach(s, d) AS (
   SELECT s, d FROM e
   UNION
@@ -1218,7 +1222,11 @@ def _crossmodal_dup_sql(n: int = 2000, seed: int = 21) -> str:
     """Joint caption+image near-dup oracle (mirrors q_crossmodal_dup):
     identical splitmix64 caption/phash CTEs + planted v1/v2/v3
     variants, minhash-band SQL over captions, all-pairs bit_count join
-    over phashes, FULL OUTER joined on the ordered pair key."""
+    over phashes, FULL OUTER joined on the ordered pair key.  The
+    shared CTEs are MATERIALIZED: DuckDB otherwise inlines the
+    splitmix64 caption chain into every consumer (t is read three
+    times) and the oracle took 38s at sf0.01 vs 0.7s materialized —
+    same 520 rows (VERDICT r3 #3: keep the driver gate affordable)."""
     pack = (
         "CAST((ax // 281474976710656) * 4294967296"
         " + (ay // 281474976710656) * 65536"
@@ -1232,7 +1240,7 @@ WITH {_phash_cte("q", n, seed)},
 {_caption_ctes("capt", n, seed)},
 base_p AS (SELECT CAST(i AS BIGINT) AS image_id, {pack} AS phash FROM q_6),
 alt_p AS (SELECT CAST(i AS BIGINT) AS image_id, {pack} AS phash FROM r_6),
-base AS (SELECT b.image_id, b.phash, c.caption, c.caption_alt
+base AS MATERIALIZED (SELECT b.image_id, b.phash, c.caption, c.caption_alt
   FROM base_p b JOIN capt c USING (image_id)),
 v1 AS (SELECT image_id + 1000000 AS image_id,
   xor(phash, {bit}) AS phash, caption
@@ -1242,14 +1250,14 @@ v2 AS (SELECT image_id + 2000000 AS image_id,
   FROM base WHERE image_id % 25 = 0),
 v3 AS (SELECT b.image_id + 3000000 AS image_id, a.phash, b.caption
   FROM base b JOIN alt_p a USING (image_id) WHERE b.image_id % 20 = 0),
-t AS (SELECT image_id, phash, caption FROM base
+t AS MATERIALIZED (SELECT image_id, phash, caption FROM base
   UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
   UNION ALL SELECT * FROM v3),
 ip AS (SELECT a.image_id AS image_a, b.image_id AS image_b,
   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
   FROM t a JOIN t b ON a.image_id < b.image_id
   WHERE bit_count(xor(a.phash, b.phash)) <= 2),
-caps AS (SELECT image_id AS doc_id, caption AS text FROM t),
+caps AS MATERIALIZED (SELECT image_id AS doc_id, caption AS text FROM t),
 cp AS (SELECT doc_a AS image_a, doc_b AS image_b,
   CAST(n_bands_hit AS BIGINT) AS n_caption_bands
   FROM ({_minhash_lsh_sql(src="caps")}) m)

@@ -387,6 +387,8 @@ def pq_ann_topk(
     dim: int = 64,
     scale: int = 1024,
     candidates: DataFrame | None = None,
+    exhaustive: bool = False,
+    exhaustive_limit: int = 100_000,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k search (the ADC of Jegou et al.
     2011 §IV) -> (query_id, neighbor_id, rank, adc_d2): approximate
@@ -404,7 +406,10 @@ def pq_ann_topk(
     ``similarity.ivf_candidates`` — together they are IVF+PQ, FAISS's
     IVFPQ index expressed as two DataFrame ops).  Default None scores
     ALL pairs: the exhaustive-ADC baseline, O(n^2) rows but O(m) work
-    per row.
+    per row — guarded: above `exhaustive_limit` corpus rows the call
+    raises unless `exhaustive=True` is passed explicitly, pointing at
+    ivf_candidates (VERDICT r3 #3: an unwary default would otherwise
+    schedule 10^12-row pair tables at production scale).
 
     Scale shape: the m codebooks are k rows each and the per-query LUT
     is (n_queries x k) rows per subspace — all broadcast; the pair
@@ -414,6 +419,17 @@ def pq_ann_topk(
     """
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
+    if candidates is None and not exhaustive:
+        # cheap metadata-or-count guard: the exhaustive baseline is
+        # O(n^2) pair rows and must be an explicit choice beyond toy n
+        n = emb.count()
+        if n > exhaustive_limit:
+            raise ValueError(
+                f"pq_ann_topk without candidates= is an exhaustive "
+                f"cross join ({n} corpus rows -> ~{n * n:.0e} pairs). "
+                f"Pass candidates=ivf_candidates(...) (IVF+PQ), or "
+                f"exhaustive=True to insist."
+            )
     d = dim // m
     q = emb.select(F.col(id_col), _quantize(vec_col, scale).alias("q")).persist()
 

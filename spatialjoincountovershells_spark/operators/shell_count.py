@@ -121,10 +121,11 @@ def _prep(
         # precondition of the subset-enumerated periodic search (§2.11.5)
         raise ValueError(f"r_max={rmax} must be < box/2={box / 2}")
     # cell_mult >= 2: sub-rmax cells (size rmax/mult) probed with a
-    # ring-mult neighborhood + the Euclidean prune — the candidate-volume
-    # fix that made the broadcast plans beat the C reference, now on the
-    # join plans too (VERDICT r3 top item).  Kept volume shrinks from
-    # 20.6·rmax³ (ring-1) to 10.5·rmax³ at mult=2 (expected_ring_cells).
+    # ring-mult neighborhood + the Euclidean prune.  Kept volume shrinks
+    # from 20.6·rmax³ (ring-1) to 10.5·rmax³ at mult=2
+    # (expected_ring_cells) — but for a row-materializing join the
+    # fanout usually costs more than the pruned pairs save, so the
+    # default is 1 (see shell_count's cell_mult note).
     # n_hint caps the grid at ~occupancy-1 on sparse data (same policy
     # the auto path uses) — the rmax/mult cap binds at production density.
     nc = ncells or grid_ncells(rmax / max(cell_mult, 1), box, n_hint=n_hint)
@@ -146,20 +147,20 @@ def _prep(
 
 # CPU-pinned per-core cost model fitted to the measured regimes
 # (BENCH/BASELINE.md): the codegen join processes its (fine ring-1 grid)
-# candidates at ~1.2M pairs/s/core; the cogroup Arrow kernel runs ~4.5x
+# candidates at ~1.7M pairs/s/core; the cogroup Arrow kernel runs ~3x
 # faster per pair (~5.5M) but on its coarser 128-occupancy grid (more
 # pairs) AND pays ~13 us/core per row shipped through the cogroup
 # (particles + exploded halo-ring rows) — measured by fused barely
 # moving when the Euclidean prune cut its pair volume 4.4x.  Comparing
 # each plan's own work at its own rates predicts the winner in every
 # measured regime; a single pairs-per-core threshold does not.
-R_SQL_PAIRS_PER_CORE_SEC = 1.2e6
+R_SQL_PAIRS_PER_CORE_SEC = 1.7e6
 R_FUSED_PAIRS_PER_CORE_SEC = 5.5e6
 A_FUSED_SEC_PER_ROW = 1.3e-5
-# per exploded halo-ring row (shuffled + hash-probed) on the sql plan —
-# negligible at ring-1 fanout but material on the refined (cell_mult=2)
-# grid where fanout quadruples while pairs halve; re-fit CPU-pinned at
-# the ref shape after the cell_mult change (round 4)
+# per exploded halo-ring row (shuffled + hash-probed) on the sql plan.
+# R_SQL/A_SQL re-fit CPU-pinned at the ref shape in round 4 after the
+# flat-prune codegen fix (155.3M pairs + 12.4M ring rows in 117
+# core-seconds).
 A_SQL_SEC_PER_ROW = 2.0e-6
 
 
@@ -171,7 +172,8 @@ def choose_plan(
     ncells: int | None = None,
     fused_occupancy: int = 128,
     max_broadcast_bytes: int = 512 << 20,
-    cell_mult: int = 2,
+    cell_mult: int = 1,
+    weighted: bool = False,
 ) -> str:
     """Pick the physical plan for shell_count.
 
@@ -202,9 +204,13 @@ def choose_plan(
 
     nc_bcast = grid_ncells(rmax, box)
     grid_bytes = min(nc_bcast**3, 16_000_000) * 4
-    if n_particles * 28 + grid_bytes <= max_broadcast_bytes:
+    # a weight adds one int64 per particle to the dgrid payload; the
+    # bcast plan stays count-only (its sort-reduce kernel has no
+    # weighted twin — see shell_count docstring)
+    per_particle = 36 if weighted else 28
+    if n_particles * per_particle + grid_bytes <= max_broadcast_bytes:
         return "dgrid"
-    if n_halos * 40 + grid_bytes <= max_broadcast_bytes:
+    if not weighted and n_halos * 40 + grid_bytes <= max_broadcast_bytes:
         return "bcast"
 
     nc_sql = ncells or grid_ncells(
@@ -248,7 +254,7 @@ def shell_count(
     n_halos_est: int | None = None,
     n_particles_est: int | None = None,
     bcast_cell_mult: int = 2,
-    cell_mult: int = 2,
+    cell_mult: int = 1,
     weight_col: str | None = None,
 ) -> DataFrame:
     """J1+J2+A1: -> (id_col, shell_idx int, cnt long), nonzero rows only.
@@ -257,11 +263,14 @@ def shell_count(
     the output gains `wsum long` = sum of weights per (halo, shell)
     (mass-weighted radial profiles, the natural generalization of the
     reference's count-only A1).  Supported by the join plans
-    ('sql'/'fused'), which aggregate arbitrary expressions for free;
-    the broadcast plans' unit-count sort-reduce kernel is count-only by
-    design and raises.  `plan='auto'` with a weight restricts the
-    choice to the join plans.  Keep weights integer for bit-exact
-    cross-engine sums.
+    ('sql'/'fused'), which aggregate arbitrary expressions for free,
+    and by 'dgrid' (the broadcast data grid carries one int64 weight
+    per particle; the kernel bincounts weights alongside counts with
+    the same 2^53-exactness guard as the fused kernel).  'bcast'
+    raises: there the weight lives on the streamed side and its
+    sort-reduce kernel ships unit counts only.  `plan='auto'` with a
+    weight considers dgrid/sql/fused.  Keep weights integer for
+    bit-exact cross-engine sums.
 
     plan: 'sql' (codegen join), 'fused' (cogroup Arrow kernel), or
     'auto' — pick by estimated pairs/core (choose_plan).  'auto' needs
@@ -279,33 +288,37 @@ def shell_count(
     correctness (measured, BENCH/BASELINE.md); ignored when `ncells`
     is passed explicitly.
 
-    cell_mult: the same refinement for the 'sql' join plan — the only
-    plan legal when NEITHER side fits a broadcast (the 100 TB regime),
-    which previously evaluated the full ring-1 candidate volume
-    (VERDICT r3 top item).  The refined grid's extra halo-ring fanout
-    (~84 vs ~21 rows/probe at mult=2) rides the SAME shuffle the join
-    needed anyway, while candidate pairs — the term that scales with
-    the big table — halve.  Ignored for 'fused' (its grid is
-    occupancy-driven: per-group Arrow overhead dominates below ~128
-    particles/cell) and when `ncells` is passed explicitly.
+    cell_mult: the same refinement for the 'sql' join plan.  Default 1
+    — a MEASURED negative result (round 4, CPU-pinned ref shape): the
+    join plan pays ~1 us per exploded halo-ring ROW (materialize +
+    shuffle/broadcast-build + hash probe) against ~0.6 us saved per
+    pruned PAIR inside codegen, so mult=2 (fanout 20.6 -> 84 rows/probe
+    for a 2x pair cut) ran 32s -> 200+s.  The broadcast plans keep
+    mult=2 because their ring bookkeeping is a few numpy ops per row
+    INSIDE the kernel, never a row.  The knob stays for extreme-density
+    regimes (ring-1 candidates/probe >~ 3000, where the pair term
+    dominates the fanout term; choose_plan's cost model prices both).
+    Ignored for 'fused' (occupancy-driven grid) and when `ncells` is
+    passed explicitly.  What actually closed the r3 sql candidate-cost
+    gap is the flat codegen-safe prune in explode_ring — the ring-1
+    sql plan itself got 2.7x faster (see cells.py).
     """
     n_est = n_particles_est
     if plan == "auto":
         n_est = n_est or particles.count()
         n_h = n_halos_est or halos.count()
         rmax = float(np.asarray(edges)[-1])
-        # a weight needs a join plan: zero the broadcast budget so the
-        # cost model runs its measured sql-vs-fused comparison instead
-        # of short-circuiting on the (ineligible) broadcast plans
         plan = choose_plan(
             n_h, n_est, rmax, box, ncells, cell_mult=cell_mult,
-            **({"max_broadcast_bytes": 0} if weight_col is not None else {}),
+            weighted=weight_col is not None,
         )
-    if weight_col is not None and plan in ("bcast", "dgrid"):
+    if weight_col is not None and plan == "bcast":
         raise ValueError(
-            "weight_col is supported by plan='sql'/'fused' only; the "
-            "broadcast plans' unit-count sort-reduce kernel is "
-            "count-only by design"
+            "weight_col is not supported by plan='bcast': its sort-"
+            "reduce kernel ships unit counts only (the weight lives on "
+            "the STREAMED side there, so a weighted twin would have to "
+            "materialize per-pair weights — use 'dgrid' when the data "
+            "side fits the broadcast budget, else 'sql'/'fused')"
         )
     if plan == "fused" and ncells is None:
         # the Arrow kernel amortizes per-group overhead over dense cells:
@@ -331,8 +344,12 @@ def shell_count(
         nc = ncells or grid_ncells(rmax / bcast_cell_mult, box)
         # ring depth follows the grid: k*cell_size must cover rmax
         ring_k = max(1, int(np.ceil(rmax / (box / nc) - 1e-9)))
-        impl = _dgrid_plan if plan == "dgrid" else _bcast_plan
-        return impl(
+        if plan == "dgrid":
+            return _dgrid_plan(
+                halos, particles, squared_edges(edges), box, dtype, id_col,
+                nc, h_coords, p_coords, ring_k=ring_k, weight_col=weight_col,
+            )
+        return _bcast_plan(
             halos, particles, squared_edges(edges), box, dtype, id_col, nc,
             h_coords, p_coords, ring_k=ring_k,
         )
@@ -451,6 +468,7 @@ def _build_grid(
     ncells: int,
     box: float,
     np_dtype,
+    weight_col: str | None = None,
 ):
     """Collect one side, CSR-index it by cell key on the driver,
     broadcast.
@@ -473,6 +491,8 @@ def _build_grid(
     from .cells import with_cell
 
     cols = ([id_col] if id_col else []) + list(coords)
+    if weight_col:
+        cols.append(weight_col)
     keyed = with_cell(side.select(*cols), ncells, box, cols=coords)
     tbl = keyed.toArrow()
     key = np.asarray(tbl.column("cell_id"))
@@ -488,6 +508,9 @@ def _build_grid(
     payload = {"Hx": xs[0], "Hy": xs[1], "Hz": xs[2]}
     if id_col:
         payload["ids"] = np.asarray(tbl.column(id_col)).astype(
+            np.int64, copy=False)[order]
+    if weight_col:
+        payload["W"] = np.asarray(tbl.column(weight_col)).astype(
             np.int64, copy=False)[order]
     nc = ncells
     if nc**3 <= 16_000_000:
@@ -803,6 +826,7 @@ def _dgrid_plan(
     h_coords: tuple[str, str, str],
     p_coords: tuple[str, str, str],
     ring_k: int = 1,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Broadcast-DATA grid: the reference's architecture, sides as-is.
 
@@ -831,7 +855,8 @@ def _dgrid_plan(
     where a pair can wrap) — pinned by the same golden tests.
     """
     np_dtype = np.float32 if dtype == "float32" else np.float64
-    bc, n_data = _build_grid(particles, p_coords, None, ncells, box, np_dtype)
+    bc, n_data = _build_grid(particles, p_coords, None, ncells, box, np_dtype,
+                             weight_col=weight_col)
     nc = ncells
     cs = box / nc
     r2k = np.asarray(r2, dtype=np_dtype)
@@ -855,13 +880,14 @@ def _dgrid_plan(
         cpu0 = _time.thread_time()
         data = bc.value
         Px, Py, Pz = data["Hx"], data["Hy"], data["Hz"]
+        W = data.get("W")
         keys_s = data.get("keys")
         starts = data.get("starts")
         st0 = st1 = None
         if starts is not None:
             st0, st1 = starts[:-1], starts[1:]
 
-        def sweep(H, H64s, pc, fold, acc, base_idx):
+        def sweep(H, H64s, pc, fold, acc, base_idx, accw=None):
             n = len(H)
             if n == 0:
                 return
@@ -940,7 +966,19 @@ def _dgrid_plan(
             sh = np.searchsorted(r2k, d2[inr], side="right").astype(np.int64)
             # probe-local accumulation: batch_row * nr + shell, dense
             probe = np.repeat(base_idx[pi0], cnt)[inr]
-            acc += np.bincount(probe * nr + sh, minlength=len(acc))
+            keys = probe * nr + sh
+            acc += np.bincount(keys, minlength=len(acc))
+            if accw is not None:
+                # per-pair particle weights: same exactness guard as the
+                # fused kernel — bincount's f64 partials are exact while
+                # every intermediate stays under 2^53
+                wk = W[didx[inr]]
+                if np.abs(wk).sum() < 2.0**53:
+                    accw += np.bincount(
+                        keys, weights=wk, minlength=len(accw)
+                    ).astype(np.int64)
+                else:
+                    np.add.at(accw, keys, wk)
 
         for pdf in batches:
             n = len(pdf)
@@ -951,24 +989,26 @@ def _dgrid_plan(
             ids_b = pdf[id_col].to_numpy(np.int64)
             pc = np.clip(np.floor(H64 / cs), 0, nc - 1).astype(np.int64)
             acc = np.zeros(n * nr, dtype=np.int64)
+            accw = np.zeros(n * nr, dtype=np.int64) if W is not None else None
             rows = np.arange(n, dtype=np.int64)
             if fastpath_ok:
                 interior = ((pc >= kk) & (pc <= nc - 1 - kk)).all(axis=1)
                 ii = np.nonzero(interior)[0]
                 bi = np.nonzero(~interior)[0]
-                sweep(H[ii], H64[ii], pc[ii], False, acc, rows[ii])
-                sweep(H[bi], H64[bi], pc[bi], True, acc, rows[bi])
+                sweep(H[ii], H64[ii], pc[ii], False, acc, rows[ii], accw)
+                sweep(H[bi], H64[bi], pc[bi], True, acc, rows[bi], accw)
             else:
-                sweep(H, H64, pc, True, acc, rows)
+                sweep(H, H64, pc, True, acc, rows, accw)
             nz = np.nonzero(acc)[0]
             if len(nz):
-                yield pd.DataFrame(
-                    {
-                        id_col: ids_b[nz // nr],
-                        "shell_idx": (nz % nr).astype(np.int32),
-                        "cnt": acc[nz],
-                    }
-                )
+                out_cols = {
+                    id_col: ids_b[nz // nr],
+                    "shell_idx": (nz % nr).astype(np.int32),
+                    "cnt": acc[nz],
+                }
+                if accw is not None:
+                    out_cols["wsum"] = accw[nz]
+                yield pd.DataFrame(out_cols)
         if prof:
             import json as _json
             import sys as _sys
@@ -986,8 +1026,9 @@ def _dgrid_plan(
     par = halos.sparkSession.sparkContext.defaultParallelism
     if probes.rdd.getNumPartitions() < par:
         probes = probes.repartition(par)
-    return probes.mapInPandas(
-        kern, schema=f"{id_col} long, shell_idx int, cnt long")
+    schema = f"{id_col} long, shell_idx int, cnt long" + (
+        ", wsum long" if weight_col else "")
+    return probes.mapInPandas(kern, schema=schema)
 
 
 def range_join_pairs(

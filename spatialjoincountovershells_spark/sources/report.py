@@ -88,3 +88,122 @@ def report_lines(
 def write_report(path: str, *args, **kwargs) -> None:
     with open(path, "w") as f:
         f.write("\n".join(report_lines(*args, **kwargs)) + "\n")
+
+
+def write_report_distributed(
+    path: str,
+    counts: DataFrame,
+    halos: DataFrame,
+    edges: np.ndarray,
+    id_col: str = "row_idx",
+    display_id_col: str = "halo_id",
+    buggy_total: bool = False,
+    n_files: int = 8,
+) -> None:
+    """S7 at scale: the same byte format, never materialized on the
+    driver (VERDICT r3 #4 — the single-node sink is a 400M-row
+    driver pull at the reference's own 10M-halo x 40-shell shape).
+
+    halos is a Spark DataFrame (id_col ordinal, display_id_col), as a
+    catalog table would be.  Plan shape:
+
+    * one left join halos->counts + one groupBy(ordinal) Arrow kernel
+      formats each halo's block (zeros included) EXECUTOR-side;
+    * blocks are range-partitioned by ordinal and sorted within
+      partitions, so the text part files are globally ordered by file
+      name — `part-00000` holds the lowest ordinals;
+    * the Total section is the tiny (nshells)-row aggregate, written
+      last as its own single file; a `_REPORT_MANIFEST` names the
+      pieces in concatenation order.
+
+    The only driver-side rows are the nshells totals (and, for
+    buggy_total parity, halo 0's nshells counts).  Byte-equality with
+    write_report() on the same inputs is pinned by
+    test_reference_parity.py.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    nr = len(np.asarray(edges))
+    lab = _edge_labels(edges)
+    los = ["0.0"] + lab[:-1]
+
+    j = halos.select(
+        F.col(id_col).cast("long").alias("_ord"),
+        F.col(display_id_col).cast("long").alias("_disp"),
+    ).join(
+        counts.select(
+            F.col(id_col).cast("long").alias("_ord"),
+            "shell_idx",
+            "cnt",
+        ),
+        "_ord",
+        "left",
+    )
+
+    def fmt(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = np.zeros(nr, dtype=np.int64)
+        sh = pdf["shell_idx"].to_numpy()
+        ok = ~pd.isna(sh)
+        row[sh[ok].astype(np.int64)] = pdf["cnt"].to_numpy()[ok]
+        lines = [f"id {int(pdf['_disp'].iloc[0])}"]
+        lines += [f"  [{lo} ~ {hi}]: {row[i]}"
+                  for i, (lo, hi) in enumerate(zip(los, lab))]
+        return pd.DataFrame(
+            {"_ord": [int(pdf["_ord"].iloc[0])], "value": ["\n".join(lines)]}
+        )
+
+    blocks = j.groupBy("_ord").applyInPandas(fmt, schema="_ord long, value string")
+    (
+        blocks.repartitionByRange(n_files, "_ord")
+        .sortWithinPartitions("_ord")
+        .select("value")
+        .write.mode("overwrite")
+        .text(os.path.join(path, "blocks"))
+    )
+
+    # Total: nshells rows — the one inherently-global statistic
+    tot = {
+        int(r["shell_idx"]): int(r["s"])
+        for r in j.where(F.col("shell_idx").isNotNull())
+        .groupBy("shell_idx").agg(F.sum("cnt").alias("s")).collect()
+    }
+    total = np.array([tot.get(i, 0) for i in range(nr)], dtype=np.int64)
+    if buggy_total:
+        first_ord = halos.agg(F.min(F.col(id_col))).collect()[0][0]
+        f0 = np.zeros(nr, dtype=np.int64)
+        for r in counts.where(F.col(id_col) == first_ord).collect():
+            f0[int(r["shell_idx"])] = int(r["cnt"])
+        total += f0
+    lines = ["", "Total"] + [
+        f"  [{lo} ~ {hi}]: {total[i]}"
+        for i, (lo, hi) in enumerate(zip(los, lab))
+    ]
+    tdir = os.path.join(path, "total")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "part-total.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    parts = sorted(
+        p for p in os.listdir(os.path.join(path, "blocks"))
+        if p.startswith("part-")
+    )
+    with open(os.path.join(path, "_REPORT_MANIFEST"), "w") as f:
+        json.dump(
+            {"pieces": [f"blocks/{p}" for p in parts]
+             + ["total/part-total.txt"]},
+            f,
+        )
+
+
+def read_report_distributed(path: str) -> str:
+    """Concatenate a write_report_distributed() directory back into the
+    single-file report text (test/verification helper)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_REPORT_MANIFEST")) as f:
+        pieces = json.load(f)["pieces"]
+    return "".join(open(os.path.join(path, p)).read() for p in pieces)

@@ -326,3 +326,22 @@ def test_pq_ann_ivf_candidates_subset(spark):
         assert full[(r["query_id"], r["neighbor_id"])] == r["adc_d2"]
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert per_q and max(per_q.values()) <= k_nn
+
+
+def test_pq_ann_exhaustive_guard(spark):
+    """Without candidates=, pq_ann_topk above the row limit must refuse
+    (the O(n^2) cross join is an explicit opt-in), and exhaustive=True
+    must override; with candidates= no count/guard runs at all."""
+    import pytest as _pytest
+
+    from spatialjoincountovershells_spark.operators.clustering import pq_ann_topk
+
+    df = spark.range(30).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 8), i -> cast(pmod(id * i, 7) as double)) as embedding",
+    )
+    with _pytest.raises(ValueError, match="ivf_candidates"):
+        pq_ann_topk(df, k_nn=2, m=2, k=4, iters=1, dim=8, exhaustive_limit=10)
+    out = pq_ann_topk(df, k_nn=2, m=2, k=4, iters=1, dim=8,
+                      exhaustive_limit=10, exhaustive=True)
+    assert out.count() > 0

@@ -231,3 +231,26 @@ def test_halo_writer_roundtrip(spark, tmp_path):
     assert df["halo_id"].tolist() == ids.tolist()
     got = df[["x", "y", "z"]].to_numpy(np.float32)
     assert np.allclose(got, pos, atol=5e-4)  # %.6f text roundtrip
+
+
+@pytest.mark.parametrize("buggy", [False, True])
+def test_distributed_report_byte_equal(spark, tmp_path, buggy):
+    """write_report_distributed (range-partitioned text parts + manifest,
+    no driver materialization) concatenates to the exact bytes of the
+    single-node write_report on the uniform golden inputs — including
+    the buggy_total reference-parity mode (VERDICT r3 #4)."""
+    from spatialjoincountovershells_spark.sources.report import (
+        read_report_distributed,
+        write_report_distributed,
+    )
+
+    counts, hp, edges = run_on_files(
+        spark, UNI_PART, UNI_HALO, (10.0, 300.0, 8))
+    want = "\n".join(
+        report_lines(counts, hp, edges, buggy_total=buggy)) + "\n"
+    halos_df = spark.createDataFrame(hp[["row_idx", "halo_id"]])
+    out = str(tmp_path / f"rep_{buggy}")
+    write_report_distributed(out, counts, halos_df, edges,
+                             buggy_total=buggy, n_files=3)
+    got = read_report_distributed(out)
+    assert got == want

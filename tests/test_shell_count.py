@@ -175,7 +175,7 @@ def test_self_join_autocorr_counts(spark):
     assert dense.tolist() == want.tolist()
 
 
-@pytest.mark.parametrize("plan", ["sql", "fused"])
+@pytest.mark.parametrize("plan", ["sql", "fused", "dgrid"])
 def test_weighted_shell_sums(spark, plan):
     """weight_col: per-(halo, shell) integer weight sums (mass-weighted
     radial profiles) match a float64 min-image brute force exactly, and
@@ -218,14 +218,14 @@ def test_weighted_shell_sums(spark, plan):
     assert gw.tolist() == want_w.tolist()
 
 
-def test_weight_col_rejected_on_broadcast_plans(spark):
+def test_weight_col_rejected_on_bcast_plan(spark):
     from pyspark.sql import functions as F
 
     halos = _df_points(spark, PB_HALOS, id_col="halo_id")
     parts = _df_points(spark, PB_PARTICLES).withColumn("w", F.lit(1))
-    with pytest.raises(ValueError, match="count-only"):
+    with pytest.raises(ValueError, match="unit counts only"):
         shell_count(halos, parts, logspace_edges(1.0, 60.0, 6),
-                    plan="dgrid", weight_col="w")
+                    plan="bcast", weight_col="w")
 
 
 @pytest.mark.parametrize("ls_plan", ["sql", "fused"])
