@@ -310,3 +310,46 @@ def test_geo_tile_stats_counts(spark):
     dfw = df.withColumn("w", (F.col("k") % 7).cast("long"))
     outw = geo_tile_stats(dfw, level=2, weight_col="w").collect()
     assert sum(r.wsum for r in outw) == int(sum(k % 7 for k in keys))
+
+
+def test_geo_shell_count_weight_col_passthrough(spark):
+    """ADVICE r3: weight_col must survive the lat/lon->lattice embedding
+    — wsum per (probe, shell) equals the sum of point weights that the
+    unweighted brute force puts in that shell."""
+    hk = np.arange(1, 21, dtype=np.int64)
+    pk = np.arange(1, 801, dtype=np.int64)
+    w = (pk * 7) % 100
+    want_c = _brute_counts(pk, None, hk, None, EDGES_KM)
+    # weighted brute force over the same shell assignment
+    from spatialjoincountovershells_spark.operators.geo import (
+        chord_edges_km,
+        geo_unit_np,
+    )
+    P = geo_unit_np(*latlon_np(pk))
+    H = geo_unit_np(*latlon_np(hk))
+    c2 = chord_edges_km(EDGES_KM) ** 2
+    d = P[None, :, :] - H[:, None, :]
+    d2 = (d[..., 0] ** 2 + d[..., 1] ** 2) + d[..., 2] ** 2
+    want_w = {}
+    for i in range(len(hk)):
+        sh = np.searchsorted(c2, d2[i], side="right")
+        for s in range(len(c2)):
+            m = (d2[i] < c2[-1]) & (sh == s)
+            if m.any():
+                want_w[(int(hk[i]), s)] = int(w[m].sum())
+    probes = _latlon_df(spark, hk).withColumnRenamed("k", "probe_id")
+    points = _latlon_df(spark, pk).withColumn(
+        "wt", (F.col("k") * 7 % 100).cast("long"))
+    rows = geo_shell_count(
+        probes, points, EDGES_KM, weight_col="wt").collect()
+    got_c = {(r.probe_id, r.shell_idx): r.cnt for r in rows}
+    got_w = {(r.probe_id, r.shell_idx): r.wsum for r in rows}
+    assert got_c == want_c
+    assert got_w == want_w
+
+
+def test_latlon_np_rejects_negative_keys():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nonnegative"):
+        latlon_np(np.array([-1, 2], dtype=np.int64))

@@ -109,3 +109,74 @@ def test_stream_geo_shell_counts_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert sum(got.values()) > 0
+
+
+def test_stream_geo_tile_counts_epoch_append_sink(spark, tmp_path):
+    """End-to-end soak (VERDICT r3 #8): stream_geo_tile_counts composed
+    with the epoch-append tableio sink — two availableNow drains over a
+    watched directory (file 2 arrives between runs, same checkpoint),
+    current totals read back as max-per-epoch must equal the batch
+    tile rollup over BOTH files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spatialjoincountovershells_spark.operators.geo import (
+        geo_tile_expr,
+        latlon_np,
+    )
+    from spatialjoincountovershells_spark.sources.tableio import (
+        read_table,
+        write_table,
+    )
+
+    level, n = 3, 600
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    lat, lon = latlon_np(keys)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    half = n // 2
+    pq.write_table(
+        pa.table({"lat": lat[:half], "lon": lon[:half]}), src / "g1.parquet")
+
+    out = str(tmp_path / "tile_totals")
+    ckpt = str(tmp_path / "ckpt_geo")
+
+    def drain():
+        schema = spark.read.parquet(str(src)).schema
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        counts = stream_geo_tile_counts(stream, level=level)
+
+        def sink(batch_df, epoch_id):
+            write_table(
+                batch_df.withColumn("epoch_id", F.lit(int(epoch_id))),
+                out, mode="append",
+            )
+
+        q = (
+            counts.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    pq.write_table(
+        pa.table({"lat": lat[half:], "lon": lon[half:]}), src / "g2.parquet")
+    drain()
+
+    # complete-mode epochs are full snapshots: current totals = the rows
+    # of the LATEST epoch that saw each tile
+    t = read_table(spark, out)
+    latest = t.groupBy("tile_id").agg(F.max_by("n", "epoch_id").alias("n"))
+    got = {(r.tile_id, r.n) for r in latest.collect()}
+    batch = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lat, lon)], "lat double, lon double"
+    ).withColumn("tile_id", geo_tile_expr(F.col("lat"), F.col("lon"), level))
+    want = {
+        (r.tile_id, r.n)
+        for r in batch.groupBy("tile_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and len(got) > 0
