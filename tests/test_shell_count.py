@@ -146,6 +146,13 @@ def test_choose_plan_measured_regimes():
     assert choose_plan(60_000, 600_000, rmax=20.0, max_broadcast_bytes=0) == "sql"
     assert choose_plan(600_000, 6_000_000, rmax=20.0, max_broadcast_bytes=0) == "fused"
     assert choose_plan(600_000, 6_000_000, rmax=12.77, max_broadcast_bytes=0) == "sql"
+    # a weight keeps dgrid (its grid carries int64 weights, r4) but
+    # excludes bcast (count-only kernel): probe side fits, data side
+    # doesn't -> falls through to the join-plan cost model
+    assert choose_plan(60_000, 600_000, rmax=20.0, weighted=True) == "dgrid"
+    assert choose_plan(10_000_000, 300_000_000, rmax=5.0) == "bcast"
+    assert choose_plan(10_000_000, 300_000_000, rmax=5.0,
+                       weighted=True) in ("sql", "fused")
 
 
 def test_plan_auto_matches_sql(spark):
@@ -463,3 +470,31 @@ def test_explode_ring_k_prune_covers_and_is_tight(spark):
         got = {(r.halo_id, key[(round(r._px, 3), round(r._py, 3), round(r._pz, 3))])
                for r in cand}
         assert true_pairs <= got
+
+
+def test_manual_sql_grid_matches_auto_grid_on_sparse_data(spark):
+    """VERDICT r3 #6: an explicit plan='sql' call WITH a row-count
+    estimate must execute on the same occupancy-capped grid the auto
+    path's cost model evaluates — on sparse data the cbrt(n) cap binds,
+    not the rmax cap."""
+    from spatialjoincountovershells_spark.operators.cells import grid_ncells
+    from spatialjoincountovershells_spark.operators.shell_count import _prep
+
+    n_sparse = 1000  # cbrt = 10 << 1000/rmax = 200 at rmax 5
+    edges = np.array([5.0], dtype=np.float32)
+    H = synth_points_np(20, seed=5)
+    P = synth_points_np(n_sparse, seed=6)
+    halos = _df_points(spark, H, id_col="halo_id")
+    parts = _df_points(spark, P)
+    _, _, nc_manual, _ = _prep(
+        halos, parts, edges, 1000.0, "halo_id",
+        ("x", "y", "z"), ("x", "y", "z"), None,
+        cell_mult=1, n_hint=n_sparse,
+    )
+    assert nc_manual == grid_ncells(5.0, 1000.0, n_hint=n_sparse) == 10
+    # and without the hint the old (over-fine) grid would have been used
+    _, _, nc_nohint, _ = _prep(
+        halos, parts, edges, 1000.0, "halo_id",
+        ("x", "y", "z"), ("x", "y", "z"), None, cell_mult=1,
+    )
+    assert nc_nohint == 200
