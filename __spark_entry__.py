@@ -102,7 +102,10 @@ from spatialjoincountovershells_spark.operators.shell_count import (  # noqa: E4
 )
 from spatialjoincountovershells_spark.operators.images import (  # noqa: E402
     crossmodal_dup_pairs,
+    image_augment,
     image_features,
+    image_knn_hist,
+    image_quality,
     image_roundtrip_metrics,
     phash_near_dup,
     transcode,
@@ -1595,6 +1598,98 @@ FROM lum GROUP BY i
 """
 
 
+def _quality_metrics_sql(q: str, lo: int = 10, hi: int = 245) -> str:
+    """Quality-metric CTE tail over a relation ``q(i, px_id, l, w2)``
+    (integer luma per destination pixel; w2 = that image's width, which
+    may vary per row after rot90).  Mirrors images.py image_quality:
+    neighbor gradients via px_id+1 / px_id+w2 self-joins, all-integer."""
+    return f"""
+gh AS (SELECT a.i, sum(abs(b.l - a.l)) AS s, count(*) AS n
+       FROM {q} a JOIN {q} b ON b.i = a.i AND b.px_id = a.px_id + 1
+       WHERE a.px_id % a.w2 < a.w2 - 1 GROUP BY a.i),
+gv AS (SELECT a.i, sum(abs(b.l - a.l)) AS s, count(*) AS n
+       FROM {q} a JOIN {q} b ON b.i = a.i AND b.px_id = a.px_id + a.w2
+       GROUP BY a.i),
+st AS (SELECT i, sum(l) AS sl, max(l) AS mx, min(l) AS mn,
+       sum(CASE WHEN l <= {lo} THEN 1 ELSE 0 END) AS clo,
+       sum(CASE WHEN l >= {hi} THEN 1 ELSE 0 END) AS chi,
+       count(*) AS n FROM {q} GROUP BY i)
+SELECT {_img_id_sql("st.i")} AS image_id,
+  CAST(st.sl * 1000 // st.n AS BIGINT) AS mean_luma_x1000,
+  CAST(st.mx - st.mn AS BIGINT) AS contrast,
+  CAST(st.clo AS BIGINT) AS n_clip_lo,
+  CAST(st.chi AS BIGINT) AS n_clip_hi,
+  CAST(gh.s * 1000 // gh.n AS BIGINT) AS grad_h_x1000,
+  CAST(gv.s * 1000 // gv.n AS BIGINT) AS grad_v_x1000,
+  CAST((gh.s + gv.s) * 1000 // (gh.n + gv.n) AS BIGINT) AS sharpness_x1000
+FROM st JOIN gh ON gh.i = st.i JOIN gv ON gv.i = st.i"""
+
+
+def _image_quality_sql(n: int = 256, seed: int = 14, w: int = 8,
+                       h: int = 8) -> str:
+    return f"""
+WITH {_payload_cte("pl", n, seed, w, h)},
+lum AS (SELECT i, px_id, (r*299 + g*587 + b*114) // 1000 AS l,
+        {w} AS w2 FROM pl),
+{_quality_metrics_sql("lum")}
+"""
+
+
+def _image_augment_sql(n: int = 256, seed: int = 17, w: int = 10, h: int = 6,
+                       crop: int = 1, flip_mod: int = 2,
+                       rot_mod: int = 4) -> str:
+    """Oracle for image_quality(image_augment(...)): value-checks the
+    TRANSFORMED pixels by inverse coordinate remap (dst -> pre-rot ->
+    pre-flip -> +crop origin -> source px_id), then runs the shared
+    quality-metric tail over the remapped luma.  The rot90 inverse per
+    quarter-turn k matches numpy's CCW convention (out[i,j]=in[j,W-1-i])
+    exactly — see operators/images.py image_augment."""
+    cw, ch = w - crop, h - crop
+    return f"""
+WITH {_payload_cte("pl", n, seed, w, h)},
+prm AS (SELECT CAST(range AS HUGEINT) AS i,
+        range % {crop + 1} AS x0, (range // 2) % {crop + 1} AS y0,
+        range % {flip_mod} AS fl, range % {rot_mod} AS k
+        FROM range(0, {n})),
+dims AS (SELECT *, CASE WHEN k % 2 = 1 THEN {ch} ELSE {cw} END AS w2
+         FROM prm),
+dst AS (SELECT d.*, CAST(g.range AS BIGINT) AS dp,
+        CAST(g.range % w2 AS BIGINT) AS xd,
+        CAST(g.range // w2 AS BIGINT) AS yd
+        FROM dims d, range(0, {cw * ch}) g),
+mapr AS (SELECT i, dp, w2, fl, x0, y0,
+         CASE WHEN k = 0 THEN yd WHEN k = 1 THEN xd
+              WHEN k = 2 THEN {ch} - 1 - yd ELSE {ch} - 1 - xd END AS yc,
+         CASE WHEN k = 0 THEN xd WHEN k = 1 THEN {cw} - 1 - yd
+              WHEN k = 2 THEN {cw} - 1 - xd ELSE yd END AS xc
+         FROM dst),
+srcm AS (SELECT i, dp, w2,
+         (y0 + yc) * {w}
+           + (x0 + CASE WHEN fl = 1 THEN {cw} - 1 - xc ELSE xc END) AS sp
+         FROM mapr),
+lum AS (SELECT s.i, s.dp AS px_id,
+        (pl.r*299 + pl.g*587 + pl.b*114) // 1000 AS l, s.w2
+        FROM srcm s JOIN pl ON pl.i = s.i AND pl.px_id = s.sp),
+{_quality_metrics_sql("lum")}
+"""
+
+
+def _image_knn_hist_sql(n: int = 256, seed: int = 14, nq: int = 16,
+                        k: int = 3, bins: int = 16) -> str:
+    dist = " + ".join(f"abs(q.hist_{b} - c.hist_{b})" for b in range(bins))
+    return f"""
+WITH feats AS ({_image_features_sql(n, seed, bins=bins)}),
+d AS (SELECT q.image_id AS query_id, c.image_id AS image_id,
+      CAST({dist} AS BIGINT) AS l1_dist
+      FROM feats q JOIN feats c ON c.image_id <> q.image_id
+      WHERE CAST(substr(q.image_id, 4) AS BIGINT) < {nq}),
+r AS (SELECT *, row_number() OVER
+      (PARTITION BY query_id ORDER BY l1_dist, image_id) AS rk FROM d)
+SELECT query_id, image_id, l1_dist, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= {k}
+"""
+
+
 def _image_tiles_sql(n: int = 200, seed: int = 11, w: int = 8, h: int = 8,
                      t: int = 2) -> str:
     return f"""
@@ -1681,6 +1776,23 @@ def q_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synth_images(spark, 256, seed=14))
+
+
+def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_quality(synth_images(spark, 256, seed=14))
+
+
+def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augment then re-measure: the quality metrics of the TRANSFORMED
+    payloads are the value check (grad_h/grad_v swap under odd rot90)."""
+    imgs = synth_images(spark, 256, seed=17, w=10, h=6)
+    return image_quality(image_augment(imgs))
+
+
+def q_image_knn_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synth_images(spark, 256, seed=14)
+    queries = synth_images(spark, 16, seed=14)
+    return image_knn_hist(corpus, queries, k=3)
 
 
 def q_geo_tile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2388,6 +2500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tiles": q_image_tiles,
         "image_roundtrip": q_image_roundtrip,
         "image_features": q_image_features,
+        "image_quality": q_image_quality,
+        "image_augment": q_image_augment,
+        "image_knn_hist": q_image_knn_hist,
         "geo_tile_features": q_geo_tile_features,
         "video_frames": q_video_frames,
         "audio_stats": q_audio_stats,
@@ -3085,6 +3200,9 @@ WHERE rus >= lus AND rus <= lus + 14400000000
 """,
         "sjcs_images_f64": _sjcs_images_f64_sql(),
         "image_features": _image_features_sql(),
+        "image_quality": _image_quality_sql(),
+        "image_augment": _image_augment_sql(),
+        "image_knn_hist": _image_knn_hist_sql(),
         "geo_tile_features": f"""
 WITH feats AS ({_image_features_sql(256, 14)}),
 {_phash_cte("pp", 256, 14)},

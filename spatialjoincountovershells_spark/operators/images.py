@@ -300,3 +300,183 @@ def crossmodal_dup_pairs(
         F.coalesce("hamming", F.lit(-1)).cast("long").alias("hamming"),
         match_kind.alias("match_kind"),
     )
+
+
+def _luma_int(a: np.ndarray) -> np.ndarray:
+    """Integer BT.601 luma, the exact tree image_features uses:
+    (r*299 + g*587 + b*114) // 1000 on int64 — reproducible by any
+    engine doing the same integer arithmetic."""
+    flat = a.astype(np.int64)
+    return (flat[..., 0] * 299 + flat[..., 1] * 587 + flat[..., 2] * 114) // 1000
+
+
+def image_quality(
+    images: DataFrame,
+    clip_lo: int = 10,
+    clip_hi: int = 245,
+) -> DataFrame:
+    """Per-image curation metrics -> one integer row per image.
+
+    The image-payload analog of the Gopher-style text quality gates
+    (operators/text.py quality_score): a 10^12-image training corpus is
+    filtered on sharpness (blur detection), exposure clipping, and
+    contrast before anything expensive (embedding, captioning) runs.
+    All metrics are exact integers over the BT.601 integer luma plane,
+    so the DuckDB oracle reproduces them bit-for-bit:
+
+      mean_luma_x1000  floor(1000 * mean(l))             exposure level
+      contrast         max(l) - min(l)                   dynamic range
+      n_clip_lo/hi     count(l <= clip_lo / >= clip_hi)  blown shadows/highlights
+      grad_h_x1000     floor(1000 * mean |l[x+1]-l[x]|)  horizontal sharpness
+      grad_v_x1000     floor(1000 * mean |l[y+1]-l[y]|)  vertical sharpness
+      sharpness_x1000  floor(1000 * (sum_h+sum_v)/(n_h+n_v))  combined
+
+    grad_h / grad_v are reported separately (not just the combined
+    score) so orientation-changing transforms (rot90 in image_augment)
+    are value-checked: a 90-degree rotation must exactly swap them.
+
+    Scale shape: one pass over the payload table via Arrow
+    ``mapInPandas`` — per-row numpy, no shuffle, no UDF-per-row; the
+    output is a narrow integer table suitable for a broadcast-side
+    filter join back onto the corpus.
+    """
+    cols = [
+        "image_id", "mean_luma_x1000", "contrast", "n_clip_lo", "n_clip_hi",
+        "grad_h_x1000", "grad_v_x1000", "sharpness_x1000",
+    ]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for img_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                a = decode_image_np(bytes(data), int(w), int(h), str(fmt))
+                l = _luma_int(a)  # (h, w) int64
+                n = l.size
+                dh = np.abs(np.diff(l, axis=1))  # h x (w-1)
+                dv = np.abs(np.diff(l, axis=0))  # (h-1) x w
+                sh, sv = int(dh.sum()), int(dv.sum())
+                nh, nv = dh.size, dv.size
+                rows["image_id"].append(img_id)
+                rows["mean_luma_x1000"].append(int(l.sum()) * 1000 // n)
+                rows["contrast"].append(int(l.max()) - int(l.min()))
+                rows["n_clip_lo"].append(int((l <= clip_lo).sum()))
+                rows["n_clip_hi"].append(int((l >= clip_hi).sum()))
+                rows["grad_h_x1000"].append(sh * 1000 // nh if nh else 0)
+                rows["grad_v_x1000"].append(sv * 1000 // nv if nv else 0)
+                rows["sharpness_x1000"].append(
+                    (sh + sv) * 1000 // (nh + nv) if nh + nv else 0
+                )
+            yield pd.DataFrame(
+                {c: (rows[c] if c == "image_id"
+                     else np.array(rows[c], dtype=np.int64)) for c in cols}
+            )
+
+    schema = "image_id string, " + ", ".join(f"{c} long" for c in cols[1:])
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(op, schema)
+
+
+def image_augment(
+    images: DataFrame,
+    crop: int = 1,
+    flip_mod: int = 2,
+    rot_mod: int = 4,
+) -> DataFrame:
+    """Deterministic per-row augmentation (crop -> hflip -> rot90) ->
+    same images-table schema, raw payload.
+
+    Training-data augmentation plumbing: the transform parameters are a
+    pure function of the numeric image id (partition-independent, like
+    every synth column), so the pipeline is reproducible and the DuckDB
+    oracle can value-check the OUTPUT pixels by inverse coordinate
+    remap — not just row counts:
+
+      x0 = id % (crop+1), y0 = (id // 2) % (crop+1)   crop origin
+      cw = w - crop, ch = h - crop                     crop size
+      hflip when (id % flip_mod) == 1
+      k  = id % rot_mod  quarter-turns CCW (numpy rot90 convention:
+           out[i, j] = in[j, W-1-i] per turn)
+
+    Output w/h swap when k is odd.  Composed with image_quality, the
+    grad_h/grad_v pair must swap under odd k — the orientation check
+    the contract query pins.  Scale shape: one Arrow mapInPandas pass,
+    no shuffle; bytes stay the same size (minus the crop margin).
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            bs, ws, hs, fmts = [], [], [], []
+            for img_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                rid = int("".join(ch for ch in str(img_id) if ch.isdigit()) or 0)
+                a = decode_image_np(bytes(data), int(w), int(h), str(fmt))
+                x0 = rid % (crop + 1)
+                y0 = (rid // 2) % (crop + 1)
+                cw, ch_ = int(w) - crop, int(h) - crop
+                b = a[y0:y0 + ch_, x0:x0 + cw]
+                if rid % flip_mod == 1:
+                    b = b[:, ::-1]
+                k = rid % rot_mod
+                b = np.rot90(b, k)
+                bs.append(np.ascontiguousarray(b, dtype=np.uint8).tobytes())
+                hs.append(b.shape[0])
+                ws.append(b.shape[1])
+                fmts.append("raw")
+            out["bytes"] = bs
+            out["w"] = np.array(ws, dtype=np.int32)
+            out["h"] = np.array(hs, dtype=np.int32)
+            out["fmt"] = fmts
+            yield out
+
+    return images.mapInPandas(op, images.schema)
+
+
+def image_knn_hist(
+    images: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    hist_bins: int = 16,
+) -> DataFrame:
+    """Content-based top-k retrieval by luma-histogram L1 distance ->
+    (query_id, image_id, l1_dist, rank).
+
+    The payload-derived counterpart of the embedding ANN operators
+    (operators/similarity.py): features come from the DECODED pixels
+    (image_features' integer 16-bin luma histogram), not a precomputed
+    embedding column, so this exercises the full decode -> feature ->
+    retrieve pipeline.  Distance is the exact integer L1 over the flat
+    hist_0..hist_{B-1} columns; ties break on image_id so the top-k set
+    is deterministic.  Self-matches (query_id == image_id) are excluded.
+
+    Scale shape: features are one payload pass per side; the query
+    feature table (tiny) is broadcast against the corpus features —
+    a narrow 1+B-column integer table, never the bytes — and the
+    per-query top-k is a window over the broadcast-join output.  For
+    query sets too large to broadcast, bucket the histogram space
+    first (operators/similarity.py embed_lsh_pairs shows the banded
+    pattern); this operator is the exact baseline.
+    """
+    cf = image_features(images, hist_bins=hist_bins)
+    qf = image_features(queries, hist_bins=hist_bins).select(
+        F.col("image_id").alias("query_id"),
+        *[F.col(f"hist_{b}").alias(f"qh_{b}") for b in range(hist_bins)],
+    )
+    dist = None
+    for b in range(hist_bins):
+        t = F.abs(F.col(f"qh_{b}") - F.col(f"hist_{b}"))
+        dist = t if dist is None else dist + t
+    j = (
+        cf.join(F.broadcast(qf), F.col("query_id") != F.col("image_id"))
+        .select("query_id", "image_id", dist.cast("long").alias("l1_dist"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("query_id").orderBy("l1_dist", "image_id")
+    return (
+        j.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "image_id", "l1_dist", F.col("rank").cast("long").alias("rank"))
+    )

@@ -7,7 +7,10 @@ import pytest
 from spatialjoincountovershells_spark import knn, logspace_edges, shell_count, squared_edges
 from spatialjoincountovershells_spark.functions.geometry import squared_distance_np
 from spatialjoincountovershells_spark.operators.images import (
+    image_augment,
     image_features,
+    image_knn_hist,
+    image_quality,
     image_roundtrip_metrics,
     psnr_db,
     resize_nearest,
@@ -115,6 +118,82 @@ def test_resize_nearest_identity_and_downscale(spark):
     small = resize_nearest(imgs, 4, 4).toPandas()
     assert (small["w"] == 4).all() and (small["h"] == 4).all()
     assert all(len(bytes(b)) == 4 * 4 * 3 for b in small["bytes"])
+
+
+def test_image_quality_matches_numpy(spark):
+    imgs = synth_images(spark, 12, seed=3)
+    raw = imgs.select("image_id", "bytes").toPandas()
+    got = image_quality(imgs).toPandas().set_index("image_id")
+    for img_id, data in zip(raw["image_id"], raw["bytes"]):
+        a = np.frombuffer(bytes(data), np.uint8).reshape(8, 8, 3).astype(np.int64)
+        l = (a[..., 0] * 299 + a[..., 1] * 587 + a[..., 2] * 114) // 1000
+        dh = np.abs(np.diff(l, axis=1))
+        dv = np.abs(np.diff(l, axis=0))
+        r = got.loc[img_id]
+        assert r["mean_luma_x1000"] == int(l.sum()) * 1000 // l.size
+        assert r["contrast"] == int(l.max()) - int(l.min())
+        assert r["n_clip_lo"] == int((l <= 10).sum())
+        assert r["n_clip_hi"] == int((l >= 245).sum())
+        assert r["grad_h_x1000"] == int(dh.sum()) * 1000 // dh.size
+        assert r["grad_v_x1000"] == int(dv.sum()) * 1000 // dv.size
+        assert r["sharpness_x1000"] == (
+            int(dh.sum() + dv.sum()) * 1000 // (dh.size + dv.size)
+        )
+
+
+def test_image_augment_bytes_match_numpy(spark):
+    """Transformed payload bytes must equal the numpy crop+flip+rot90
+    chain applied to the original pixels — the operator's exact spec."""
+    imgs = synth_images(spark, 16, seed=7, w=10, h=6)
+    orig = {
+        r["image_id"]: bytes(r["bytes"])
+        for r in imgs.select("image_id", "bytes").collect()
+    }
+    out = image_augment(imgs).toPandas()
+    assert len(out) == 16
+    for img_id, data, w2, h2 in zip(out["image_id"], out["bytes"], out["w"], out["h"]):
+        rid = int(img_id[3:])
+        a = np.frombuffer(orig[img_id], np.uint8).reshape(6, 10, 3)
+        y0, x0 = (rid // 2) % 2, rid % 2
+        b = a[y0:y0 + 5, x0:x0 + 9]
+        if rid % 2 == 1:
+            b = b[:, ::-1]
+        b = np.rot90(b, rid % 4)
+        assert (int(h2), int(w2)) == b.shape[:2]
+        assert bytes(data) == np.ascontiguousarray(b).tobytes()
+
+
+def test_image_augment_rot90_swaps_gradients(spark):
+    """A quarter-turn must exactly swap grad_h/grad_v (sum AND count map
+    1:1 across the rotation), pinning the orientation semantics."""
+    imgs = synth_images(spark, 16, seed=7, w=10, h=6)
+    q = image_quality(image_augment(imgs)).toPandas()
+    base = image_quality(image_augment(imgs, rot_mod=1)).toPandas()  # k == 0
+    m = q.merge(base, on="image_id", suffixes=("", "_0"))
+    assert len(m) == 16
+    for _, r in m.iterrows():
+        k = int(r["image_id"][3:]) % 4
+        if k % 2 == 1:
+            assert r["grad_h_x1000"] == r["grad_v_x1000_0"]
+            assert r["grad_v_x1000"] == r["grad_h_x1000_0"]
+        else:  # 0 or 180 degrees: |diff| sums unchanged on both axes
+            assert r["grad_h_x1000"] == r["grad_h_x1000_0"]
+            assert r["grad_v_x1000"] == r["grad_v_x1000_0"]
+
+
+def test_image_knn_hist_matches_bruteforce(spark):
+    corpus = synth_images(spark, 40, seed=14)
+    queries = synth_images(spark, 5, seed=14)
+    got = image_knn_hist(corpus, queries, k=3).toPandas()
+    feats = image_features(corpus).toPandas().set_index("image_id")
+    hc = [c for c in feats.columns if c.startswith("hist_")]
+    for qid in sorted(feats.index)[:5]:
+        d = (feats[hc] - feats.loc[qid, hc]).abs().sum(axis=1).drop(qid)
+        want = sorted(zip(d.values, d.index))[:3]
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert list(sub["image_id"]) == [i for _, i in want]
+        assert list(sub["l1_dist"]) == [int(v) for v, _ in want]
+        assert list(sub["rank"]) == [1, 2, 3]
 
 
 # ------------------------------------------------------------ salting
