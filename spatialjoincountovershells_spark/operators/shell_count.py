@@ -147,21 +147,28 @@ def _prep(
 
 # CPU-pinned per-core cost model fitted to the measured regimes
 # (BENCH/BASELINE.md): the codegen join processes its (fine ring-1 grid)
-# candidates at ~1.7M pairs/s/core; the cogroup Arrow kernel runs ~3x
-# faster per pair (~5.5M) but on its coarser 128-occupancy grid (more
-# pairs) AND pays ~13 us/core per row shipped through the cogroup
-# (particles + exploded halo-ring rows) — measured by fused barely
-# moving when the Euclidean prune cut its pair volume 4.4x.  Comparing
-# each plan's own work at its own rates predicts the winner in every
-# measured regime; a single pairs-per-core threshold does not.
-R_SQL_PAIRS_PER_CORE_SEC = 1.7e6
-R_FUSED_PAIRS_PER_CORE_SEC = 5.5e6
-A_FUSED_SEC_PER_ROW = 1.3e-5
-# per exploded halo-ring row (shuffled + hash-probed) on the sql plan.
-# R_SQL/A_SQL re-fit CPU-pinned at the ref shape in round 4 after the
-# flat-prune codegen fix (155.3M pairs + 12.4M ring rows in 117
-# core-seconds).
-A_SQL_SEC_PER_ROW = 2.0e-6
+# candidates at ~2.5M pairs/s/core; the cogroup Arrow kernel runs ~4.5x
+# faster per pair (~11M) on its coarser 128-occupancy grid (more pairs)
+# plus ~2.4 us/core per row shipped through the cogroup (particles +
+# exploded halo-ring rows).  All four constants re-fit in round 4 after
+# the BUCKETED cogroup rewrite (see _fused_plan: per-cell groups ->
+# cell_id mod n_buckets groups dropped fused's per-row overhead from a
+# measured ~13 us to ~2.4 us — that 13 us was per-GROUP cogroup cost
+# amortized over tiny per-cell groups, not serialization), solving the
+# 2x2 system from the pinned ref-shape (rmax 12.77) and headline
+# (rmax 20) operating points at 6M x 600k.  Comparing each plan's own
+# work at its own rates predicts the winner in every measured regime; a
+# single pairs-per-core threshold does not.
+R_SQL_PAIRS_PER_CORE_SEC = 2.5e6
+R_FUSED_PAIRS_PER_CORE_SEC = 1.1e7
+A_FUSED_SEC_PER_ROW = 2.4e-6
+# per exploded halo-ring row (shuffled + hash-probed) on the sql plan
+A_SQL_SEC_PER_ROW = 2.3e-6
+# fused's fixed cost — Python-worker pool spinup + Arrow init, absent
+# from the pure-JVM sql plan (measured: small shape 600k x 60k rmax=20
+# pinned@4: sql 3.35s vs fused 4.58s, a ~1.2s wall gap the variable
+# terms don't explain).  Keeps tiny jobs on sql.
+F_FUSED_FIXED_CORE_SEC = 5.0
 
 
 def choose_plan(
@@ -234,6 +241,7 @@ def choose_plan(
     t_fused = (
         pairs(nc_fused) / R_FUSED_PAIRS_PER_CORE_SEC
         + (n_particles + n_halos * ring(nc_fused)) * A_FUSED_SEC_PER_ROW
+        + F_FUSED_FIXED_CORE_SEC
     )
     return "sql" if t_sql <= t_fused else "fused"
 
@@ -321,11 +329,13 @@ def shell_count(
             "side fits the broadcast budget, else 'sql'/'fused')"
         )
     if plan == "fused" and ncells is None:
-        # the Arrow kernel amortizes per-group overhead over dense cells:
-        # target ~128 particles/cell (measured sweet spot: the numpy
-        # distance-matrix kernel tolerates the larger candidate volume of
-        # a coarser grid far better than 10^5 tiny cogroups tolerate
-        # per-group overhead) instead of the finest ring-1 grid
+        # the Arrow kernel wants dense cells: target ~128 particles/cell.
+        # Still true after the round-4 bucketed-cogroup rewrite (which
+        # removed per-GROUP overhead): on the fine ring-1 grid the
+        # in-kernel per-CELL numpy dispatch + the 3.3x halo-ring fanout
+        # dominate — measured 35.8s (nc=78) vs 16.6s (nc=36) at the
+        # pinned ref shape; the distance-matrix kernel eats the coarser
+        # grid's extra candidate volume at ~11M pairs/s/core instead
         n_est = n_est or particles.count()
         cap = max(2, int(round((n_est / 128) ** (1.0 / 3.0))))
         ncells = max(1, min(grid_ncells(float(np.asarray(edges)[-1]), box), cap))
@@ -390,55 +400,108 @@ def shell_count(
 
 
 def _fused_plan(h, p, r2, box, dtype, id_col, join_key: str = "cell_id",
-                weight_col: str | None = None) -> DataFrame:
+                weight_col: str | None = None,
+                n_buckets: int | None = None) -> DataFrame:
+    """Cogroup Arrow kernel, bucketed.
+
+    Cogrouping per CELL was the round-3 shape; per-group Python/Arrow
+    overhead (a few ms x one group per cell) dominated at production
+    grids (~27k cells -> fused 85.5s where sql ran 23.9s at the ref
+    shape, BENCH/BASELINE.md).  Round 4: cogroup on `cell_id mod
+    n_buckets` (a few hundred groups regardless of grid size) and
+    segment per cell INSIDE the kernel — both sides sorted by cell key,
+    searchsorted block boundaries, the same chunked distance-matrix
+    kernel per common cell.  Pair math, f32 discipline and counting
+    semantics are unchanged; only the grouping granularity moved, so
+    all goldens/oracles are invariant.  Composes with salting: the
+    salted key is cell_id*max_salt+salt, so pmod spreads a hot cell's
+    sub-keys across consecutive buckets.
+    """
     np_dtype = np.float32 if dtype == "float32" else np.float64
     r2k = np.asarray(r2, dtype=np_dtype)
     nr = len(r2k)
     bx = np_dtype(box)
     out_cols = [id_col, "shell_idx", "cnt"] + (["wsum"] if weight_col else [])
+    if n_buckets is None:
+        sp = h.sparkSession
+        n_buckets = max(
+            256, int(sp.conf.get("spark.sql.shuffle.partitions", "200")))
+
+    def _empty():
+        return pd.DataFrame({c: [] for c in out_cols}).astype(
+            {c: ("int32" if c == "shell_idx" else "int64")
+             for c in out_cols}
+        )
 
     def kern(left: pd.DataFrame, right: pd.DataFrame):
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({c: [] for c in out_cols}).astype(
-                {c: ("int32" if c == "shell_idx" else "int64")
-                 for c in out_cols}
-            )
-        H = left[list(_H)].to_numpy(np_dtype)
-        ids = left[id_col].to_numpy(np.int64)
-        P = right[list(_P)].to_numpy(np_dtype)
-        m, n = len(H), len(P)
-        acc = np.zeros(m * nr, dtype=np.int64)
+            return _empty()
+        hkey = left[join_key].to_numpy(np.int64)
+        pkey = right[join_key].to_numpy(np.int64)
+        # introsort, NOT stable: per-(id, shell) integer counts are
+        # invariant to row order within a cell block
+        ho = np.argsort(hkey)
+        po = np.argsort(pkey)
+        hkey = hkey[ho]
+        pkey = pkey[po]
+        H = left[list(_H)].to_numpy(np_dtype)[ho]
+        ids = left[id_col].to_numpy(np.int64)[ho]
+        P = right[list(_P)].to_numpy(np_dtype)[po]
         if weight_col:
-            w = right[weight_col].to_numpy(np.int64)
-            accw = np.zeros(m * nr, dtype=np.int64)
-        # chunk the halo side so the (chunk x n) distance matrix stays small
-        chunk = max(1, 4_000_000 // max(n, 1))
-        for s in range(0, m, chunk):
-            HH = H[s : s + chunk]
-            d2 = squared_distance_np(HH, P, box=float(bx))
-            sh = shell_index_np(d2.ravel(), r2k)
-            keep = sh < nr
-            if not keep.any():
-                continue
-            hidx = np.repeat(np.arange(s, s + len(HH)), n)[keep]
-            keys = hidx * nr + sh[keep]
-            acc += np.bincount(keys, minlength=m * nr)
-            if weight_col:
-                # gather only surviving pairs (flat pair % n = particle)
-                wk = w[np.nonzero(keep)[0] % n]
-                if np.abs(wk).sum() < 2.0**53:
-                    # bincount's f64 partial sums are exact while every
-                    # intermediate stays under 2^53 — guaranteed by
-                    # sum|w| per chunk — and it is ~10x faster than the
-                    # unbuffered scatter
-                    accw += np.bincount(
-                        keys, weights=wk, minlength=m * nr
-                    ).astype(np.int64)
-                else:  # astronomically heavy chunk: exact fallback
-                    np.add.at(accw, keys, wk)
+            w = right[weight_col].to_numpy(np.int64)[po]
+        # exploded halo-ring rows repeat ids across cells: factorize once
+        # per bucket so the accumulator is (distinct ids x shells)
+        uids, id_idx = np.unique(ids, return_inverse=True)
+        uc = np.intersect1d(
+            hkey[np.r_[True, hkey[1:] != hkey[:-1]]],
+            pkey[np.r_[True, pkey[1:] != pkey[:-1]]],
+        )
+        if len(uc) == 0:
+            return _empty()
+        hs = np.searchsorted(hkey, uc, "left")
+        he = np.searchsorted(hkey, uc, "right")
+        ps = np.searchsorted(pkey, uc, "left")
+        pe = np.searchsorted(pkey, uc, "right")
+        key_chunks: list[np.ndarray] = []
+        w_chunks: list[np.ndarray] = []
+        for i in range(len(uc)):
+            PP = P[ps[i] : pe[i]]
+            n = len(PP)
+            HH_all = H[hs[i] : he[i]]
+            hloc_all = id_idx[hs[i] : he[i]]
+            # chunk the halo side so the (chunk x n) matrix stays small
+            chunk = max(1, 4_000_000 // max(n, 1))
+            for s in range(0, len(HH_all), chunk):
+                HH = HH_all[s : s + chunk]
+                d2 = squared_distance_np(HH, PP, box=float(bx))
+                sh = shell_index_np(d2.ravel(), r2k)
+                kidx = np.nonzero(sh < nr)[0]
+                if len(kidx) == 0:
+                    continue
+                hloc = hloc_all[s : s + len(HH)][kidx // n]
+                key_chunks.append(hloc * nr + sh[kidx])
+                if weight_col:
+                    # surviving pair -> its particle (flat pair % n)
+                    w_chunks.append(w[ps[i] : pe[i]][kidx % n])
+        if not key_chunks:
+            return _empty()
+        keys = np.concatenate(key_chunks)
+        acc = np.bincount(keys, minlength=len(uids) * nr)
+        if weight_col:
+            wk = np.concatenate(w_chunks)
+            if np.abs(wk).sum() < 2.0**53:
+                # bincount's f64 partial sums are exact while every
+                # intermediate stays under 2^53 — guaranteed by sum|w|
+                # over the bucket — and ~10x faster than the scatter
+                accw = np.bincount(
+                    keys, weights=wk, minlength=len(uids) * nr
+                ).astype(np.int64)
+            else:  # astronomically heavy bucket: exact fallback
+                accw = np.zeros(len(uids) * nr, dtype=np.int64)
+                np.add.at(accw, keys, wk)
         nz = np.nonzero(acc)[0]
         cols = {
-            id_col: ids[nz // nr],
+            id_col: uids[nz // nr],
             "shell_idx": (nz % nr).astype(np.int32),
             "cnt": acc[nz],
         }
@@ -449,9 +512,15 @@ def _fused_plan(h, p, r2, box, dtype, id_col, join_key: str = "cell_id",
     schema = f"{id_col} long, shell_idx int, cnt long" + (
         ", wsum long" if weight_col else ""
     )
+    bkt = F.pmod(F.col(join_key), F.lit(n_buckets)).cast("int").alias("_bkt")
+    hsel = [F.col(id_col), *[F.col(c) for c in _H], F.col(join_key), bkt]
+    psel = [*[F.col(c) for c in _P], F.col(join_key), bkt] + (
+        [F.col(weight_col)] if weight_col else []
+    )
     out = (
-        h.groupBy(join_key)
-        .cogroup(p.groupBy(join_key))
+        h.select(*hsel)
+        .groupBy("_bkt")
+        .cogroup(p.select(*psel).groupBy("_bkt"))
         .applyInPandas(kern, schema=schema)
     )
     # per-cell partials -> final agg (the map-side-combine analog)

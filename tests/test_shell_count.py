@@ -140,12 +140,14 @@ def test_choose_plan_measured_regimes():
     # data too big, probe side fits: bcast — never shuffles the big
     # table (ref scale: 10M probes vs 300M particles)
     assert choose_plan(10_000_000, 300_000_000, rmax=5.0) == "bcast"
-    # beyond the budget: the measured sql/fused operating points
-    # (sf0.1 rmax=20: sql 2.7 vs fused 7.4; sf1 rmax=20: sql 131 vs
-    # fused 91; ref-shape rmax=12.77: sql 62 vs fused 86)
+    # beyond the budget: the measured sql/fused operating points after
+    # the round-4 bucketed-cogroup rewrite (pinned@4: sf0.1 rmax=20:
+    # sql 3.35 vs fused 4.58 — fused's fixed Python-worker spinup loses
+    # tiny jobs; sf1 rmax=20: sql 67.0 vs fused 30.6; ref-shape
+    # rmax=12.77: sql 23.9 vs fused 18.2)
     assert choose_plan(60_000, 600_000, rmax=20.0, max_broadcast_bytes=0) == "sql"
     assert choose_plan(600_000, 6_000_000, rmax=20.0, max_broadcast_bytes=0) == "fused"
-    assert choose_plan(600_000, 6_000_000, rmax=12.77, max_broadcast_bytes=0) == "sql"
+    assert choose_plan(600_000, 6_000_000, rmax=12.77, max_broadcast_bytes=0) == "fused"
     # a weight keeps dgrid (its grid carries int64 weights, r4) but
     # excludes bcast (count-only kernel): probe side fits, data side
     # doesn't -> falls through to the join-plan cost model
