@@ -143,6 +143,14 @@ from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     tile_moran_i,
     tile_rollup,
 )
+from spatialjoincountovershells_spark.operators.hexgrid import (  # noqa: E402
+    geohash_cells,
+    geohash_sql,
+    hex_axial_ctes,
+    hex_kring_stats,
+    hex_ring_offsets,
+    hex_rollup,
+)
 from spatialjoincountovershells_spark.operators.events import (  # noqa: E402
     asof_join,
     rolling_counts,
@@ -402,6 +410,30 @@ def q_tile_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupied tile, own count + 3x3-ring count sum + occupied-ring-tile
     count, edge rings truncated."""
     return tile_kring_stats(_parts(spark, sf_dir), level=5, k=1, box=BOX)
+
+
+def q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style hexagonal cell rollup (pointy-top axial lattice, cube
+    rounding, circumradius 31.25): occupied hex -> point count.  The
+    hex assignment is one fixed f64 IEEE tree shared verbatim with the
+    oracle."""
+    p = _parts(spark, sf_dir).select("x", "y")
+    return hex_rollup(p, 31.25)
+
+
+def q_hex_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex k-ring smoothing (k=1, 6 equidistant neighbors + self) —
+    scatter-gather over the per-hex aggregate, no lattice self-join."""
+    p = _parts(spark, sf_dir).select("x", "y")
+    return hex_kring_stats(p, 31.25, k=1)
+
+
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-32 geohash rollup (precision 3, ~156 km cells) over
+    geo-tagged rows: geohash = Z-order interleave (lon first) through
+    the same spread-bits exprs as the Morton tiles."""
+    df = _geo_rows(spark, sf_dir, "orders", "o_orderkey", "img_id")
+    return geohash_cells(df, precision=3)
 
 
 def q_tile_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2453,6 +2485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "tile_adaptive": q_tile_adaptive,
         "tile_kring": q_tile_kring,
+        "hex_rollup": q_hex_rollup,
+        "hex_kring": q_hex_kring,
+        "geohash_cells": q_geohash_cells,
         "tile_dbscan": q_tile_dbscan,
         "tile_moran": q_tile_moran,
         "tile_getis": q_tile_getis,
@@ -2806,6 +2841,33 @@ SELECT tile_id, CAST(n_points AS BIGINT) AS n_points,
        CAST(n_kring_tiles AS BIGINT) AS n_kring_tiles
 FROM m5
 """,
+        "hex_rollup": f"""
+WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),
+{hex_axial_ctes("p", "x", "y", 31.25)}
+SELECT hq, hr, count(*) AS n_points FROM hx2 GROUP BY hq, hr
+""",
+        "hex_kring": f"""
+WITH p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),
+{hex_axial_ctes("p", "x", "y", 31.25)},
+hc AS (SELECT hq, hr, count(*) AS n FROM hx2 GROUP BY hq, hr),
+offs(dq, dr) AS (VALUES {", ".join(f"({a}, {b})" for a, b in hex_ring_offsets(1))}),
+scat AS (SELECT hq + dq AS rq, hr + dr AS rr, n,
+                CASE WHEN dq = 0 AND dr = 0 THEN 1 ELSE 0 END AS own
+         FROM hc, offs),
+g AS (SELECT rq, rr, sum(own * n) AS n_points, sum(n) AS kring_sum,
+             count(*) AS n_kring_cells, max(own) AS occ
+      FROM scat GROUP BY rq, rr)
+SELECT rq AS hq, rr AS hr, CAST(n_points AS BIGINT) AS n_points,
+       CAST(kring_sum AS BIGINT) AS kring_sum,
+       CAST(n_kring_cells AS BIGINT) AS n_kring_cells
+FROM g WHERE occ = 1
+""",
+        "geohash_cells": (
+            "WITH src AS (SELECT {} AS lat, {} AS lon FROM orders),\n"
+            .format(*sql_latlon("o_orderkey"))
+            + geohash_sql("lat", "lon", 3)
+            + "\nSELECT geohash, count(*) AS n_points FROM ghf GROUP BY geohash"
+        ),
         "tile_dbscan": f"""
 WITH RECURSIVE
 p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),
