@@ -74,6 +74,7 @@ from spatialjoincountovershells_spark.operators.geo import (  # noqa: E402
     geo_tile_stats,
     geo_unit_sql,
     sql_latlon,
+    trajectory_stats,
     with_key_latlon,
 )
 from spatialjoincountovershells_spark.operators.knn import knn  # noqa: E402
@@ -2452,6 +2453,15 @@ def q_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
                         level=5, box=BOX)
 
 
+def q_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user geo trajectory over the time-ordered event stream:
+    great-circle hop lengths on the quantized chord lattice (one
+    user-key window shuffle), path length / max hop / dwell counts —
+    all-int64 contract."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    return trajectory_stats(with_key_latlon(ev, "event_id"))
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2563,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_latlon_tiles": q_geo_latlon_tiles,
         "geo_knn": q_geo_knn,
         "geo_hotspots": q_geo_hotspots,
+        "trajectory": q_trajectory,
     }
 
 
@@ -3493,5 +3504,27 @@ SELECT tile_id, CAST(cx AS BIGINT) AS n_points,
                    / sqrt(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / 1023.0))
                   * 1048576.0) AS BIGINT) AS gi_q20
 FROM g2
+""",
+        "trajectory": f"""
+WITH src AS (SELECT user_id, ts, event_id,
+                    {sql_latlon("event_id")[0]} AS lat,
+                    {sql_latlon("event_id")[1]} AS lon FROM events),
+u AS (SELECT user_id, ts, event_id,
+             {geo_unit_sql("lat", "lon")[0]} AS qx,
+             {geo_unit_sql("lat", "lon")[1]} AS qy,
+             {geo_unit_sql("lat", "lon")[2]} AS qz FROM src),
+h AS (SELECT user_id,
+             floor(sqrt(((qx - lag(qx) OVER w) * (qx - lag(qx) OVER w)
+                         + (qy - lag(qy) OVER w) * (qy - lag(qy) OVER w))
+                        + (qz - lag(qz) OVER w) * (qz - lag(qz) OVER w)))
+               AS hop
+      FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, count(*) AS n_pings,
+       CAST(coalesce(sum(hop), 0) AS BIGINT) AS path_len,
+       CAST(coalesce(max(hop), 0) AS BIGINT) AS max_hop,
+       count(hop) AS n_moves,
+       CAST(coalesce(sum(CASE WHEN hop < 1000 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_stays
+FROM h GROUP BY user_id
 """,
     }

@@ -363,3 +363,53 @@ def geo_tile_stats(
         return g.agg(F.count(F.lit(1)).alias("n"),
                      F.sum(weight_col).cast("long").alias("wsum"))
     return g.agg(F.count(F.lit(1)).alias("n"))
+
+
+def trajectory_stats(
+    pings: DataFrame,
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    latlon: tuple[str, str] = ("lat", "lon"),
+    stay_hop: int = 1000,
+) -> DataFrame:
+    """Per-entity trajectory statistics over time-ordered geo pings ->
+    (user_id, n_pings, path_len, max_hop, n_moves, n_stays), all int64.
+
+    Hops are great-circle in lattice units: each ping embeds on the
+    quantized unit sphere (geo_unit_exprs — exact integers in f64), a
+    per-user LAG window pairs consecutive pings, and
+    ``hop = floor(sqrt(dx^2 + dy^2 + dz^2))`` is the chord length
+    (~6 m per unit; strictly monotone in great-circle distance, see
+    module docstring).  sqrt is IEEE-correctly-rounded on an exact
+    integer input, so the floor is engine-invariant — the whole
+    contract stays integer.  ``n_stays`` counts hops < ``stay_hop``
+    lattice units (~6 km default): the stay-point/dwell signal.
+
+    Scale shape: ONE shuffle — the window partitions by user (the same
+    user-key shuffle every events operator shares); the aggregation
+    reuses that partitioning.  No self-join, no pair materialization:
+    a 10^12-ping table costs one sort-within-user pass.
+    """
+    lat, lon = (F.col(c) for c in latlon)
+    qx, qy, qz = geo_unit_exprs(lat, lon)
+    d = pings.select(
+        F.col(user_col), *[F.col(c) for c in order_cols],
+        qx.alias("_qx"), qy.alias("_qy"), qz.alias("_qz"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    dx = F.col("_qx") - F.lag("_qx").over(w)
+    dy = F.col("_qy") - F.lag("_qy").over(w)
+    dz = F.col("_qz") - F.lag("_qz").over(w)
+    hop = F.floor(F.sqrt((dx * dx + dy * dy) + dz * dz))
+    d = d.select(F.col(user_col), hop.alias("_hop"))
+    return d.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.coalesce(F.sum("_hop"), F.lit(0)).cast("long").alias("path_len"),
+        F.coalesce(F.max("_hop"), F.lit(0)).cast("long").alias("max_hop"),
+        F.count("_hop").alias("n_moves"),
+        F.coalesce(
+            F.sum((F.col("_hop") < F.lit(stay_hop)).cast("long")), F.lit(0)
+        ).alias("n_stays"),
+    )

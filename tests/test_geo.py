@@ -353,3 +353,47 @@ def test_latlon_np_rejects_negative_keys():
 
     with _pytest.raises(ValueError, match="nonnegative"):
         latlon_np(np.array([-1, 2], dtype=np.int64))
+
+
+def test_trajectory_stats_vs_bruteforce(spark):
+    """trajectory_stats == a numpy replay of the same lattice hops,
+    including single-ping users (path_len/max_hop 0, n_moves 0)."""
+    import pandas as pd
+    from spatialjoincountovershells_spark.operators.geo import (
+        geo_unit_np,
+        latlon_np,
+        trajectory_stats,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    keys = np.arange(n, dtype=np.int64) * 31 + 5
+    users = rng.integers(0, 60, n)
+    users[0] = 61  # one single-ping user
+    ts = rng.permutation(n).astype(np.int64)
+    pdf = pd.DataFrame({"event_id": keys, "user_id": users, "ts": ts})
+    df = spark.createDataFrame(pdf)
+    from spatialjoincountovershells_spark.operators.geo import with_key_latlon
+
+    got = {
+        r["user_id"]: (r["n_pings"], r["path_len"], r["max_hop"],
+                       r["n_moves"], r["n_stays"])
+        for r in trajectory_stats(with_key_latlon(df, "event_id")).collect()
+    }
+
+    U = geo_unit_np(*latlon_np(keys))
+    want = {}
+    for u in np.unique(users):
+        idx = np.nonzero(users == u)[0]
+        order = idx[np.lexsort((keys[idx], ts[idx]))]
+        P = U[order]
+        if len(P) > 1:
+            d = P[1:] - P[:-1]
+            hops = np.floor(np.sqrt(
+                (d[:, 0] ** 2 + d[:, 1] ** 2) + d[:, 2] ** 2)).astype(np.int64)
+        else:
+            hops = np.array([], dtype=np.int64)
+        want[int(u)] = (len(P), int(hops.sum()), int(hops.max()) if len(hops)
+                        else 0, len(hops), int((hops < 1000).sum()))
+    assert got == want
+    assert got[61][3] == 0  # the single-ping user has no moves
