@@ -69,7 +69,10 @@ EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign",
                  "value_quantiles",
                  # geodetic: great-circle shells on the chord lattice
                  # (lat/lon embed + the unchanged shell_count kernel)
-                 "geo_shells")
+                 "geo_shells",
+                 # round-4 additions: hexagonal lattice k-ring, base-32
+                 # geohash rollup, per-user great-circle trajectories
+                 "hex_kring", "geohash_cells", "trajectory")
 
 
 def sf_of(sf_dir: str) -> float:
@@ -698,9 +701,16 @@ def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4),
             "collect + per-worker broadcast copy (the analog of the "
             "reference's per-node index build), which Amdahl-caps their "
             "small-shape efficiency — on a real N->4N cluster that cost "
-            "amortizes over executor-sized (not core-sized) work.  See "
-            "'Scaling criterion — readings and regime history' below for "
-            "paired-invocation and quiet-regime readings.\n\n"
+            "amortizes over executor-sized (not core-sized) work.  The "
+            "vectorized numpy kernels (fused/bcast/dgrid) additionally "
+            "share one host's DRAM bandwidth across pinned cores — their "
+            "0.6-0.77 readings are a single-socket artifact (consistent "
+            "across quiet windows, so not steal noise); real N->4N "
+            "EXECUTORS add memory bandwidth proportionally, which the "
+            "per-core-bandwidth-light sql plan's 0.82+ approximates "
+            "from below.  See 'Scaling criterion — readings and regime "
+            "history' below for paired-invocation and quiet-regime "
+            "readings.\n\n"
             "Methodology: CPU affinity (`taskset`) pins the full process tree,\n"
             "because a bare `local[N]` JVM still sizes GC/shuffle pools from\n"
             "all 32 visible vCPUs; and N=1 vs 4N=4 keeps both levels inside\n"
