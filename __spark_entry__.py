@@ -2453,6 +2453,16 @@ def q_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
                         level=5, box=BOX)
 
 
+def q_geo_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style hex k-ring smoothing of GEO-TAGGED rows (the literal
+    north-star shape: H3 cells over lat/lon image rows): equirect
+    projection bridges lat/lon into the plane, then the unchanged
+    hexagonal-lattice operator."""
+    df = _geo_rows(spark, sf_dir, "orders", "o_orderkey", "img_id")
+    x, y = geo_equirect_exprs(F.col("lat"), F.col("lon"), BOX)
+    return hex_kring_stats(df.select(x.alias("x"), y.alias("y")), 31.25, k=1)
+
+
 def q_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user geo trajectory over the time-ordered event stream:
     great-circle hop lengths on the quantized chord lattice (one
@@ -2573,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_latlon_tiles": q_geo_latlon_tiles,
         "geo_knn": q_geo_knn,
         "geo_hotspots": q_geo_hotspots,
+        "geo_hex": q_geo_hex,
         "trajectory": q_trajectory,
     }
 
@@ -3504,6 +3515,25 @@ SELECT tile_id, CAST(cx AS BIGINT) AS n_points,
                    / sqrt(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / 1023.0))
                   * 1048576.0) AS BIGINT) AS gi_q20
 FROM g2
+""",
+        "geo_hex": f"""
+WITH g AS (SELECT {sql_latlon("o_orderkey")[0]} AS lat,
+                  {sql_latlon("o_orderkey")[1]} AS lon FROM orders),
+p AS (SELECT {geo_equirect_sql("lat", "lon", 1000.0)[0]} AS x,
+             {geo_equirect_sql("lat", "lon", 1000.0)[1]} AS y FROM g),
+{hex_axial_ctes("p", "x", "y", 31.25)},
+hc AS (SELECT hq, hr, count(*) AS n FROM hx2 GROUP BY hq, hr),
+offs(dq, dr) AS (VALUES {", ".join(f"({a}, {b})" for a, b in hex_ring_offsets(1))}),
+scat AS (SELECT hq + dq AS rq, hr + dr AS rr, n,
+                CASE WHEN dq = 0 AND dr = 0 THEN 1 ELSE 0 END AS own
+         FROM hc, offs),
+g2 AS (SELECT rq, rr, sum(own * n) AS n_points, sum(n) AS kring_sum,
+              count(*) AS n_kring_cells, max(own) AS occ
+       FROM scat GROUP BY rq, rr)
+SELECT rq AS hq, rr AS hr, CAST(n_points AS BIGINT) AS n_points,
+       CAST(kring_sum AS BIGINT) AS kring_sum,
+       CAST(n_kring_cells AS BIGINT) AS n_kring_cells
+FROM g2 WHERE occ = 1
 """,
         "trajectory": f"""
 WITH src AS (SELECT user_id, ts, event_id,
