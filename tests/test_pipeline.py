@@ -1,6 +1,9 @@
 """plans/pipeline.py: flagship pipeline, prepartition, checkpoint/resume."""
 
+import os
+
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from spatialjoincountovershells_spark.functions.shells import logspace_edges
@@ -212,3 +215,71 @@ def test_corpus_job_stages_and_resume(tmp_path):
     assert second == first  # identical stage reports
     for d, t in markers.items():  # no stage recomputed/rewritten
         assert os.path.getmtime(os.path.join(out, d, "_SJCS_DONE.json")) == t
+
+
+def test_sjcs_job_via_spark_submit(spark, tmp_path):
+    """The literal deployment path (north rule): ``spark-submit
+    --py-files dist/sjcs_spark.zip jobs/sjcs_job.py``.
+
+    The job file is COPIED out of the repo and run from a non-repo cwd,
+    so its checkout fallback (sys.path insert of its own parent) points
+    nowhere useful and every engine import — driver AND Python workers —
+    must come from the freshly built zip.  A second identical run must
+    resume from the checkpoint token without recomputing."""
+    import json as _json
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    submit = shutil.which("spark-submit")
+    if submit is None:
+        pytest.skip("spark-submit not on PATH")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # fresh zip straight from the packaging tool
+    zip_path = str(tmp_path / "sjcs_spark.zip")
+    r = subprocess.run([_sys.executable,
+                        os.path.join(repo, "tools", "package_pyfiles.py"),
+                        zip_path], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-1000:]
+
+    # tiny (id, x, y, z) inputs written by the shared session
+    from spatialjoincountovershells_spark.functions.phash import decode_phash
+    from spatialjoincountovershells_spark.sources.synth import synth_points
+
+    pdir = str(tmp_path / "particles.parquet")
+    hdir = str(tmp_path / "halos.parquet")
+    decode_phash(synth_points(spark, 4000, seed=5)).write.parquet(pdir)
+    decode_phash(
+        synth_points(spark, 200, seed=6, id_col="halo_id")
+    ).write.parquet(hdir)
+
+    job = str(tmp_path / "sjcs_job.py")
+    shutil.copy(os.path.join(repo, "jobs", "sjcs_job.py"), job)
+    out = str(tmp_path / "counts")
+    args = [
+        submit, "--master", "local[2]", "--py-files", zip_path, job,
+        "--particle-files", pdir, "--halo-file", hdir,
+        "--radius", "10:300:8", "--plan", "sql", "--output", out,
+    ]
+    env = dict(os.environ,
+               PYSPARK_PYTHON=_sys.executable,
+               PYSPARK_DRIVER_PYTHON=_sys.executable)
+    env.pop("PYTHONPATH", None)  # nothing but the zip may supply the pkg
+
+    def run():
+        r = subprocess.run(args, capture_output=True, text=True,
+                           cwd=str(tmp_path), timeout=600, env=env)
+        assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+        line = next(l for l in r.stdout.splitlines()
+                    if l.startswith('{"output"'))
+        return _json.loads(line)
+
+    first = run()
+    assert first["rows"] > 0
+    marker = os.path.join(out, "_SJCS_DONE.json")
+    assert os.path.exists(marker)
+    mtime = os.path.getmtime(marker)
+    second = run()
+    assert second["rows"] == first["rows"]
+    assert os.path.getmtime(marker) == mtime, "second run must resume"
