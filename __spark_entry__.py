@@ -148,6 +148,8 @@ from spatialjoincountovershells_spark.operators.hexgrid import (  # noqa: E402
     geohash_cells,
     geohash_sql,
     hex_axial_ctes,
+    hex_dbscan,
+    hex_key_sql,
     hex_kring_stats,
     hex_ring_offsets,
     hex_rollup,
@@ -427,6 +429,14 @@ def q_hex_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
     scatter-gather over the per-hex aggregate, no lattice self-join."""
     p = _parts(spark, sf_dir).select("x", "y")
     return hex_kring_stats(p, 31.25, k=1)
+
+
+def q_hex_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-lattice DBSCAN (min_pts=40): density clustering with
+    edge-only 6-neighbor adjacency, min-packed-key canonical labels,
+    shared pointer-jumping components engine."""
+    p = _parts(spark, sf_dir).select("x", "y")
+    return hex_dbscan(p, 31.25, min_pts=40)
 
 
 def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2507,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_kring": q_tile_kring,
         "hex_rollup": q_hex_rollup,
         "hex_kring": q_hex_kring,
+        "hex_dbscan": q_hex_dbscan,
         "geohash_cells": q_geohash_cells,
         "tile_dbscan": q_tile_dbscan,
         "tile_moran": q_tile_moran,
@@ -2883,6 +2894,40 @@ SELECT rq AS hq, rr AS hr, CAST(n_points AS BIGINT) AS n_points,
        CAST(kring_sum AS BIGINT) AS kring_sum,
        CAST(n_kring_cells AS BIGINT) AS n_kring_cells
 FROM g WHERE occ = 1
+""",
+        "hex_dbscan": f"""
+WITH RECURSIVE
+p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),
+{hex_axial_ctes("p", "x", "y", 31.25)},
+tc AS (SELECT hq, hr, count(*) AS n, {hex_key_sql("hq", "hr")} AS key
+       FROM hx2 GROUP BY hq, hr),
+core AS (SELECT * FROM tc WHERE n >= 40),
+offs(dq, dr) AS (VALUES {", ".join(f"({a}, {b})" for a, b in hex_ring_offsets(1, include_self=False))}),
+adj AS (SELECT a.key AS src, b.key AS dst
+        FROM core a, offs o, core b
+        WHERE b.hq = a.hq + o.dq AND b.hr = a.hr + o.dr),
+reach(a, b) AS (SELECT key, key FROM core
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN adj e ON r.b = e.src),
+lbl AS (SELECT a AS key, min(b) AS cluster_id FROM reach GROUP BY a),
+corerows AS (SELECT c.hq, c.hr, CAST(c.n AS BIGINT) AS n_points,
+                    'core' AS role, l.cluster_id
+             FROM core c JOIN lbl l USING (key)),
+bl AS (SELECT t.key, min(l.cluster_id) AS cluster_id
+       FROM tc t, offs o, core c
+       JOIN lbl l ON l.key = c.key
+       WHERE t.n < 40 AND c.hq = t.hq + o.dq AND c.hr = t.hr + o.dr
+       GROUP BY t.key),
+rest AS (SELECT t.hq, t.hr, CAST(t.n AS BIGINT) AS n_points,
+                CASE WHEN b.cluster_id IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                coalesce(b.cluster_id, -1) AS cluster_id
+         FROM tc t LEFT JOIN bl b USING (key) WHERE t.n < 40)
+SELECT hq, hr, n_points, role, CAST(cluster_id AS BIGINT) AS cluster_id
+FROM corerows
+UNION ALL
+SELECT hq, hr, n_points, role, CAST(cluster_id AS BIGINT) AS cluster_id
+FROM rest
 """,
         "geohash_cells": (
             "WITH src AS (SELECT {} AS lat, {} AS lon FROM orders),\n"

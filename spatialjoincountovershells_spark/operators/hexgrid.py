@@ -177,6 +177,7 @@ def hex_kring_stats(
     size: float,
     k: int = 1,
     coords: tuple[str, str] = ("x", "y"),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Hex k-ring smoothing: per OCCUPIED hex cell -> (hq, hr,
     n_points own count, kring_sum counts over the hex k-ring incl.
@@ -188,33 +189,141 @@ def hex_kring_stats(
     receiver), but on the hexagonal lattice where every ring-1
     neighbor is equidistant.  The lattice is unbounded (axial coords
     are plain integers), so there is no edge clamp; unoccupied
-    receivers are dropped by the occupancy flag."""
+    receivers are dropped by the occupancy flag.  ``weight_col``
+    switches both sums from point counts to an integer mark summed per
+    cell (the tile_kring_stats contract); occupancy still means "holds
+    >= 1 point"."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    t = hex_rollup(points, size, coords)
+    t = hex_rollup(points, size, coords, weight_col=weight_col)
+    val = "wsum" if weight_col else "n_points"
     offs = F.array(*[
         F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
         for dq, dr in hex_ring_offsets(k)
     ])
-    scat = t.select("hq", "hr", "n_points", F.explode(offs).alias("_o")).select(
+    scat = t.select("hq", "hr", F.col(val).alias("_v"),
+                    F.explode(offs).alias("_o")).select(
         (F.col("hq") + F.col("_o.dq")).alias("rq"),
         (F.col("hr") + F.col("_o.dr")).alias("rr"),
-        F.col("n_points"),
+        F.col("_v"),
         ((F.col("_o.dq") == 0) & (F.col("_o.dr") == 0))
         .cast("long").alias("own"),
     )
     g = scat.groupBy("rq", "rr").agg(
-        F.sum(F.col("own") * F.col("n_points")).alias("n_points"),
-        F.sum("n_points").alias("kring_sum"),
+        F.sum(F.col("own") * F.col("_v")).alias("_own_v"),
+        F.sum("_v").alias("kring_sum"),
         F.count(F.lit(1)).alias("n_kring_cells"),
         F.max("own").alias("_occ"),
     )
     return g.where(F.col("_occ") == 1).select(
         F.col("rq").alias("hq"),
         F.col("rr").alias("hr"),
-        F.col("n_points").cast("long").alias("n_points"),
+        F.col("_own_v").cast("long").alias(val),
         F.col("kring_sum").cast("long").alias("kring_sum"),
         F.col("n_kring_cells").cast("long").alias("n_kring_cells"),
+    )
+
+
+# axial coords are small signed ints; the offset keeps the packed hex
+# key injective and NONNEGATIVE for |hq|, |hr| < 2^20 (a box/size ratio
+# no real grid approaches)
+_HEX_KEY_OFF = 1 << 20
+_HEX_KEY_MUL = 1 << 21
+
+
+def hex_key_expr(hq, hr):
+    """Canonical nonnegative int64 cell key from axial coords."""
+    return (hq + F.lit(_HEX_KEY_OFF)) * F.lit(_HEX_KEY_MUL) + (
+        hr + F.lit(_HEX_KEY_OFF))
+
+
+def hex_key_sql(hq: str, hr: str) -> str:
+    return f"(({hq}) + {_HEX_KEY_OFF}) * {_HEX_KEY_MUL} + (({hr}) + {_HEX_KEY_OFF})"
+
+
+def hex_dbscan(
+    points: DataFrame,
+    size: float,
+    min_pts: int,
+    coords: tuple[str, str] = ("x", "y"),
+    max_iter: int = 64,
+) -> DataFrame:
+    """Hex-grid DBSCAN: density clustering of the hexagonal lattice ->
+    one row per OCCUPIED cell: (hq, hr, n_points, role, cluster_id),
+    role in {'core','border','noise'}.
+
+    Same semantics and scale shape as tiling.tile_dbscan, on the hex
+    lattice: a cell with n >= min_pts is CORE; cores sharing any of
+    their 6 edges are one cluster (hex adjacency is edge-only — no
+    square-grid corner-touch ambiguity); an occupied non-core cell
+    adjacent to >= 1 core is BORDER and takes the minimum adjacent
+    cluster id; else NOISE (-1).  cluster_id is the minimum packed hex
+    key (hex_key_expr) reachable through cores — deterministic.
+
+    The point table aggregates ONCE per cell; core adjacency scatters
+    each core to its 6 neighbors and equi-joins back against the core
+    set (two tiny tables); components collapse via dedup_clusters'
+    min-label + pointer-jumping loop.
+    """
+    from .dedup import dedup_clusters
+
+    keyed = (
+        hex_rollup(points, size, coords)
+        .select("hq", "hr", F.col("n_points").alias("n"),
+                hex_key_expr(F.col("hq"), F.col("hr")).alias("key"))
+        .persist()
+    )
+    core = keyed.where(F.col("n") >= int(min_pts))
+    ring = F.array(*[
+        F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+        for dq, dr in hex_ring_offsets(1, include_self=False)
+    ])
+
+    def _scatter(df: DataFrame, payload: str) -> DataFrame:
+        return df.select(payload, "hq", "hr", F.explode(ring).alias("_o")).select(
+            F.col(payload),
+            (F.col("hq") + F.col("_o.dq")).alias("rq"),
+            (F.col("hr") + F.col("_o.dr")).alias("rr"),
+        )
+
+    edges = _scatter(core.select(F.col("key").alias("src"), "hq", "hr"),
+                     "src").join(
+        core.select(F.col("hq").alias("rq"), F.col("hr").alias("rr"),
+                    F.col("key").alias("dst")),
+        ["rq", "rr"],
+    ).select("src", "dst")
+    lbl = dedup_clusters(
+        edges, id_a="src", id_b="dst", out_id="key",
+        out_cluster="cluster_id", max_iter=max_iter,
+    )
+    core_lbl = core.join(lbl, "key", "left").select(
+        "key", "hq", "hr", "n",
+        F.coalesce(F.col("cluster_id"), F.col("key")).alias("cluster_id"),
+    )
+    nbr_lbl = (
+        _scatter(core_lbl.select("cluster_id", "hq", "hr"), "cluster_id")
+        .groupBy("rq", "rr")
+        .agg(F.min("cluster_id").alias("_nbr_cluster"))
+    )
+    rest = keyed.where(F.col("n") < int(min_pts)).join(
+        nbr_lbl,
+        (F.col("hq") == F.col("rq")) & (F.col("hr") == F.col("rr")),
+        "left",
+    ).select(
+        "hq", "hr", "n",
+        F.when(F.col("_nbr_cluster").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("role"),
+        F.coalesce(F.col("_nbr_cluster"), F.lit(-1)).alias("cluster_id"),
+    )
+    out = core_lbl.select(
+        "hq", "hr", "n", F.lit("core").alias("role"), "cluster_id"
+    ).unionByName(rest)
+    return out.select(
+        "hq", "hr",
+        F.col("n").cast("long").alias("n_points"),
+        "role",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
     )
 
 

@@ -165,3 +165,87 @@ def test_geohash_cells_rollup(spark):
     for g in geohash_np(lat, lon, 2):
         want[g] = want.get(g, 0) + 1
     assert got == want
+
+
+def test_hex_kring_weighted_vs_bruteforce(spark):
+    x, y = _xy(2500, seed=17)
+    w = (np.arange(len(x)) * 7 % 23).astype(np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y, "wt": w}))
+    from spatialjoincountovershells_spark.operators.hexgrid import (
+        hex_kring_stats as hks,
+    )
+
+    got = {
+        (r["hq"], r["hr"]): (r["wsum"], r["kring_sum"], r["n_kring_cells"])
+        for r in hks(df, SIZE, k=1, weight_col="wt").collect()
+    }
+    hq, hr = hex_np(x, y, SIZE)
+    wsum: dict = {}
+    for a, b, ww in zip(hq, hr, w):
+        wsum[(a, b)] = wsum.get((a, b), 0) + int(ww)
+    want = {}
+    for (a, b) in wsum:
+        ring = [
+            wsum[(a + dq, b + dr)]
+            for dq, dr in hex_ring_offsets(1)
+            if (a + dq, b + dr) in wsum
+        ]
+        want[(a, b)] = (wsum[(a, b)], sum(ring), len(ring))
+    assert got == want
+
+
+def test_hex_dbscan_vs_bruteforce(spark):
+    """hex_dbscan == a numpy union-find replay: same roles, same
+    min-packed-key cluster labels, edge-only (6-neighbor) adjacency."""
+    from spatialjoincountovershells_spark.operators.hexgrid import (
+        _HEX_KEY_MUL,
+        _HEX_KEY_OFF,
+        hex_dbscan,
+    )
+
+    x, y = _xy(6000, seed=23, span=250.0)
+    min_pts = 12
+    got = {
+        (r["hq"], r["hr"]): (r["n_points"], r["role"], r["cluster_id"])
+        for r in hex_dbscan(spark.createDataFrame(
+            pd.DataFrame({"x": x, "y": y})), SIZE, min_pts).collect()
+    }
+
+    hq, hr = hex_np(x, y, SIZE)
+    counts: dict = {}
+    for a, b in zip(hq, hr):
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+
+    def key(c):
+        return (c[0] + _HEX_KEY_OFF) * _HEX_KEY_MUL + (c[1] + _HEX_KEY_OFF)
+
+    cores = {c for c, n in counts.items() if n >= min_pts}
+    parent = {c: c for c in cores}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    neigh = hex_ring_offsets(1, include_self=False)
+    for c in cores:
+        for dq, dr in neigh:
+            d = (c[0] + dq, c[1] + dr)
+            if d in cores:
+                ra, rb = find(c), find(d)
+                if ra != rb:
+                    parent[max(ra, rb, key=key)] = min(ra, rb, key=key)
+    lbl = {c: key(min((d for d in cores if find(d) == find(c)), key=key))
+           for c in cores}
+    want = {}
+    for c, n in counts.items():
+        if c in cores:
+            want[c] = (n, "core", lbl[c])
+        else:
+            adj = [lbl[(c[0] + dq, c[1] + dr)] for dq, dr in neigh
+                   if (c[0] + dq, c[1] + dr) in cores]
+            want[c] = (n, "border", min(adj)) if adj else (n, "noise", -1)
+    assert got == want
+    roles = {r for _, r, _ in got.values()}
+    assert roles == {"core", "border", "noise"}
