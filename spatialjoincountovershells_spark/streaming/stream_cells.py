@@ -234,3 +234,100 @@ def stream_geo_shell_counts(
         p, h, chord_edges_km(edges_km), box=GEO_BOX, dtype="float64",
         id_col=id_col,
     )
+
+
+def stream_trajectory_stats(
+    stream: DataFrame,
+    latlon: tuple[str, str] = ("lat", "lon"),
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    stay_hop: int = 1000,
+) -> DataFrame:
+    """Stateful streaming twin of operators/geo.py:trajectory_stats:
+    per-user great-circle trajectory totals maintained across
+    micro-batches via applyInPandasWithState.
+
+    Group state per user holds the LAST lattice position plus the five
+    running totals; each micro-batch sorts its rows by `order_cols`,
+    chains the first hop off the stored position, and re-emits only the
+    users the batch touched (update-mode sink).  Hop math is the batch
+    operator's exact tree — embed via geo_unit_exprs (exact integers in
+    f64), hop = floor(sqrt((dx*dx + dy*dy) + dz*dz)) — so the stream
+    equals the batch result over any prefix, provided each user's pings
+    arrive in `order_cols` order ACROSS batches (in-batch disorder is
+    sorted out; cross-batch late data is not — this is the running-
+    totals twin, not a watermarking re-sequencer).
+    -> streaming (user_id, n_pings, path_len, max_hop, n_moves,
+    n_stays), all int64.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..operators.geo import geo_unit_exprs
+
+    lat, lon = (F.col(c) for c in latlon)
+    qx, qy, qz = geo_unit_exprs(lat, lon)
+    src = stream.select(
+        F.col(user_col).cast("long").alias(user_col),
+        *[F.col(c) for c in order_cols],
+        qx.alias("_qx"), qy.alias("_qy"), qz.alias("_qz"),
+    )
+    out_t = StructType([
+        StructField(user_col, LongType()),
+        StructField("n_pings", LongType()),
+        StructField("path_len", LongType()),
+        StructField("max_hop", LongType()),
+        StructField("n_moves", LongType()),
+        StructField("n_stays", LongType()),
+    ])
+    state_t = StructType([
+        StructField("qx", DoubleType()),
+        StructField("qy", DoubleType()),
+        StructField("qz", DoubleType()),
+        StructField("n_pings", LongType()),
+        StructField("path_len", LongType()),
+        StructField("max_hop", LongType()),
+        StructField("n_moves", LongType()),
+        StructField("n_stays", LongType()),
+    ])
+    ocols = list(order_cols)
+
+    def accumulate(key, pdfs, state):
+        if state.exists:
+            px, py, pz, n_pings, path_len, max_hop, n_moves, n_stays = state.get
+            prev = np.array([[px, py, pz]], dtype=np.float64)
+        else:
+            prev = None
+            n_pings = path_len = max_hop = n_moves = n_stays = 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(ocols, kind="mergesort")
+        Q = rows[["_qx", "_qy", "_qz"]].to_numpy(np.float64)
+        chain = Q if prev is None else np.concatenate([prev, Q])
+        d = chain[1:] - chain[:-1]
+        # the batch operator's exact f64 tree (see geo.trajectory_stats)
+        hops = np.floor(
+            np.sqrt((d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
+                    + d[:, 2] * d[:, 2])
+        ).astype(np.int64)
+        n_pings += len(rows)
+        if len(hops):
+            path_len += int(hops.sum())
+            max_hop = max(int(max_hop), int(hops.max()))
+            n_moves += len(hops)
+            n_stays += int((hops < stay_hop).sum())
+        state.update((float(Q[-1, 0]), float(Q[-1, 1]), float(Q[-1, 2]),
+                      int(n_pings), int(path_len), int(max_hop),
+                      int(n_moves), int(n_stays)))
+        yield pd.DataFrame({
+            user_col: [key[0]], "n_pings": [n_pings],
+            "path_len": [path_len], "max_hop": [max_hop],
+            "n_moves": [n_moves], "n_stays": [n_stays],
+        })
+
+    return src.groupBy(user_col).applyInPandasWithState(
+        accumulate, out_t, state_t, "update", GroupStateTimeout.NoTimeout
+    )

@@ -180,3 +180,74 @@ def test_stream_geo_tile_counts_epoch_append_sink(spark, tmp_path):
             F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_trajectory_matches_batch(spark):
+    """Stateful streaming trajectory totals == the batch operator over
+    the same pings: per-user group state chains hops across
+    micro-batches; update-mode rows are monotone so the per-user max of
+    each (all-nondecreasing) column is the final state."""
+    from spatialjoincountovershells_spark.operators.geo import (
+        key_latlon_exprs,
+        trajectory_stats,
+    )
+    from spatialjoincountovershells_spark.streaming.stream_cells import (
+        stream_trajectory_stats,
+    )
+
+    n_rows, n_users = 400, 7
+
+    def shape(df, key):
+        lat, lon = key_latlon_exprs(F.col(key))
+        return df.select(
+            (F.col(key) % n_users).alias("user_id"),
+            F.col(key).alias("ts"),
+            F.col(key).alias("event_id"),
+            lat.alias("lat"), lon.alias("lon"),
+        )
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "150")  # ~3s of rows: >= 2 micro-batches
+        .load()
+        .where(F.col("value") < n_rows)
+    )
+    out = stream_trajectory_stats(shape(stream, "value"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("traj")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        total = 0
+        while time.time() < deadline and total < n_rows:
+            q.processAllAvailable()
+            total = spark.sql(
+                "SELECT coalesce(sum(mx), 0) AS s FROM (SELECT "
+                "max(n_pings) AS mx FROM traj GROUP BY user_id)"
+            ).collect()[0].s or 0
+        assert total == n_rows
+        got = {
+            r.user_id: (r.n_pings, r.path_len, r.max_hop, r.n_moves,
+                        r.n_stays)
+            for r in spark.sql(
+                "SELECT user_id, max(n_pings) AS n_pings, "
+                "max(path_len) AS path_len, max(max_hop) AS max_hop, "
+                "max(n_moves) AS n_moves, max(n_stays) AS n_stays "
+                "FROM traj GROUP BY user_id"
+            ).collect()
+        }
+        # at least two non-empty micro-batches, so state really chained
+        n_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0)
+    finally:
+        q.stop()
+    assert n_batches >= 2, "trajectory state never chained across batches"
+    want = {
+        r.user_id: (r.n_pings, r.path_len, r.max_hop, r.n_moves, r.n_stays)
+        for r in trajectory_stats(shape(spark.range(n_rows), "id")).collect()
+    }
+    assert got == want
+    assert len(want) == n_users
