@@ -123,6 +123,7 @@ from spatialjoincountovershells_spark.operators.text import (  # noqa: E402
     chunk_documents,
     doc_fingerprint,
     lang_guess,
+    lm_familiarity,
     pii_scrub,
     quality_score,
     repetition_stats,
@@ -2131,6 +2132,55 @@ GROUP BY 1
 """
 
 
+def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-backed corpus-familiarity quality score per document
+    (the CCNet-style LM-filter proxy): train the sketch on the corpus,
+    score every doc by its tokens' average estimated frequency —
+    all-integer contract."""
+    docs = _read(spark, sf_dir, "documents")
+    return lm_familiarity(docs, d=CM_D, w=CM_W)
+
+
+def _lm_familiarity_sql(d: int = CM_D, w: int = CM_W) -> str:
+    """DuckDB twin of q_lm_familiarity: _countmin_sql's grid + a
+    distinct-vocab probe joined back to token occurrences."""
+    from spatialjoincountovershells_spark.functions.texthash import (
+        affine_sql,
+        poly_hash_duck,
+    )
+
+    base_tok = poly_hash_duck("tok")
+    base_term = poly_hash_duck("term")
+    tok_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT {i} AS row, {affine_sql(base_tok, i)} % {w} AS bucket FROM toks"
+        for i in range(d)
+    )
+    probe_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT term, {i} AS row, {affine_sql(base_term, i)} % {w} AS bucket "
+        f"FROM vocab"
+        for i in range(d)
+    )
+    return f"""
+WITH toks0 AS (SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+  FROM documents),
+toks AS (SELECT doc_id, tok FROM toks0),
+grid0 AS ({tok_rows}),
+grid AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+         FROM grid0 GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT tok AS term FROM toks),
+probes AS ({probe_rows}),
+est AS (SELECT term, CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est_count
+        FROM probes p LEFT JOIN grid g USING (row, bucket) GROUP BY 1),
+occ AS (SELECT t.doc_id, e.est_count FROM toks t
+        JOIN est e ON e.term = t.tok)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(est_count) AS BIGINT) AS sum_est,
+       CAST(sum(est_count) // count(*) AS BIGINT) AS fam
+FROM occ GROUP BY doc_id
+"""
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1h/24h per-user event features for every event (RANGE
     frames over exact epoch-µs; quantized value sums) — the rolling-
@@ -2581,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embed": q_kmeans_embed,
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
+        "lm_familiarity": q_lm_familiarity,
         "pq_encode": q_pq_encode,
         "pq_ann": q_pq_ann,
         "kmv_distinct": q_kmv_distinct,
@@ -3457,6 +3508,7 @@ FROM o
         "pq_ann": _pq_ann_sql(),
         "kmv_distinct": _kmv_sql(),
         "countmin": _countmin_sql(),
+        "lm_familiarity": _lm_familiarity_sql(),
         "rolling_features": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                   CAST(floor(coalesce(value, 0) * 1024) AS BIGINT) AS vq

@@ -420,3 +420,64 @@ def token_topk(
             F.col("n_docs").cast("long").alias("n_docs"),
         )
     )
+
+
+def lm_familiarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Corpus-LM quality proxy (the CCNet/Gopher "familiar language"
+    filter, sketch-composed): train a Count-Min sketch of corpus token
+    frequencies, then score every document by the average estimated
+    corpus frequency of its own tokens -> (id_col, n_tok, sum_est,
+    fam) with fam = sum_est DIV n_tok — all-integer, exact in any
+    ANSI engine (the bm25_scores discipline; no logs, no float math).
+
+    Rare/garbled text (OCR noise, wrong-language fragments, markup
+    soup) averages low corpus frequency; natural in-distribution text
+    averages high — the cheap stand-in for a KenLM perplexity gate,
+    trained and applied in the same two passes.  Documents with zero
+    [a-z0-9]+ tokens emit no row (nothing to average).
+
+    Scale shape: pass 1 is countmin_sketch — bounded d*w counter
+    state, map-side combined, shuffle volume <= d*w per partition
+    regardless of corpus size.  Pass 2 probes the DISTINCT token
+    vocabulary against the broadcast grid (countmin_estimate) and
+    broadcast-joins the per-token estimates back to token occurrences;
+    the per-doc sums are one map-side-combined groupBy.  The sketch
+    grid is tiny by construction; the estimates broadcast is
+    vocab-bounded — for an open-vocabulary corpus whose distinct-token
+    table outgrows a broadcast, probe per OCCURRENCE instead (explode
+    d hash rows, min per occurrence) at the price of one extra
+    shuffle; the sketch itself never grows either way.
+    """
+    from .sketches import countmin_estimate, countmin_sketch
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
+        )).alias("tok"),
+    )
+    sketch = countmin_sketch(toks, "tok", d=d, w=w)
+    vocab = toks.select(F.col("tok").alias("term")).distinct()
+    est = countmin_estimate(sketch, vocab, "term", d=d, w=w)
+    occ = toks.join(F.broadcast(est), toks["tok"] == est["term"]).select(
+        id_col, "est_count"
+    )
+    return (
+        occ.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("est_count").alias("sum_est"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("sum_est").cast("long").alias("sum_est"),
+            F.expr("sum_est DIV n_tok").alias("fam"),
+        )
+    )

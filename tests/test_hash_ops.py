@@ -407,3 +407,64 @@ def test_crossmodal_dup_planted_classification(spark):
             assert 0 <= ham <= 2 and bands == 0
         else:
             assert 0 <= ham <= 2 and bands > 0
+
+
+def test_lm_familiarity_vs_python_replay(spark):
+    """lm_familiarity == a pure-python Count-Min replay on the same
+    texthash family: exact n_tok / sum_est / integer-div fam, and a
+    garbled doc scores below the natural ones."""
+    import re
+
+    import numpy as np
+
+    from spatialjoincountovershells_spark.functions.texthash import (
+        affine_consts,
+        poly_hash_np,
+    )
+    from spatialjoincountovershells_spark.operators.text import lm_familiarity
+
+    texts = [
+        "the cat sat on the mat and the dog sat too",
+        "the dog and the cat ran to the mat",
+        "zxqj vwpk qqyz zxqj",          # garbled: rare tokens only
+        "the the the the",               # degenerate natural
+        "   ",                           # zero tokens: no output row
+    ]
+    d, w = 4, 64
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["sum_est"], r["fam"])
+        for r in lm_familiarity(df, d=d, w=w).collect()
+    }
+
+    toks_per_doc = [
+        [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t] for s in texts
+    ]
+    all_toks = [t for ts in toks_per_doc for t in ts]
+    base = poly_hash_np(np.array(all_toks, dtype=object))
+    grid: dict = {}
+    M = (1 << 31) - 1
+    for i in range(d):
+        a, b = affine_consts(i)
+        for h in base:
+            key = (i, ((int(h) * a + b) % M) % w)
+            grid[key] = grid.get(key, 0) + 1
+
+    def est(tok):
+        h = int(poly_hash_np(np.array([tok], dtype=object))[0])
+        return min(
+            grid.get((i, ((h * affine_consts(i)[0] + affine_consts(i)[1])
+                          % M) % w), 0)
+            for i in range(d)
+        )
+
+    want = {}
+    for i, ts in enumerate(toks_per_doc):
+        if not ts:
+            continue
+        s = sum(est(t) for t in ts)
+        want[i] = (len(ts), s, s // len(ts))
+    assert got == want
+    assert 4 not in got  # the zero-token doc emits no row
+    assert got[2][2] < got[0][2]  # garbled text scores below natural
