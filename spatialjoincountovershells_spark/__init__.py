@@ -21,7 +21,11 @@ Spark DataFrame library:
   coordinates), equirectangular slippy tiles on the Morton hierarchy,
   and the equirect bridge that runs every planar tile operator on
   geo-tagged rows — with streaming twins (stream_geo_tile_counts,
-  stream_geo_shell_counts),
+  stream_geo_shell_counts, stateful stream_trajectory_stats),
+* hexagonal H3-style lattice (operators/hexgrid.py): axial hex cells
+  via cube rounding, hex rollup / k-ring / DBSCAN, base-32 geohash
+  strings on the Morton spread-bits machinery, and per-user
+  great-circle trajectory statistics (trajectory_stats),
 * dedup / similarity / text-analysis operators for training-data
   pipelines, incl. perceptual-hash near-dup pairs on the images table,
   connected-component clustering of near-dup pairs (dedup_clusters,
@@ -68,13 +72,22 @@ from .operators.corpus import (
     decontaminate,
     stratified_sample,
 )
-from .operators.text import chunk_documents, repetition_stats
+from .operators.text import chunk_documents, lm_familiarity, repetition_stats
 from .operators.geo import (
     geo_knn,
     geo_nearest_site,
     geo_shell_count,
     geo_tile_expr,
     geo_tile_stats,
+    trajectory_stats,
+)
+from .operators.hexgrid import (
+    geohash_cells,
+    geohash_expr,
+    hex_dbscan,
+    hex_kring_stats,
+    hex_rollup,
+    with_hex,
 )
 
 __all__ = [
@@ -124,6 +137,14 @@ __all__ = [
     "geo_shell_count",
     "geo_tile_expr",
     "geo_tile_stats",
+    "trajectory_stats",
+    "lm_familiarity",
+    "geohash_cells",
+    "geohash_expr",
+    "hex_dbscan",
+    "hex_kring_stats",
+    "hex_rollup",
+    "with_hex",
 ]
 
 __version__ = "0.1.0"
