@@ -70,6 +70,7 @@ from spatialjoincountovershells_spark.operators.geo import (  # noqa: E402
     geo_knn,
     geo_nearest_site,
     geo_shell_count,
+    geo_tile_expr,
     geo_tile_sql,
     geo_tile_stats,
     geo_unit_sql,
@@ -134,6 +135,8 @@ from spatialjoincountovershells_spark.operators.tiling import (  # noqa: E402
     image_tile_stats,
     morton_sql_ctes,
     morton_tile_expr,
+    quadkey_expr,
+    quadkey_sql,
     rasterize_points,
     tile_cover,
     tile_dbscan,
@@ -430,6 +433,19 @@ def q_hex_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
     scatter-gather over the per-hex aggregate, no lattice self-join."""
     p = _parts(spark, sf_dir).select("x", "y")
     return hex_kring_stats(p, 31.25, k=1)
+
+
+def q_quadkey_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bing-style quadkey rollup at level 5 over geo-tagged rows: the
+    string interchange form of the Morton quadtree key (parent =
+    string prefix)."""
+    df = _geo_rows(spark, sf_dir, "orders", "o_orderkey", "img_id")
+    tile = geo_tile_expr(F.col("lat"), F.col("lon"), 5)
+    return (
+        df.select(quadkey_expr(tile, 5).alias("quadkey"))
+        .groupBy("quadkey")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
 
 
 def q_hex_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2646,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn": q_geo_knn,
         "geo_hotspots": q_geo_hotspots,
         "geo_hex": q_geo_hex,
+        "quadkey_cells": q_quadkey_cells,
         "trajectory": q_trajectory,
     }
 
@@ -2946,6 +2963,14 @@ SELECT rq AS hq, rr AS hr, CAST(n_points AS BIGINT) AS n_points,
        CAST(n_kring_cells AS BIGINT) AS n_kring_cells
 FROM g WHERE occ = 1
 """,
+        "quadkey_cells": (
+            "WITH g0 AS (SELECT "
+            + "{} AS lat, {} AS lon FROM orders),\n".format(
+                *sql_latlon("o_orderkey"))
+            + morton_sql_ctes("g0", *geo_tile_sql("lat", "lon", 5))
+            + f"\nSELECT {quadkey_sql('tile_id', 5)} AS quadkey, "
+            "count(*) AS n_points FROM m5 GROUP BY 1"
+        ),
         "hex_dbscan": f"""
 WITH RECURSIVE
 p AS (SELECT {sql_coord("o_orderkey", 0)} AS x, {sql_coord("o_orderkey", 1)} AS y FROM orders),

@@ -389,6 +389,10 @@ def trajectory_stats(
     user-key shuffle every events operator shares); the aggregation
     reuses that partitioning.  No self-join, no pair materialization:
     a 10^12-ping table costs one sort-within-user pass.
+
+    ``order_cols`` must be a total order within each user (the default
+    (ts, event_id) is); with duplicate sort keys the LAG pairing —
+    hence the hop decomposition — would be partition-order dependent.
     """
     lat, lon = (F.col(c) for c in latlon)
     qx, qy, qz = geo_unit_exprs(lat, lon)

@@ -439,8 +439,11 @@ def lm_familiarity(
     Rare/garbled text (OCR noise, wrong-language fragments, markup
     soup) averages low corpus frequency; natural in-distribution text
     averages high — the cheap stand-in for a KenLM perplexity gate,
-    trained and applied in the same two passes.  Documents with zero
-    [a-z0-9]+ tokens emit no row (nothing to average).
+    trained and applied in one job.  Documents with zero [a-z0-9]+
+    tokens emit no row (nothing to average).  The token stream is
+    scanned three times (sketch build, distinct vocab, occurrence
+    scoring) — at corpus scale, materialize the tokenized table once
+    (checkpoint/persist) and feed it to all three.
 
     Scale shape: pass 1 is countmin_sketch — bounded d*w counter
     state, map-side combined, shuffle volume <= d*w per partition

@@ -85,6 +85,48 @@ def morton_tile_expr(x, y, level: int, box: float = 1000.0):
     )
 
 
+def quadkey_expr(tile, level: int):
+    """Bing-maps quadkey string of a level-`level` Z-order tile id.
+
+    The quadkey IS the Morton id written in base 4, one digit per
+    level, MSB first — the string interchange form of the same
+    quadtree key (prefix relationships become string prefixes, so
+    `startswith` is an ancestor test).  Pure codegen.
+    """
+    if not 1 <= level <= MAX_TILE_LEVEL:
+        raise ValueError(f"level must be in [1, {MAX_TILE_LEVEL}]")
+    return F.concat(*[
+        F.substring(
+            F.lit("0123"),
+            (F.shiftright(tile, 2 * (level - 1 - i)) % 4 + 1).cast("int"),
+            1,
+        )
+        for i in range(level)
+    ])
+
+
+def quadkey_sql(tile_sql: str, level: int) -> str:
+    """The identical quadkey derivation as ANSI SQL (DuckDB oracles)."""
+    if not 1 <= level <= MAX_TILE_LEVEL:
+        raise ValueError(f"level must be in [1, {MAX_TILE_LEVEL}]")
+    return " || ".join(
+        f"substring('0123', CAST((({tile_sql}) >> {2 * (level - 1 - i)}) "
+        f"% 4 + 1 AS INTEGER), 1)"
+        for i in range(level)
+    )
+
+
+def quadkey_np(tile: np.ndarray, level: int) -> np.ndarray:
+    """numpy twin (tests)."""
+    out = np.empty(len(tile), dtype=object)
+    for i, t in enumerate(tile):
+        out[i] = "".join(
+            "0123"[(int(t) >> (2 * (level - 1 - j))) & 3]
+            for j in range(level)
+        )
+    return out
+
+
 def tile_parent_expr(tile, steps: int = 1):
     """Ancestor tile id `steps` levels up (quadtree prefix shift)."""
     return F.shiftright(tile, 2 * steps)

@@ -610,3 +610,40 @@ def test_morton_tile_expr_level_bounds(spark):
     assert df.select(
         morton_tile_expr(F.col("x"), F.col("y"), 0).alias("t")
     ).first().t == 0
+
+
+def test_quadkey_three_engine_agreement(spark):
+    """quadkey strings agree across Spark / DuckDB / numpy, and a
+    parent's quadkey is the child's string prefix (the ancestor test
+    quadkeys exist for)."""
+    from spatialjoincountovershells_spark.operators.tiling import (
+        quadkey_expr,
+        quadkey_np,
+        quadkey_sql,
+    )
+
+    rng = np.random.default_rng(3)
+    level = 6
+    m = rng.integers(0, 4 ** level, 2000)
+    m = np.concatenate([m, [0, 4 ** level - 1, 1]])
+    want = quadkey_np(m, level)
+
+    df = spark.createDataFrame(
+        [(int(i), int(t)) for i, t in enumerate(m)], "i long, tile long")
+    got = (
+        df.select("i", quadkey_expr(F.col("tile"), level).alias("q"))
+        .orderBy("i").toPandas()["q"].to_numpy()
+    )
+    assert list(got) == list(want)
+
+    con = duckdb.connect()
+    con.register("src", __import__("pandas").DataFrame(
+        {"i": np.arange(len(m)), "tile": m}))
+    got_sql = con.sql(
+        f"SELECT {quadkey_sql('tile', level)} AS q FROM src ORDER BY i"
+    ).fetchnumpy()["q"]
+    assert list(got_sql) == list(want)
+
+    # prefix property: parent (level-1) quadkey prefixes the child's
+    parents = quadkey_np(m >> 2, level - 1)
+    assert all(c.startswith(p) for c, p in zip(want, parents))
