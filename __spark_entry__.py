@@ -435,6 +435,47 @@ def q_hex_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hex_kring_stats(p, 31.25, k=1)
 
 
+def q_tile_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct visitors per slippy tile via the per-group KMV sketch
+    (k=16, estimator branch live on most tiles): the unique-users-per-
+    map-cell pattern with bounded per-tile state — exact distinct
+    would shuffle every (tile, user) pair; the sketch shuffles at most
+    k hashes per tile."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id")
+    ev = with_key_latlon(ev, "event_id")
+    t = ev.select(
+        geo_tile_expr(F.col("lat"), F.col("lon"), 4).alias("tile_id"),
+        "user_id",
+    )
+    return kmv_distinct(t, ["tile_id"], "user_id", k=16)
+
+
+def _tile_distinct_sql(k: int = 16) -> str:
+    """DuckDB twin of q_tile_distinct: the geo-tile Morton CTEs feed
+    the shared-text KMV pipeline keyed by tile_id."""
+    from spatialjoincountovershells_spark.functions.texthash import P
+    from spatialjoincountovershells_spark.operators.sketches import kmv_hash_sql
+
+    h = kmv_hash_sql("user_id")
+    lat, lon = sql_latlon("event_id")
+    return (
+        f"WITH g0 AS (SELECT user_id, {lat} AS lat, {lon} AS lon FROM events),\n"
+        + morton_sql_ctes("g0", *geo_tile_sql("lat", "lon", 4))
+        + f""",
+dh AS (SELECT tile_id, {h} AS h FROM m5 GROUP BY 1, 2),
+r AS (SELECT tile_id, h,
+      row_number() OVER (PARTITION BY tile_id ORDER BY h) AS rn FROM dh),
+a AS (SELECT tile_id, CAST(count(*) AS INTEGER) AS n_kept,
+             CAST(max(h) AS BIGINT) AS kth_hash
+      FROM r WHERE rn <= {k} GROUP BY 1)
+SELECT tile_id, n_kept, kth_hash,
+  CAST(CASE WHEN n_kept < {k} THEN n_kept
+       ELSE {(k - 1) * P} // kth_hash END AS BIGINT) AS est_distinct
+FROM a
+"""
+    )
+
+
 def q_quadkey_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bing-style quadkey rollup at level 5 over geo-tagged rows: the
     string interchange form of the Morton quadtree key (parent =
@@ -2663,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_hotspots": q_geo_hotspots,
         "geo_hex": q_geo_hex,
         "quadkey_cells": q_quadkey_cells,
+        "tile_distinct": q_tile_distinct,
         "trajectory": q_trajectory,
     }
 
@@ -3532,6 +3574,7 @@ FROM o
         "pq_encode": _pq_sql(),
         "pq_ann": _pq_ann_sql(),
         "kmv_distinct": _kmv_sql(),
+        "tile_distinct": _tile_distinct_sql(),
         "countmin": _countmin_sql(),
         "lm_familiarity": _lm_familiarity_sql(),
         "rolling_features": """
