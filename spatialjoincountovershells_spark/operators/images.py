@@ -216,6 +216,7 @@ def phash_near_dup(
     bands: int = 3,
     max_hamming: int = 2,
     bits: int = 48,
+    max_bucket: int | None = 512,
 ) -> DataFrame:
     """Perceptual-hash near-duplicate pairs -> (image_a, image_b, hamming).
 
@@ -226,14 +227,16 @@ def phash_near_dup(
     packed 3x16-bit synth phash (sources/synth.py _phash); real 64-bit
     perceptual hashes use bits=64, bands=4.  Scale shape: one groupBy
     per band over the (id, phash) projection — the full image payload
-    is never shuffled.
+    is never shuffled.  ``max_bucket`` (= dedup.MAX_BUCKET_DEFAULT)
+    drops degenerate hot band-slices (e.g. millions of all-black
+    thumbnails sharing a phash slice) before the C(n,2) expansion.
     """
     from .dedup import hamming_pairs
 
     return hamming_pairs(
         images.select(id_col, phash_col), phash_col, id_col,
         bands=bands, max_hamming=max_hamming, bits=bits,
-        out_cols=("image_a", "image_b"),
+        out_cols=("image_a", "image_b"), max_bucket=max_bucket,
     )
 
 

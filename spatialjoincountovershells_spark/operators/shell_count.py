@@ -424,8 +424,12 @@ def _fused_plan(h, p, r2, box, dtype, id_col, join_key: str = "cell_id",
     out_cols = [id_col, "shell_idx", "cnt"] + (["wsum"] if weight_col else [])
     if n_buckets is None:
         sp = h.sparkSession
-        n_buckets = max(
-            256, int(sp.conf.get("spark.sql.shuffle.partitions", "200")))
+        try:
+            # the conf may be 'auto' under AQE-managed deployments
+            conf_parts = int(sp.conf.get("spark.sql.shuffle.partitions", "200"))
+        except ValueError:
+            conf_parts = 256
+        n_buckets = max(256, conf_parts)
 
     def _empty():
         return pd.DataFrame({c: [] for c in out_cols}).astype(

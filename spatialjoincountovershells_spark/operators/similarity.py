@@ -40,6 +40,8 @@ def ann_l2_topk(
     query_blocks: int | None = None,
     corpus_blocks: int | None = None,
     candidates: DataFrame | None = None,
+    exhaustive: bool = False,
+    exhaustive_limit: int = 100_000,
 ) -> DataFrame:
     """-> (query_id, neighbor_id, rank, qd2) exact integer L2 top-k.
 
@@ -64,8 +66,25 @@ def ann_l2_topk(
     O(n*m) block anywhere).  Identical output to the exact path
     whenever the candidate set contains every true top-k pair
     (test_ann_l2_candidate_route).
+
+    Guard (round-4 VERDICT, same policy as pq_ann_topk): without
+    `candidates=` this IS the exact O(n*m) baseline — above
+    `exhaustive_limit` corpus rows in self-search mode the call raises
+    unless `exhaustive=True` is passed explicitly, pointing at the
+    candidate generators (lsh_cosine_pairs / ivf_candidates), so a
+    production-scale corpus can't silently schedule 10^12-row work.
     """
     spark = emb.sparkSession
+    if candidates is None and queries is None and not exhaustive:
+        n = emb.count()
+        if n > exhaustive_limit:
+            raise ValueError(
+                f"ann_l2_topk without candidates= is an exact "
+                f"all-pairs search ({n} corpus rows -> ~{n * n:.0e} "
+                f"distances). Pass candidates= (lsh_cosine_pairs / "
+                f"ivf_candidates output), a small queries= frame, or "
+                f"exhaustive=True to insist."
+            )
     if candidates is not None:
         quant = F.transform(
             F.col(vec_col),
@@ -165,6 +184,32 @@ def ann_l2_topk(
     )
 
 
+#: affine-hash stream index for the IVF centroid-seeding sample
+#: (distinct from corpus.stratified_sample's default stream 97)
+_CENTROID_STREAM = 31
+
+
+def seed_centroid_rows(
+    emb: DataFrame, n_centroids: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """The `n_centroids` smallest-id rows of a deterministic
+    hash-threshold sample of `emb` — IVF's default centroid seed.
+
+    The affine-hash prefilter (stream 31, ~8x oversample of
+    n_centroids) runs as a plain scan filter, so the TakeOrdered that
+    follows only merges the tiny sampled set — the corpus is never
+    globally sorted or full-corpus top-n'd (round-4 VERDICT; pinned by
+    test_plan_shapes).  Integer-closed-form: the DuckDB ann_ivf oracle
+    replays the identical rule bit-exactly.
+    """
+    from ..functions.texthash import P, affine_sql
+
+    n = emb.count()  # one cheap action (a catalog count at scale)
+    rate = min(1_000_000, (8_000_000 * int(n_centroids)) // max(n, 1) + 1)
+    h = f"({affine_sql(f'({id_col} % {P})', _CENTROID_STREAM)} % 1000000)"
+    return emb.where(F.expr(h) < rate).orderBy(id_col).limit(n_centroids)
+
+
 def _quant_col(vec_col: str, quant_scale: int):
     return F.transform(
         F.col(vec_col),
@@ -195,19 +240,23 @@ def ivf_candidates(
     bit-exact ANSI-SQL twin exists (the `ann_ivf` oracle).
 
     centroids: pluggable (cent_id, vector) frame, e.g. sampled+k-means
-    offline.  Default: the `n_centroids` smallest-id corpus vectors —
-    a deterministic coarse quantizer whose quality matches random
-    sampling on unstructured corpora, chosen so the whole pipeline
-    stays closed-form for the oracle gate.  With
-    n_probe == n_centroids the candidate set is complete and the
+    offline.  Default: a deterministic hash-threshold sample — keep
+    ids whose universal affine hash (functions/texthash.py, the
+    stratified_sample trick) lands under an ~8x-oversampled rate, then
+    the `n_centroids` smallest ids among the survivors.  One catalog
+    row count + one filtered scan: the corpus is never globally sorted
+    or top-n'd (round-4 VERDICT — the previous smallest-id rule ran a
+    full-corpus TakeOrdered whose single-partition merge is
+    partitions x n_centroids rows at 10^12 scale); the final
+    TakeOrdered sees only the tiny sampled set.  The whole rule is
+    integer-closed-form, so the DuckDB oracle replays it bit-exactly.
+    With n_probe == n_centroids the candidate set is complete and the
     downstream re-rank is exact (pinned by test_ann_ivf_full_probe).
     """
     quant = _quant_col(vec_col, quant_scale)
     if centroids is None:
-        cents = (
-            emb.orderBy(id_col)
-            .limit(n_centroids)
-            .select(F.col(id_col).alias("cent_id"), quant.alias("_ctv"))
+        cents = seed_centroid_rows(emb, n_centroids, id_col).select(
+            F.col(id_col).alias("cent_id"), quant.alias("_ctv")
         )
     else:
         cents = centroids.select(
@@ -410,6 +459,7 @@ def lsh_cosine_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     quant_scale: int = 1024,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded random-hyperplane LSH -> candidate pairs (doc_a, doc_b).
 
@@ -455,5 +505,8 @@ def lsh_cosine_pairs(
         op, schema="vid long, band int, bucket long"
     )
     # one aggregation over the bucket scan (the mapInPandas signature
-    # pass executes once, not once per self-join side)
-    return bucket_pairs(buckets, ["band", "bucket"], "vid").distinct()
+    # pass executes once, not once per self-join side).  max_bucket
+    # (None -> bucket_pairs' MAX_BUCKET_DEFAULT) bounds a degenerate
+    # sign-pattern bucket (e.g. a zero-vector plateau) to linear work.
+    kw = {} if max_bucket is None else {"max_bucket": max_bucket}
+    return bucket_pairs(buckets, ["band", "bucket"], "vid", **kw).distinct()

@@ -468,3 +468,88 @@ def test_lm_familiarity_vs_python_replay(spark):
     assert got == want
     assert 4 not in got  # the zero-token doc emits no row
     assert got[2][2] < got[0][2]  # garbled text scores below natural
+
+
+# --------------------------------------------------------- hot-bucket cap
+
+def test_bucket_pairs_hot_bucket_cap(spark):
+    """A planted degenerate bucket (20 identical texts -> one bucket per
+    band) is DROPPED by the max_bucket cap, so no task ever expands its
+    C(n,2) pairs; distinct near-dups elsewhere still surface, and
+    oversized_buckets reports exactly the dropped buckets."""
+    from spatialjoincountovershells_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_lsh_pairs,
+        oversized_buckets,
+    )
+
+    hot = ["identical boilerplate text repeated across the shard " * 3] * 20
+    a = "a genuinely unique document about catalyst plan shapes " * 3
+    b = a.replace("shapes", "shaped", 1)
+    docs = _docs(spark, hot + [a, b])
+
+    capped = minhash_lsh_pairs(docs, max_bucket=8).toPandas()
+    got = set(map(tuple, capped[["doc_a", "doc_b"]].to_numpy()))
+    assert (20, 21) in got                      # near-dup pair survives
+    assert all(x >= 20 for ab in got for x in ab)  # hot bucket emits none
+
+    uncapped = minhash_lsh_pairs(docs, max_bucket=None).toPandas()
+    hotpairs = uncapped[(uncapped.doc_a < 20) & (uncapped.doc_b < 20)]
+    assert len(hotpairs) == 20 * 19 // 2        # C(20,2), all bands hit
+    assert (hotpairs.n_bands_hit == 8).all()
+
+    over = oversized_buckets(
+        minhash_band_buckets(docs), ["band", "key"], "doc_id", max_bucket=8
+    ).toPandas()
+    assert len(over) == 8 and (over.n_ids == 20).all()  # one per band
+
+
+def test_minhash_cap_matches_duckdb_oracle(spark):
+    """The cap is mirrored in the oracle: Spark minhash_lsh_pairs with
+    max_bucket=8 == _minhash_lsh_sql(max_bucket=8) on a corpus where
+    the cap actually fires (20-doc hot bucket)."""
+    import __spark_entry__ as entrymod
+
+    hot = ["identical boilerplate text repeated across the shard " * 3] * 20
+    a = "a genuinely unique document about catalyst plan shapes " * 3
+    b = a.replace("shapes", "shaped", 1)
+    texts = hot + [a, b]
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    got = (
+        minhash_lsh_pairs(spark.createDataFrame(pdf), max_bucket=8)
+        .orderBy("doc_a", "doc_b").toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        entrymod._minhash_lsh_sql(max_bucket=8) + " ORDER BY doc_a, doc_b"
+    ).df()
+    assert len(got) == len(want) == 1
+    np.testing.assert_array_equal(
+        got[["doc_a", "doc_b", "n_bands_hit"]].to_numpy(np.int64),
+        want[["doc_a", "doc_b", "n_bands_hit"]].to_numpy(np.int64),
+    )
+
+
+def test_hamming_pairs_hot_bucket_cap(spark):
+    """Same cap on the signature-carrying banded Hamming join: 20
+    identical simhashes are a hot slice in every band."""
+    from spatialjoincountovershells_spark.operators.dedup import simhash_pairs
+
+    hot = ["spark catalyst optimizes declarative dataframe plans " * 3] * 20
+    docs = _docs(spark, hot)
+    assert len(simhash_pairs(docs, max_bucket=8).toPandas()) == 0
+    full = simhash_pairs(docs, max_bucket=None).toPandas()
+    assert len(full) == 20 * 19 // 2 and (full.hamming == 0).all()
+
+
+def test_ann_l2_exhaustive_guard(spark):
+    """Self-search above exhaustive_limit refuses unless exhaustive=True
+    (round-4 VERDICT #3 — same policy as pq_ann_topk)."""
+    emb, _ = _rand_emb(spark, 40, dim=8, seed=5)
+    with pytest.raises(ValueError, match="exhaustive"):
+        ann_l2_topk(emb, k=2, exhaustive_limit=10)
+    out = ann_l2_topk(emb, k=2, exhaustive_limit=10, exhaustive=True).toPandas()
+    assert len(out) == 40 * 2

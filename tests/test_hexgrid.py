@@ -137,11 +137,44 @@ def test_geohash_three_engine_agreement(spark):
 
 
 def test_geohash_precision_guard():
+    # the numpy twin (geohash_np) intentionally has no guard; only the
+    # column/SQL builders validate precision
     with pytest.raises(ValueError, match="precision"):
-        geohash_np  # numpy twin has no guard; the column builders do
         geohash_expr(F.lit(0.0), F.lit(0.0), 7)
     with pytest.raises(ValueError, match="precision"):
         geohash_sql("lat", "lon", 0)
+
+
+def test_geohash_out_of_range_clamps():
+    """Inputs past EITHER edge clamp to the edge cell instead of
+    wrapping a negative quantized index through the spread mask."""
+    lat = np.array([91.0, -91.0, 90.0 - 1e-9, -90.0])
+    lon = np.array([181.0, -181.0, 180.0 - 1e-9, -180.0])
+    got = geohash_np(lat, lon, 5)
+    edge = geohash_np(np.array([89.999999, -90.0]),
+                      np.array([179.999999, -180.0]), 5)
+    assert got[0] == edge[0] and got[2] == edge[0]
+    assert got[1] == edge[1] and got[3] == edge[1]
+
+
+def test_geohash_out_of_range_three_engines(spark):
+    """Spark expr / DuckDB SQL / numpy agree on out-of-range inputs."""
+    lat = np.array([95.0, -95.0, 0.0, 90.0, -90.0])
+    lon = np.array([200.0, -200.0, 0.0, 180.0, -180.0])
+    want = geohash_np(lat, lon, 4)
+    pdf = pd.DataFrame({"i": np.arange(len(lat)), "lat": lat, "lon": lon})
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", geohash_expr(F.col("lat"), F.col("lon"), 4).alias("g"))
+        .orderBy("i").toPandas()["g"].to_numpy()
+    )
+    assert list(got) == list(want)
+    con = duckdb.connect()
+    con.register("src", pdf)
+    sql = (f"WITH {geohash_sql('lat', 'lon', 4)} "
+           "SELECT geohash FROM ghf ORDER BY i")
+    got_sql = con.sql(sql).fetchnumpy()["geohash"]
+    assert list(got_sql) == list(want)
 
 
 def test_hex_rollup_partition_invariance(spark):

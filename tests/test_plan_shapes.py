@@ -157,3 +157,23 @@ def test_repetition_stats_single_gram_shuffle_and_no_python(spark):
     # collapse of repeated grams — the property that bounds the
     # shuffle by distinct grams, not doc length)
     assert n_nodes(plan, "HashAggregate") >= 4
+
+
+def test_ivf_centroid_seed_prefilters_before_takeordered(spark):
+    """IVF's default centroid seed (round-4 VERDICT #9): a hash-
+    threshold Filter feeds a TakeOrderedAndProject — no global Sort
+    node, and the top-n merge input is the tiny sampled set, not the
+    corpus."""
+    from spatialjoincountovershells_spark.operators.similarity import (
+        seed_centroid_rows,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    seed = seed_centroid_rows(emb, 16)
+    p = plan_of(seed)
+    assert n_nodes(p, "TakeOrderedAndProject") == 1
+    assert n_nodes(p, "Sort") == 0
+    assert n_nodes(p, "Exchange") == 0
+    assert "Filter" in p and "1000000" in p  # the hash-threshold prefilter
+    rows = seed.toPandas()
+    assert len(rows) == 16 and rows.vec_id.is_unique
