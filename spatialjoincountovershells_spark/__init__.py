@@ -89,6 +89,54 @@ from .operators.hexgrid import (
     hex_rollup,
     with_hex,
 )
+from .operators.similarity import (
+    ann_l2_topk,
+    ann_cosine_topk,
+    ann_ivf_topk,
+    ivf_candidates,
+    cosine_dedup_pairs,
+    lsh_cosine_pairs,
+)
+from .operators.clustering import (
+    dbscan_points,
+    lloyd_kmeans,
+    semantic_dedup,
+    pq_encode,
+    pq_ann_topk,
+)
+from .operators.dedup import (
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    hamming_pairs,
+    dup_spans,
+)
+from .operators.sketches import (
+    kmv_distinct,
+    countmin_sketch,
+    countmin_estimate,
+    bloom_words,
+    bloom_might_contain,
+    hist_quantiles,
+)
+from .operators.graph import pagerank
+from .operators.text import (
+    quality_score,
+    lang_guess,
+    doc_fingerprint,
+    pii_scrub,
+    bm25_scores,
+    token_topk,
+)
+from .operators.events import (
+    sessionize,
+    funnel,
+    retention,
+    asof_join,
+    rolling_counts,
+)
+from .operators.corpus import pack_sequences, split_assign
+from .operators.boxjoin import box_overlap_join
 
 __all__ = [
     "dedup_clusters",
@@ -145,6 +193,43 @@ __all__ = [
     "hex_kring_stats",
     "hex_rollup",
     "with_hex",
+    "ann_l2_topk",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ivf_candidates",
+    "cosine_dedup_pairs",
+    "lsh_cosine_pairs",
+    "dbscan_points",
+    "lloyd_kmeans",
+    "semantic_dedup",
+    "pq_encode",
+    "pq_ann_topk",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+    "hamming_pairs",
+    "dup_spans",
+    "kmv_distinct",
+    "countmin_sketch",
+    "countmin_estimate",
+    "bloom_words",
+    "bloom_might_contain",
+    "hist_quantiles",
+    "pagerank",
+    "quality_score",
+    "lang_guess",
+    "doc_fingerprint",
+    "pii_scrub",
+    "bm25_scores",
+    "token_topk",
+    "sessionize",
+    "funnel",
+    "retention",
+    "asof_join",
+    "rolling_counts",
+    "pack_sequences",
+    "split_assign",
+    "box_overlap_join",
 ]
 
 __version__ = "0.1.0"
