@@ -330,6 +330,76 @@ def semantic_dedup(
     )
 
 
+def _subspace_slices(m: int, d: int, q_col: str = "q"):
+    """array of the m contiguous d-length subspace slices of `q_col`."""
+    return F.array(
+        *[F.expr(f"slice({q_col}, {j * d + 1}, {d})") for j in range(m)]
+    )
+
+
+def _pq_lloyd(q: DataFrame, m: int, d: int, k: int, iters: int, id_col: str):
+    """All m subspace Lloyd chains of product quantization as ONE keyed
+    plan -> (assignment (j, id, cl, dist2), codebook (j, cl, c)).
+
+    Bit-identical to running ``_lloyd`` per subspace (same seed rows —
+    the k smallest ids, which are the same ids in every subspace — same
+    int64 distances, floor-mean updates and (dist2, cl) tie-breaks, now
+    windowed per (j, id) instead of per id), but the m independent
+    chains collapse into one: one TakeOrdered seed job instead of m,
+    one assignment/update pass over the subspace-exploded frame per
+    round instead of m — the job count is O(iters), not O(m*iters),
+    which on a short-job-latency-bound cluster (and this sandbox) is
+    most of pq_encode/pq_ann_topk's wall clock."""
+    slices = _subspace_slices(m, d)
+    qk = q.select(id_col, F.posexplode(slices).alias("j", "qj"))
+    cent = (
+        q.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("long")
+            .alias("cl"),
+            F.col("q"),
+        )
+        .select("cl", F.posexplode(slices).alias("j", "c"))
+        .persist()
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(qj, c, (a, b) -> (a - b) * (a - b)), "
+        "0L, (s, v) -> s + v)"
+    )
+    assign = None
+    for i in range(iters):
+        w = Window.partitionBy("j", id_col).orderBy("dist2", "cl")
+        assign = (
+            qk.join(F.broadcast(cent), "j")
+            .select(id_col, "j", "cl", dist2.alias("dist2"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if i < iters - 1:
+            ex = assign.join(qk, ["j", id_col]).select(
+                "j", "cl", F.posexplode("qj").alias("d", "v")
+            )
+            cent = (
+                ex.groupBy("j", "cl", "d")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .withColumn(
+                    "m", F.floor(F.col("s").cast("double") / F.col("n"))
+                )
+                .groupBy("j", "cl")
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(d, m))), "
+                        "s -> s.m)"
+                    ).alias("c")
+                )
+                .persist()
+            )
+    return assign, cent
+
+
 def pq_encode(
     emb: DataFrame,
     m: int = 4,
@@ -355,34 +425,26 @@ def pq_encode(
     (dist2, cl) tie-break), so the composite has a bit-exact DuckDB
     twin of m prefixed CTE chains.
 
-    Scale shape: each subspace is an independent broadcast-k-row
-    assignment over a column slice — m small jobs over one cached
-    quantized projection, joined back on the id; no pairwise term
-    anywhere (codebook training is linear per round).
+    Scale shape: the m subspace chains run as ONE keyed plan
+    (``_pq_lloyd``): broadcast-k*m-row assignment over the
+    subspace-exploded projection of one cached quantized frame, then a
+    single groupBy(id) pivots the m codes back to columns — no m-way
+    id join, no per-subspace job fan-out; no pairwise term anywhere
+    (codebook training is linear per round).
     """
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     d = dim // m
-    out = None
-    for j in range(m):
-        sub = emb.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * d + 1, d).alias(vec_col),
-        )
-        a = lloyd_kmeans(
-            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-            scale=scale,
-        ).select(
-            id_col,
-            F.col("cluster_id").alias(f"code_{j}"),
-            F.col("dist2").alias(f"_d{j}"),
-        )
-        out = a if out is None else out.join(a, id_col)
-    total = sum(F.col(f"_d{j}") for j in range(m))
-    return out.select(
-        id_col,
-        *[F.col(f"code_{j}") for j in range(m)],
-        total.cast("long").alias("dist2"),
+    q = emb.select(
+        F.col(id_col), _quantize(vec_col, scale).alias("q")
+    ).persist()
+    assign, _ = _pq_lloyd(q, m, d, k, iters, id_col)
+    return assign.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("cl"))).alias(f"code_{j}")
+            for j in range(m)
+        ],
+        F.sum("dist2").cast("long").alias("dist2"),
     )
 
 
@@ -425,7 +487,10 @@ def pq_ann_topk(
     is (n_queries x k) rows per subspace — all broadcast; the pair
     table (candidate-bounded or exhaustive) flows through m broadcast
     hash joins and one window.  The corpus ships as codes (m longs),
-    never as vectors.
+    never as vectors.  Codebook training and the LUT build run as ONE
+    keyed plan across all m subspaces (``_pq_lloyd`` + a persisted
+    keyed LUT table the m broadcasts filter), so the job count is
+    O(iters), not O(m*iters).
     """
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -443,25 +508,34 @@ def pq_ann_topk(
     d = dim // m
     q = emb.select(F.col(id_col), _quantize(vec_col, scale).alias("q")).persist()
 
+    assign, cent = _pq_lloyd(q, m, d, k, iters, id_col)
+    codes = assign.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("cl"))).alias(f"code_{j}")
+            for j in range(m)
+        ]
+    )
     lut_d2 = F.expr(
         "aggregate(zip_with(_qs, c, (a, b) -> (a - b) * (a - b)), "
         "0L, (s, v) -> s + v)"
     )
-    codes, luts = None, []
-    for j in range(m):
-        sub = q.select(id_col, F.expr(f"slice(q, {j * d + 1}, {d})").alias("q"))
-        asg, cent = _lloyd(sub, k, iters, id_col)
-        cj = asg.select(id_col, F.col("cl").alias(f"code_{j}"))
-        codes = cj if codes is None else codes.join(cj, id_col)
-        luts.append(
-            q.select(
-                F.col(id_col).alias("query_id"),
-                F.expr(f"slice(q, {j * d + 1}, {d})").alias("_qs"),
-            )
-            .crossJoin(F.broadcast(cent))
-            .select("query_id", F.col("cl").alias(f"code_{j}"),
-                    lut_d2.alias(f"_d{j}"))
+    lutk = (
+        q.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(_subspace_slices(m, d)).alias("j", "_qs"),
         )
+        .join(F.broadcast(cent), "j")
+        .select("query_id", "j", "cl", lut_d2.alias("_d"))
+        .persist()  # the m per-subspace broadcasts filter this once-built table
+    )
+    luts = [
+        lutk.where(F.col("j") == j).select(
+            "query_id",
+            F.col("cl").alias(f"code_{j}"),
+            F.col("_d").alias(f"_d{j}"),
+        )
+        for j in range(m)
+    ]
 
     corpus = codes.withColumnRenamed(id_col, "neighbor_id")
     if candidates is None:

@@ -42,6 +42,7 @@ def ann_l2_topk(
     candidates: DataFrame | None = None,
     exhaustive: bool = False,
     exhaustive_limit: int = 100_000,
+    candidates_distinct: bool = False,
 ) -> DataFrame:
     """-> (query_id, neighbor_id, rank, qd2) exact integer L2 top-k.
 
@@ -65,7 +66,11 @@ def ann_l2_topk(
     re-rank runs ONLY on those pairs via a JVM zip_with expression (no
     O(n*m) block anywhere).  Identical output to the exact path
     whenever the candidate set contains every true top-k pair
-    (test_ann_l2_candidate_route).
+    (test_ann_l2_candidate_route).  Duplicate (query, neighbor) pairs
+    would each take a rank slot, so the pair table is deduped first —
+    pass candidates_distinct=True when the generator guarantees
+    uniqueness (ivf_candidates does: each neighbor lives in exactly one
+    inverted list) to skip that shuffle, the largest intermediate's.
 
     Guard (round-4 VERDICT, same policy as pq_ann_topk): without
     `candidates=` this IS the exact O(n*m) baseline — above
@@ -98,10 +103,13 @@ def ann_l2_topk(
             "aggregate(zip_with(_qv, _cv, (a, b) -> (a - b) * (a - b)), "
             "0L, (s, x) -> s + x)"
         )
+        cand = candidates.select("query_id", "neighbor_id").where(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        if not candidates_distinct:
+            cand = cand.distinct()
         pairs = (
-            candidates.select("query_id", "neighbor_id")
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .distinct()
+            cand
             .join(qsrc, "query_id")
             .join(csrc, "neighbor_id")
             .select("query_id", "neighbor_id", d2.alias("qd2"))
@@ -312,7 +320,7 @@ def ann_ivf_topk(
     )
     return ann_l2_topk(
         emb, k=k, id_col=id_col, vec_col=vec_col, quant_scale=quant_scale,
-        queries=queries, candidates=cands,
+        queries=queries, candidates=cands, candidates_distinct=True,
     )
 
 
