@@ -20,6 +20,8 @@ groupBy keys.  No Python in any per-row path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -266,6 +268,79 @@ def minhash_band_buckets(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def _minhash_band_buckets_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Arrow/numpy twin of ``minhash_band_buckets`` -> (id, band, key).
+
+    PRECONDITION: rows already pass the minhash_lsh_pairs guard
+    (text non-null, length >= shingle_n), so every shingle window is
+    full-width and the base hashes are one vectorized sliding dot
+    product of the codepoint array against POWS[:shingle_n] — the same
+    convolution trick as ``dup_spans``.  The pure-SQL expr path
+    computes identical values but Spark evaluates HOF lambdas
+    interpreted per element (~(shingle_n + 2*n_hashes) interpreter
+    steps per character); this kernel is the measured ~3x-overall
+    minhash_lsh speedup at sf0.1 (bit-equality pinned by
+    test_minhash_arrow_buckets_match_expr).  Streaming keeps the expr
+    path (stateless column arithmetic composes with any sink).
+
+    Exact int64 everywhere: codepoints < 2^21, POWS/affine consts < P
+    = 2^31-1, so every product stays < 2^62 — the identical value
+    tree as the Spark-SQL and DuckDB forms (functions/texthash.py).
+    """
+    from ..functions.texthash import P, POWS, POW2S, affine_consts
+
+    rpb = n_hashes // bands
+    pows = np.array(POWS[:shingle_n][::-1], dtype=np.int64)  # convolve reverses
+    A = np.array([affine_consts(i)[0] for i in range(n_hashes)], dtype=np.int64)
+    C = np.array([affine_consts(i)[1] for i in range(n_hashes)], dtype=np.int64)
+    pow2 = np.array(POW2S[:rpb], dtype=np.int64)
+    band_ids = np.arange(bands, dtype=np.int32)
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            bases, counts = [], []
+            for t in pdf[text_col]:
+                c = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                b = np.convolve(c, pows, mode="valid") % P
+                bases.append(b)
+                counts.append(len(b))
+            bb = np.concatenate(bases)
+            counts = np.array(counts, dtype=np.int64)
+            starts = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            mh = np.empty((len(counts), n_hashes), dtype=np.int64)
+            for i in range(n_hashes):
+                mh[:, i] = np.minimum.reduceat((A[i] * bb + C[i]) % P, starts)
+            keys = np.empty((len(counts), bands), dtype=np.int64)
+            for b in range(bands):
+                seg = mh[:, b * rpb : (b + 1) * rpb]
+                keys[:, b] = ((seg * pow2[None, :]) % P).sum(axis=1) % P
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, bands),
+                    "band": np.tile(band_ids, len(counts)),
+                    "key": keys.reshape(-1),
+                }
+            )
+
+    id_dt = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        op, schema=f"{id_col} {id_dt}, band int, key long"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -274,14 +349,19 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 8,
     max_bucket: int | None = MAX_BUCKET_DEFAULT,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Banded-LSH candidate near-dup pairs -> (doc_a, doc_b, n_bands_hit).
 
     Docs colliding in >=1 band are candidates; verify with
     ngram_jaccard_pairs on the candidate set if exactness is needed.
-    Buckets come from the shuffle-free per-row derivation
-    (minhash_band_buckets), so the whole operator is ONE aggregation
-    (bucket_pairs' groupBy) plus the final pair count.
+    Buckets come from a shuffle-free per-row derivation, so the whole
+    operator is ONE aggregation (bucket_pairs' groupBy) plus the final
+    pair count.  engine="arrow" (default) computes the bucket rows in
+    a vectorized numpy kernel (`_minhash_band_buckets_arrow` — the
+    expr path's HOF lambdas evaluate interpreted per character);
+    engine="expr" keeps the pure-SQL columns (the streaming builder) —
+    both produce bit-identical rows.
 
     Docs with NULL text or fewer than shingle_n characters are
     EXCLUDED: a NULL text hashes to a NULL band key and every
@@ -294,7 +374,16 @@ def minhash_lsh_pairs(
     df = df.where(
         F.col(text_col).isNotNull() & (F.length(text_col) >= int(shingle_n))
     )
-    buckets = minhash_band_buckets(df, text_col, id_col, n_hashes, bands, shingle_n)
+    if engine == "arrow":
+        buckets = _minhash_band_buckets_arrow(
+            df, text_col, id_col, n_hashes, bands, shingle_n
+        )
+    elif engine == "expr":
+        buckets = minhash_band_buckets(
+            df, text_col, id_col, n_hashes, bands, shingle_n
+        )
+    else:
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
     return (
         bucket_pairs(buckets, ["band", "key"], id_col, max_bucket=max_bucket)
         .groupBy("doc_a", "doc_b")

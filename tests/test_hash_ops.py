@@ -350,6 +350,39 @@ def test_minhash_rowwise_buckets_match_grouped(spark):
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
 
 
+def test_minhash_arrow_buckets_match_expr(spark):
+    """The vectorized Arrow bucket kernel must be bit-identical to the
+    pure-SQL expr path on minhash_lsh_pairs' guard domain (text
+    non-null, len >= shingle_n): unicode, exact-boundary-length,
+    repeated-shingle, and long texts; and the two engine= routes of
+    minhash_lsh_pairs must agree pair-for-pair."""
+    from spatialjoincountovershells_spark.operators.dedup import (
+        _minhash_band_buckets_arrow,
+        minhash_band_buckets,
+        minhash_lsh_pairs,
+    )
+
+    texts = [
+        "abcdefgh",                      # exactly shingle_n chars -> 1 shingle
+        "abababababababab",
+        "the the the the the",
+        "z" * 8 + "café ☃ naïve \U0001f600 text" * 3,
+        "The quick brown fox jumps over the lazy dog. " * 10,
+        "The quick brown fox jumps over the lazy dog. " * 10,  # dup doc
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    arrow = _minhash_band_buckets_arrow(docs, "text", "doc_id", 32, 8, 8)
+    expr = minhash_band_buckets(docs)
+    assert {tuple(x) for x in arrow.collect()} == {
+        tuple(x) for x in expr.collect()
+    }
+    pa = {tuple(x) for x in minhash_lsh_pairs(docs, engine="arrow").collect()}
+    pe = {tuple(x) for x in minhash_lsh_pairs(docs, engine="expr").collect()}
+    assert pa == pe and any(p[:2] == (4, 5) for p in pa)
+
+
 def test_crossmodal_dup_planted_classification(spark):
     """crossmodal_dup_pairs classifies planted variants correctly:
     same-caption + 1-bit phash flip -> 'both' (8/8 caption bands,
