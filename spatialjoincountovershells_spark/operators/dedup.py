@@ -505,14 +505,35 @@ def dedup_clusters(
     return labels.select(F.col("n").alias(out_id), F.col("lbl").alias(out_cluster))
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    engine: str = "arrow",
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens -> (id, simhash long).
 
     Bit b is the sign of sum over tokens of (2*bit_b(token) - 1) where
     bit_b(token) = affine_b(poly_hash(token)) mod 2 — 64 independent
-    universal-hash bits from one shared base hash (texthash.py), all
-    JVM column exprs folded into a single aggregation.
+    universal-hash bits from one shared base hash (texthash.py).
+    Documents with no tokens (NULL / empty / all-whitespace) emit no
+    row in either engine.
+
+    engine="arrow" (default): one vectorized numpy pass — tokens are
+    located as runs of non-whitespace in the batch's concatenated
+    codepoint array (the exact Java ``\\s`` = ASCII
+    space/tab/LF/VT/FF/CR set that Spark's split uses), base hashes
+    come from one add.reduceat over cp*POWS products (MAXLEN-capped by
+    zeroing the power past 64), and the 64 vote streams are
+    sign-reduceat'd per doc — the expr path evaluates the base-hash
+    HOF lambda interpreted per character and 64 affine aggregations
+    per token row.  engine="expr": the original all-JVM column exprs
+    (streaming-safe).  Bit-identical (test_simhash_arrow_matches_expr).
     """
+    if engine == "arrow":
+        return _simhash_arrow(df, text_col, id_col)
+    if engine != "expr":
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
@@ -530,6 +551,84 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         bit = F.lit(2**b if b < 63 else -(2**63)).cast("long")
         acc = acc.bitwiseOR(F.when(F.col(f"b{b}") > 0, bit).otherwise(F.lit(0).cast("long")))
     return per.select(F.col(id_col), acc.alias("simhash"))
+
+
+#: Java regex \s (what Spark's split uses) is the ASCII whitespace set —
+#: NOT Python's unicode \s; \xa0 etc. are token characters in both paths.
+_JAVA_WS = (0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D)
+
+
+def _simhash_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from ..functions.texthash import MAXLEN, P, POWS, affine_consts
+
+    n_bits = 64
+    A = np.array([affine_consts(b)[0] for b in range(n_bits)], dtype=np.int64)
+    C = np.array([affine_consts(b)[1] for b in range(n_bits)], dtype=np.int64)
+
+    def op(batches):
+        for pdf in batches:
+            rows = [
+                (i, t)
+                for i, t in zip(pdf[id_col], pdf[text_col])
+                if t is not None and len(t) > 0
+            ]
+            if not rows:
+                continue
+            # one codepoint array for the whole batch, docs separated by
+            # a space so tokens can't merge across docs
+            cps = np.concatenate(
+                [
+                    np.frombuffer(
+                        (t + " ").encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    for _, t in rows
+                ]
+            )
+            doc_ends = np.cumsum(
+                np.array([len(t) + 1 for _, t in rows], dtype=np.int64)
+            )
+            is_ws = np.isin(cps, _JAVA_WS)
+            tok_char = ~is_ws
+            prev_ws = np.empty_like(is_ws)
+            prev_ws[0] = True
+            prev_ws[1:] = is_ws[:-1]
+            starts = np.flatnonzero(tok_char & prev_ws)  # token start indices
+            if len(starts) == 0:
+                continue
+            # position within token, 0 for inter-token whitespace
+            pos = np.arange(len(cps), dtype=np.int64)
+            start_of = np.zeros(len(cps), dtype=np.int64)
+            start_of[starts] = starts
+            np.maximum.accumulate(start_of, out=start_of)
+            rel = pos - start_of
+            contrib = np.where(
+                tok_char & (rel < MAXLEN),
+                cps * np.array(POWS, dtype=np.int64)[np.minimum(rel, MAXLEN - 1)],
+                0,
+            )
+            base = np.add.reduceat(contrib, starts) % P  # one per token
+            # token -> doc mapping: count token starts per doc
+            n_tok = np.diff(
+                np.concatenate([[0], np.searchsorted(starts, doc_ends)])
+            )
+            keep = n_tok > 0  # docs with no tokens emit no row
+            tok_doc_bounds = np.concatenate(
+                [[0], np.cumsum(n_tok)]
+            )[:-1][keep]
+            acc = np.zeros(int(keep.sum()), dtype=np.uint64)
+            for b in range(n_bits):
+                par = ((A[b] * base + C[b]) % P) % 2
+                votes = np.add.reduceat(2 * par - 1, tok_doc_bounds)
+                acc |= (votes > 0).astype(np.uint64) << np.uint64(b)
+            ids = np.array([i for i, _ in rows])[keep]
+            yield pd.DataFrame(
+                {id_col: ids, "simhash": acc.view(np.int64)}
+            )
+
+    id_dt = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        op, schema=f"{id_col} {id_dt}, simhash long"
+    )
 
 
 def hamming_pairs(
@@ -626,10 +725,11 @@ def simhash_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int | None = MAX_BUCKET_DEFAULT,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Banded-SimHash near-dup pairs -> (doc_a, doc_b, hamming).
     See ``hamming_pairs`` for the banding/recall contract."""
-    sig = simhash(df, text_col, id_col)
+    sig = simhash(df, text_col, id_col, engine=engine)
     return hamming_pairs(
         sig, "simhash", id_col, bands, max_hamming, max_bucket=max_bucket
     )

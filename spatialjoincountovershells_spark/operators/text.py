@@ -111,19 +111,61 @@ def lang_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 
 
 def doc_fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Winnowing-style fingerprint: min polynomial codepoint hash over
     all `window`-char substrings -> (id, fingerprint long).
 
-    Pure JVM column expressions (transform/sequence + array_min inside
-    whole-stage codegen) — no Python anywhere — using the SQL-derivable
-    hash family of functions/texthash.py, so the DuckDB oracle
-    reproduces every value bit-for-bit.  Texts shorter than `window`
-    hash one zero-padded window (ascii past the end contributes 0).
+    engine="arrow" (default) computes the rolling hash as one numpy
+    sliding dot product of the codepoint array against POWS[:window]
+    (the dup_spans convolution) + a per-doc min — the expr path's
+    transform lambda runs interpreted with `window` substring+ascii
+    calls PER POSITION (measured 25s -> sub-second at sf0.1).
+    engine="expr" keeps the pure-JVM column expression (streaming-safe,
+    and the shape the DuckDB oracle mirrors); both are bit-identical
+    (every int64 product < 2^62; pinned by the parity test).  Texts
+    shorter than `window` hash one zero-padded window (ascii past the
+    end contributes 0); NULL text -> NULL fingerprint in both engines.
     """
     from ..functions.texthash import P, POWS
 
+    if engine == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        pows = np.array(POWS[:window][::-1], dtype=np.int64)  # convolve reverses
+
+        def op(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                fps = []
+                for t in pdf[text_col]:
+                    if t is None:
+                        fps.append(None)
+                        continue
+                    c = np.frombuffer(
+                        t.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    if len(c) < window:  # one zero-padded window
+                        c = np.pad(c, (0, window - len(c)))
+                    fps.append(
+                        int((np.convolve(c, pows, mode="valid") % P).min())
+                    )
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "fingerprint": pd.array(fps, dtype="Int64")}
+                )
+
+        id_dt = dict(df.dtypes)[id_col]
+        return df.select(id_col, text_col).mapInPandas(
+            op, schema=f"{id_col} {id_dt}, fingerprint long"
+        )
+    if engine != "expr":
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
     terms = " + ".join(
         f"ascii(substring({text_col}, u + {j}, 1)) * {POWS[j]}L"
         for j in range(window)

@@ -106,18 +106,63 @@ def test_simhash_pairs_bruteforce_recall(spark):
             if h <= 3:
                 want[(a, b)] = h
     df = simhash_pairs(docs, max_hamming=3)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the expr engine stays pure-JVM (the streaming-safe path)
+    plan = (
+        simhash_pairs(docs, max_hamming=3, engine="expr")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
     got = {(r.doc_a, r.doc_b): r.hamming for r in df.collect()}
     assert got == want and (0, 1) in got and got[(0, 1)] == 0
 
 
-def test_doc_fingerprint_pure_jvm_and_dup_equal(spark):
-    texts = ["abcdefghijklmnopqrstuvwxyz0123", "abcdefghijklmnopqrstuvwxyz0123", "short"]
+def test_simhash_arrow_matches_expr(spark):
+    """The vectorized simhash kernel must be bit-identical to the
+    all-JVM expr path: multi-whitespace runs (tab/CR/LF/VT/FF),
+    NON-ASCII whitespace (\\xa0 is a token char in Java \\s — both
+    engines must agree), >MAXLEN tokens, unicode, leading/trailing
+    whitespace, and no-token docs (empty / all-whitespace / NULL)
+    which must emit NO row."""
+    from spatialjoincountovershells_spark.operators.dedup import simhash
+
+    texts = [
+        "plain words here",
+        "  leading and trailing  ",
+        "tabs\tand\nnewlines\x0bvt\x0cff\rcr separated",
+        "nbsp\xa0is-part-of-token and caf\xe9 ☃ \U0001f600",
+        "x" * 200 + " capped-token " + "y" * 70,
+        "",
+        " \t\n ",
+        None,
+        "repeat repeat repeat repeat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    want = {r.doc_id: r.simhash for r in simhash(docs, engine="expr").collect()}
+    assert got == want
+    assert 5 not in got and 6 not in got and 7 not in got and 0 in got
+
+
+def test_doc_fingerprint_engines_agree_and_dup_equal(spark):
+    """Arrow default == pure-JVM expr path bit-for-bit (incl. the
+    zero-padded short-text window, empty text and unicode), the expr
+    path stays Python-free for streaming, and duplicate docs share a
+    fingerprint."""
+    texts = [
+        "abcdefghijklmnopqrstuvwxyz0123",
+        "abcdefghijklmnopqrstuvwxyz0123",
+        "short",
+        "",
+        "café ☃ naïve \U0001f600 sixteen+ chars of unicode",
+    ]
     df = doc_fingerprint(_docs(spark, texts))
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    expr = doc_fingerprint(_docs(spark, texts), engine="expr")
+    plan = expr._jdf.queryExecution().executedPlan().toString()
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
     out = df.orderBy("doc_id").toPandas()
+    assert out.fingerprint.tolist() == expr.orderBy("doc_id").toPandas().fingerprint.tolist()
     assert out.fingerprint[0] == out.fingerprint[1]
     assert (out.fingerprint >= 0).all()
 
