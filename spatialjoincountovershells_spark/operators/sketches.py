@@ -91,11 +91,29 @@ def kmv_distinct(
                       est.alias("est_distinct"))
 
 
+def _base_hash_col(values: DataFrame, value_col: str, engine: str):
+    """(frame-with-_base, base_sql_name) — engine='arrow' appends the
+    texthash base hash as a materialized column in one vectorized pass
+    (functions/arrowhash.py); engine='expr' returns the interpreted
+    HOF SQL text inline (streaming-safe; also what every call site
+    duplicating the text per stream used to pay d/k times over)."""
+    from ..functions.texthash import poly_hash_spark
+
+    if engine == "arrow":
+        from ..functions.arrowhash import with_poly_hash_arrow
+
+        return with_poly_hash_arrow(values, value_col, "_base"), "_base"
+    if engine != "expr":
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
+    return values, poly_hash_spark(value_col)
+
+
 def countmin_sketch(
     values: DataFrame,
     value_col: str,
     d: int = 4,
     w: int = 512,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) of a stream of
     string values -> the full counter grid (row int, bucket long, cnt
@@ -106,10 +124,14 @@ def countmin_sketch(
     Counters are plain sums — the sketch merges by adding grids, and
     the groupBy's map-side combine means shuffle volume is bounded by
     d*w per partition, the textbook bounded-state shape.
-    """
-    from ..functions.texthash import poly_hash_spark
 
-    base = poly_hash_spark(value_col)
+    engine="arrow" (default) hashes the value column once per row in a
+    vectorized Arrow pass (functions/arrowhash.py) instead of
+    evaluating the interpreted base-hash HOF d times per row;
+    engine="expr" keeps the pure-SQL projection (streaming-safe).
+    Identical counters either way.
+    """
+    values, base = _base_hash_col(values, value_col, engine)
     rows = [
         F.struct(
             F.lit(i).alias("row"),
@@ -131,6 +153,7 @@ def countmin_estimate(
     query_col: str = "term",
     d: int = 4,
     w: int = 512,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Point-query the Count-Min grid -> (query_col, est_count long).
 
@@ -142,9 +165,7 @@ def countmin_estimate(
     Scale shape: the sketch is <= d*w rows — broadcast; queries flow
     through one broadcast join per hash row and a per-query min agg.
     """
-    from ..functions.texthash import poly_hash_spark
-
-    base = poly_hash_spark(query_col)
+    queries, base = _base_hash_col(queries, query_col, engine)
     rows = [
         F.struct(
             F.lit(i).alias("row"),
@@ -169,6 +190,7 @@ def bloom_words(
     m_words: int = 8,
     k: int = 4,
     stream0: int = 64,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Bloom filter per group (Bloom 1970), materialized as its int64
     words -> (group_cols..., word_idx int, word long), at most m_words
@@ -187,15 +209,17 @@ def bloom_words(
     distinct (group, word_idx, mask) rows; the groupBy bit_or is
     map-side combined, so shuffle volume is bounded by m_words per
     (partition, group) — bounded-state, order-independent, mergeable.
-    """
-    from ..functions.texthash import poly_hash_spark
 
+    String values hash through one vectorized Arrow pass by default
+    (engine — see countmin_sketch; the k streams used to re-evaluate
+    the interpreted base-hash HOF 2k times per row); numeric values
+    fold by a plain CAST either way.
+    """
     dt = dict(df.dtypes).get(value)
-    base = (
-        poly_hash_spark(value)
-        if dt == "string"
-        else f"(((CAST({value} AS BIGINT) % {P}) + {P}) % {P})"
-    )
+    if dt == "string":
+        df, base = _base_hash_col(df, value, engine)
+    else:
+        base = f"(((CAST({value} AS BIGINT) % {P}) + {P}) % {P})"
     nbits = 63 * m_words
     masks = [
         F.struct(
@@ -239,6 +263,7 @@ def bloom_might_contain(
     m_words: int = 8,
     k: int = 4,
     stream0: int = 64,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Membership test against ``bloom_words`` grids -> probe rows +
     (hit int): 1 iff ALL k bits are set in the group's filter (maybe
@@ -251,14 +276,11 @@ def bloom_might_contain(
     engines build for join pruning (probe rows failing `hit` skip the
     expensive join).
     """
-    from ..functions.texthash import poly_hash_spark
-
     dt = dict(probes.dtypes).get(value)
-    base = (
-        poly_hash_spark(value)
-        if dt == "string"
-        else f"(((CAST({value} AS BIGINT) % {P}) + {P}) % {P})"
-    )
+    if dt == "string":
+        probes, base = _base_hash_col(probes, value, engine)
+    else:
+        base = f"(((CAST({value} AS BIGINT) % {P}) + {P}) % {P})"
     nbits = 63 * m_words
     masks = [
         F.struct(

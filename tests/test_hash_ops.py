@@ -116,6 +116,46 @@ def test_simhash_pairs_bruteforce_recall(spark):
     assert got == want and (0, 1) in got and got[(0, 1)] == 0
 
 
+def test_arrowhash_matches_sql(spark):
+    """with_poly_hash_arrow must equal the interpreted poly_hash_spark
+    HOF bit-for-bit: NULL -> NULL, '' -> 0, MAXLEN cap, unicode and
+    astral codepoints, and passthrough of the other columns."""
+    from spatialjoincountovershells_spark.functions.arrowhash import (
+        with_poly_hash_arrow,
+    )
+    from spatialjoincountovershells_spark.functions.texthash import (
+        poly_hash_spark,
+    )
+
+    vals = [
+        None,
+        "",
+        "a",
+        "hello world",
+        "café ☃ naïve \U0001f600",
+        "x" * 63,
+        "y" * 64,
+        "z" * 200,  # past the MAXLEN cap
+        " leading space",
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, tok string"
+    )
+    got = {
+        r.doc_id: r._base
+        for r in with_poly_hash_arrow(df, "tok").collect()
+    }
+    want = {
+        r.doc_id: r._base
+        for r in df.select(
+            "doc_id", F.expr(poly_hash_spark("tok")).alias("_base")
+        ).collect()
+    }
+    assert got == want and got[0] is None and got[1] == 0
+    # cap: chars past MAXLEN must not change the hash
+    assert got[7] == want[7] and got[6] is not None
+
+
 def test_simhash_arrow_matches_expr(spark):
     """The vectorized simhash kernel must be bit-identical to the
     all-JVM expr path: multi-whitespace runs (tab/CR/LF/VT/FF),
