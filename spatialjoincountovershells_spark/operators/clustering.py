@@ -484,13 +484,12 @@ def pq_ann_topk(
     schedule 10^12-row pair tables at production scale).
 
     Scale shape: the m codebooks are k rows each and the per-query LUT
-    is (n_queries x k) rows per subspace — all broadcast; the pair
-    table (candidate-bounded or exhaustive) flows through m broadcast
-    hash joins and one window.  The corpus ships as codes (m longs),
-    never as vectors.  Codebook training and the LUT build run as ONE
-    keyed plan across all m subspaces (``_pq_lloyd`` + a persisted
-    keyed LUT table the m broadcasts filter), so the job count is
-    O(iters), not O(m*iters).
+    is one dense m*k int64 array per query — broadcast; the pair table
+    (candidate-bounded or exhaustive) flows through ONE broadcast hash
+    join and m O(1) element_at lookups per row, then one window.  The
+    corpus ships as codes (m longs), never as vectors.  Codebook
+    training runs as ONE keyed plan across all m subspaces
+    (``_pq_lloyd``), so the job count is O(iters), not O(m*iters).
     """
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -519,23 +518,30 @@ def pq_ann_topk(
         "aggregate(zip_with(_qs, c, (a, b) -> (a - b) * (a - b)), "
         "0L, (s, v) -> s + v)"
     )
-    lutk = (
+    # per-query LUT as ONE dense m*k array (slot j*k + cl; slots of
+    # dropped empty clusters stay null and are never referenced, since
+    # every emitted code exists in the codebook) — the candidate table
+    # then pays ONE broadcast hash join + m O(1) element_at lookups
+    # instead of m broadcast joins, i.e. one pass over the pair table
+    # rather than m.
+    lut_arr = (
         q.select(
             F.col(id_col).alias("query_id"),
             F.posexplode(_subspace_slices(m, d)).alias("j", "_qs"),
         )
         .join(F.broadcast(cent), "j")
-        .select("query_id", "j", "cl", lut_d2.alias("_d"))
-        .persist()  # the m per-subspace broadcasts filter this once-built table
-    )
-    luts = [
-        lutk.where(F.col("j") == j).select(
+        .select(
             "query_id",
-            F.col("cl").alias(f"code_{j}"),
-            F.col("_d").alias(f"_d{j}"),
+            (F.col("j") * k + F.col("cl")).alias("_slot"),
+            lut_d2.alias("_d"),
         )
-        for j in range(m)
-    ]
+        .groupBy("query_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("_slot", "_d"))).alias("_m"))
+        .select(
+            "query_id",
+            F.expr(f"transform(sequence(0, {m * k - 1}), i -> element_at(_m, CAST(i AS BIGINT)))").alias("_lut"),
+        )
+    )
 
     corpus = codes.withColumnRenamed(id_col, "neighbor_id")
     if candidates is None:
@@ -544,10 +550,13 @@ def pq_ann_topk(
         pairs = candidates.select("query_id", "neighbor_id").join(
             corpus, "neighbor_id"
         )
-    pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
-    for j in range(m):
-        pairs = pairs.join(F.broadcast(luts[j]), ["query_id", f"code_{j}"])
-    adc = sum(F.col(f"_d{j}") for j in range(m)).cast("long")
+    pairs = pairs.where(F.col("query_id") != F.col("neighbor_id")).join(
+        F.broadcast(lut_arr), "query_id"
+    )
+    adc = sum(
+        F.expr(f"element_at(_lut, CAST({j * k} + code_{j} + 1 AS INT))")
+        for j in range(m)
+    ).cast("long")
     w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
     return (
         pairs.select("query_id", "neighbor_id", adc.alias("adc_d2"))
