@@ -458,15 +458,24 @@ def dedup_clusters(
     # materialize the symmetric edge list ONCE — every round reuses it
     # without re-running the (expensive) upstream LSH pair pipeline
     edges = _ckpt(sym.distinct())
+    # init already folds one propagation step: label(n) = min(n, its
+    # neighbors) — a clique (the common LSH-bucket shape) is fully
+    # labeled before round 1, which then just confirms convergence
     labels = _ckpt(
-        edges.select(F.col("s").alias("n")).distinct().withColumn("lbl", F.col("n"))
+        edges.groupBy("s").agg(F.min("d").alias("_mn")).select(
+            F.col("s").alias("n"), F.least(F.col("s"), F.col("_mn")).alias("lbl")
+        )
     )
     for _ in range(max_iter):
-        prop = edges.join(labels, edges["d"] == labels["n"]).select(
-            F.col("s").alias("n"), F.col("lbl")
+        prop = (
+            edges.join(labels, edges["d"] == labels["n"])
+            .groupBy(edges["s"].alias("n"))
+            .agg(F.min("lbl").alias("_nlbl"))
         )
-        stepped = labels.unionByName(prop).groupBy("n").agg(
-            F.min("lbl").alias("lbl")
+        stepped = labels.join(prop, "n", "left").select(
+            "n",
+            F.col("lbl").alias("_old"),
+            F.least("lbl", "_nlbl").alias("lbl"),  # least(x, NULL) = x
         )
         # pointer jump through the PREVIOUS round's (checkpointed)
         # table: label(label(n)) is defined for every n — labels are
@@ -480,21 +489,18 @@ def dedup_clusters(
             labels.select(F.col("n").alias("_jn"), F.col("lbl").alias("_jlbl")),
             stepped["lbl"] == F.col("_jn"),
         )
+        # the OLD label rides along so the convergence probe below is a
+        # scan of this checkpointed table — no join action per round
         new = _ckpt(
             jump.select(
                 stepped["n"].alias("n"),
                 F.least(stepped["lbl"], F.col("_jlbl")).alias("lbl"),
+                F.col("_old"),
             )
         )
         # min-label is monotone non-increasing: converged iff no label fell
-        changed = (
-            new.alias("a")
-            .join(labels.alias("b"), "n")
-            .where(F.col("a.lbl") < F.col("b.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("lbl") < F.col("_old")).limit(1).count()
+        labels = new.select("n", "lbl")
         if changed == 0:
             break
     else:
